@@ -1,0 +1,104 @@
+"""Per-cloud metadata (auxiliary data) collection.
+
+Python-native equivalent of the reference's cwipc_metadata collection
+(reference: src/cwipc_util.cpp:24-87, include/cwipc_util/api.h:508-562):
+an ordered list of (name, description, bytes) items attached to a point
+cloud, e.g. per-camera RGB/depth images, timestamps, or test hooks like
+"test-angle".  Image items carry a description string of
+"k=v,k=v,..." pairs; `get_image_description` parses it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+class cwipc_metadata:
+    """Ordered collection of named binary metadata items."""
+
+    def __init__(self) -> None:
+        self._items: List[Tuple[str, str, bytes]] = []
+
+    def _add(self, name: str, description: str, data: bytes) -> None:
+        self._items.append((name, description, bytes(data)))
+
+    def count(self) -> int:
+        return len(self._items)
+
+    def name(self, idx: int) -> str:
+        return self._items[idx][0]
+
+    def description(self, idx: int) -> str:
+        return self._items[idx][1]
+
+    def size(self, idx: int) -> int:
+        return len(self._items[idx][2])
+
+    def data(self, idx: int) -> bytes:
+        return self._items[idx][2]
+
+    def _copy_from(self, other: "cwipc_metadata") -> None:
+        self._items.extend(other._items)
+
+    # -- image helpers (reference: python/cwipc/util.py:993-1082) ---------
+
+    def _parse_aux_description(self, description: str) -> Dict[str, Any]:
+        rv: Dict[str, Any] = {}
+        for part in description.split(","):
+            if not part or "=" not in part:
+                continue
+            k, v = part.split("=", 1)
+            try:
+                rv[k] = int(v)
+            except ValueError:
+                rv[k] = v
+        return rv
+
+    def get_image_description(self, idx: int) -> Dict[str, Any]:
+        return self._parse_aux_description(self.description(idx))
+
+    def get_image(self, idx: int) -> np.ndarray:
+        """Decode an image item (Z16 depth, RGB8/BGR8, RGBA8/BGRA8) to numpy."""
+        desc = self.get_image_description(idx)
+        width = int(desc["width"])
+        height = int(desc["height"])
+        stride = int(desc.get("stride", desc.get("bpp", 0) and width * desc["bpp"] or 0))
+        fmt = desc.get("format", "")
+        data = self.data(idx)
+        if fmt in ("Z16", "L16"):
+            arr = np.frombuffer(data, np.uint16)
+            bytes_per_pixel = 2
+        elif fmt in ("RGB8", "BGR8"):
+            arr = np.frombuffer(data, np.uint8)
+            bytes_per_pixel = 3
+        elif fmt in ("RGBA8", "BGRA8", "RGBA32", "BGRA32"):
+            arr = np.frombuffer(data, np.uint8)
+            bytes_per_pixel = 4
+        elif fmt == "L8":
+            arr = np.frombuffer(data, np.uint8)
+            bytes_per_pixel = 1
+        else:
+            raise ValueError(f"Unknown image format {fmt!r}")
+        if not stride:
+            stride = width * bytes_per_pixel
+        row_elems = stride // arr.itemsize
+        arr = arr[: height * row_elems].reshape(height, row_elems)
+        if bytes_per_pixel in (3, 4) and arr.itemsize == 1:
+            ncol = width * bytes_per_pixel
+            arr = arr[:, :ncol].reshape(height, width, bytes_per_pixel)
+        else:
+            arr = arr[:, :width]
+        return arr
+
+    def get_all_images(self, pattern: str = "") -> Dict[str, np.ndarray]:
+        rv: Dict[str, np.ndarray] = {}
+        for i in range(self.count()):
+            nm = self.name(i)
+            if pattern in nm:
+                try:
+                    rv[nm] = self.get_image(i)
+                except (ValueError, KeyError):
+                    continue
+        return rv

@@ -1,0 +1,80 @@
+"""cwipcdump / packet serialization — bit-compatible with the reference.
+
+Wire/file format (reference: include/cwipc_util/api.h:53-66):
+
+    32-byte header: char hdr[4]="cpcd", uint32 magic=0x20210208,
+                    uint64 timestamp, float cellsize, uint32 unused,
+                    uint64 size(bytes of point data)
+    followed by `size` bytes of packed 16-byte cwipc_point records.
+
+The same layout is used for in-memory packets (`copy_packet`,
+src/cwipc_util.cpp:252-290) and .cwipcdump files
+(src/cwipc_util.cpp:499-641).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from ..core.buffers import POINT_SIZE, buffer_from_bytes
+from ..core.errors import CwipcError
+from ..core.pointcloud import cwipc_pointcloud_wrapper
+
+CWIPC_CWIPCDUMP_HEADER = b"cpcd"
+CWIPC_CWIPCDUMP_VERSION = 0x20210208
+
+_HDR_FMT = "<4sIQfIQ"
+_HDR_SIZE = struct.calcsize(_HDR_FMT)
+assert _HDR_SIZE == 32
+
+
+def packet_from_pointcloud(pc: cwipc_pointcloud_wrapper) -> bytearray:
+    data = pc.get_bytes()
+    hdr = struct.pack(
+        _HDR_FMT,
+        CWIPC_CWIPCDUMP_HEADER,
+        CWIPC_CWIPCDUMP_VERSION,
+        pc.timestamp(),
+        pc.cellsize(),
+        0,
+        len(data),
+    )
+    return bytearray(hdr) + data
+
+
+def pointcloud_from_packet(packet: bytes) -> cwipc_pointcloud_wrapper:
+    if len(packet) < _HDR_SIZE:
+        raise CwipcError("cwipc_from_packet: packet too short")
+    hdr, magic, timestamp, cellsize, _unused, size = struct.unpack(
+        _HDR_FMT, bytes(packet[:_HDR_SIZE])
+    )
+    if hdr != CWIPC_CWIPCDUMP_HEADER:
+        raise CwipcError("cwipc_from_packet: bad header")
+    if magic != CWIPC_CWIPCDUMP_VERSION:
+        raise CwipcError("cwipc_from_packet: bad version")
+    data = bytes(packet[_HDR_SIZE:])
+    if len(data) != size or size % POINT_SIZE != 0:
+        raise CwipcError("cwipc_from_packet: inconsistent size")
+    buf = buffer_from_bytes(data)
+    return cwipc_pointcloud_wrapper(buf, timestamp, cellsize, _count_hint=size // POINT_SIZE)
+
+
+def write_debugdump(filename: str, pc: cwipc_pointcloud_wrapper) -> int:
+    try:
+        with open(filename, "wb") as fp:
+            fp.write(packet_from_pointcloud(pc))
+    except OSError as e:
+        raise CwipcError(f"cwipc_write_debugdump: {filename}: {e.strerror}") from e
+    return 0
+
+
+def read_debugdump(filename: str) -> cwipc_pointcloud_wrapper:
+    try:
+        with open(filename, "rb") as fp:
+            data = fp.read()
+    except OSError as e:
+        raise CwipcError(f"cwipc_read_debugdump: {filename}: {e.strerror}") from e
+    try:
+        return pointcloud_from_packet(data)
+    except CwipcError as e:
+        raise CwipcError(f"cwipc_read_debugdump: {filename}: {e}") from e

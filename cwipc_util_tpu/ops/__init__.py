@@ -1,0 +1,200 @@
+"""Point-cloud operators on wrapper objects — the reference op API.
+
+This module is the public op surface matching the reference's module-level
+functions (reference: python/cwipc/util.py:1284-1332, implemented natively in
+src/cwipc_filters.cpp).  Each op takes and returns
+:class:`~cwipc_util_tpu.core.pointcloud.cwipc_pointcloud_wrapper` host
+objects; the compute runs on device via the kernels in the sibling modules.
+
+Timestamp/cellsize bookkeeping preserved from the reference:
+
+* downsample: result cellsize = max(input cellsize, requested |cellsize|)
+  (cwipc_filters.cpp:103-106); negative cellsize selects the plain
+  voxel-grid variant (same math here; the octree split of the default path
+  is a PCL work-chunking artifact — see ops/voxelize.py).
+* tilefilter/tilemap/crop/colormap/remove_outliers: timestamp and cellsize
+  pass through.
+* join: timestamp and cellsize are the minima of the inputs
+  (cwipc_filters.cpp:411-414).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterable, List, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.buffers import bucket_capacity
+from ..core.errors import CwipcError
+from ..core.pointcloud import cwipc_pointcloud_wrapper
+from . import compaction, outliers, voxelize
+
+__all__ = [
+    "cwipc_downsample",
+    "cwipc_remove_outliers",
+    "cwipc_tilefilter",
+    "cwipc_tilemap",
+    "cwipc_colormap",
+    "cwipc_crop",
+    "cwipc_join",
+    "cwipc_join_multi",
+]
+
+
+def _wrap(buf, template: cwipc_pointcloud_wrapper, cellsize=None, timestamp=None):
+    return cwipc_pointcloud_wrapper(
+        buf,
+        template.timestamp() if timestamp is None else timestamp,
+        template.cellsize() if cellsize is None else cellsize,
+    )
+
+
+def cwipc_downsample(
+    pc: cwipc_pointcloud_wrapper, voxelsize: float
+) -> cwipc_pointcloud_wrapper:
+    """Voxelize to cubes of the given size; negative selects the plain grid."""
+    cellsize = abs(float(voxelsize))
+    if pc.cellsize() >= cellsize:
+        cellsize = pc.cellsize()
+    buf = voxelize.downsample(pc._access_buffer(), jnp.float32(cellsize))
+    return _wrap(buf, pc, cellsize=cellsize)
+
+
+def _estimate_spacing(pc: cwipc_pointcloud_wrapper) -> float:
+    """Typical point spacing: the cloud's cellsize if set, else a sampled
+    median nearest-neighbor distance."""
+    if pc.cellsize() > 0:
+        return pc.cellsize()
+    arr = pc.get_numpy_matrix(onlyGeometry=True)
+    n = arr.shape[0]
+    if n < 2:
+        return 1.0
+    sample = arr[:: max(1, n // 512)][:512]
+    d2 = ((sample[:, None, :] - arr[None, : min(n, 4096), :]) ** 2).sum(-1)
+    d2[d2 == 0] = np.inf
+    nn = np.sqrt(d2.min(axis=1))
+    nn = nn[np.isfinite(nn)]
+    return float(np.median(nn)) if nn.size else 1.0
+
+
+def _remove_outliers_single(
+    pc: cwipc_pointcloud_wrapper, k: int, mult: float
+) -> cwipc_pointcloud_wrapper:
+    buf = pc._access_buffer()
+    n = pc.count()
+    if n <= 1:
+        return _wrap(buf, pc)
+    k_eff = min(int(k), n - 1)
+    if n <= 4096:
+        out = outliers.remove_outliers(buf, k_eff, jnp.float32(mult), method="exact")
+    else:
+        spacing = _estimate_spacing(pc)
+        # Cell sized so the 3x3x3 ring plausibly contains >= k surface
+        # neighbors: ring radius ~ spacing*sqrt(k/pi).
+        cell = max(2.0, float(np.sqrt(k_eff / np.pi))) * spacing
+        out = outliers.remove_outliers(
+            buf, k_eff, jnp.float32(mult), method="grid", cell=jnp.float32(cell)
+        )
+    return _wrap(out, pc)
+
+
+def cwipc_remove_outliers(
+    pc: cwipc_pointcloud_wrapper, kNeighbors: int, stdDesvMultThresh: float, perTile: bool
+) -> cwipc_pointcloud_wrapper:
+    """Statistical outlier removal, optionally per tile.
+
+    The per-tile variant mirrors the reference exactly
+    (cwipc_filters.cpp:238-261): distinct tile values in order of first
+    appearance, each selected with tilefilter (so a tile value of 0 selects
+    the whole cloud — reference quirk preserved), cleaned independently and
+    concatenated.
+    """
+    if not perTile:
+        return _remove_outliers_single(pc, kNeighbors, stdDesvMultThresh)
+    tiles_arr = pc.get_numpy_array()["tile"]
+    _, first_idx = np.unique(tiles_arr, return_index=True)
+    tiles_in_order = tiles_arr[np.sort(first_idx)]
+    parts: List[cwipc_pointcloud_wrapper] = []
+    for tile in tiles_in_order:
+        sub = cwipc_tilefilter(pc, int(tile))
+        parts.append(_remove_outliers_single(sub, kNeighbors, stdDesvMultThresh))
+        sub.free()
+    if not parts:
+        return _wrap(pc._access_buffer(), pc)
+    rv = parts[0]
+    for p in parts[1:]:
+        joined = cwipc_join(rv, p)
+        rv.free()
+        p.free()
+        rv = joined
+    rv._set_timestamp(pc.timestamp())
+    rv._set_cellsize(pc.cellsize())
+    return rv
+
+
+def cwipc_tilefilter(pc: cwipc_pointcloud_wrapper, tile: int) -> cwipc_pointcloud_wrapper:
+    """Select points whose tile equals `tile` (0 selects all points)."""
+    buf = compaction.tilefilter(pc._access_buffer(), jnp.uint32(tile))
+    return _wrap(buf, pc)
+
+
+def cwipc_tilemap(
+    pc: cwipc_pointcloud_wrapper,
+    mapping: Union[List[int], Dict[int, int], bytes, bytearray],
+) -> cwipc_pointcloud_wrapper:
+    """Rewrite tile numbers through a 256-entry map (list/bytes/dict)."""
+    if isinstance(mapping, dict):
+        lut = np.zeros(256, np.uint8)
+        for k, v in mapping.items():
+            lut[k] = v
+    else:
+        lut = np.frombuffer(bytes(mapping), np.uint8).copy()
+        if lut.shape[0] != 256:
+            raise CwipcError("cwipc_tilemap: mapping must have 256 entries")
+    buf = compaction.tilemap(pc._access_buffer(), jnp.asarray(lut))
+    return _wrap(buf, pc)
+
+
+def cwipc_colormap(
+    pc: cwipc_pointcloud_wrapper, clearBits: int, setBits: int
+) -> cwipc_pointcloud_wrapper:
+    """rgba' = (rgba & ~clearBits) | setBits; masks may touch the tile byte."""
+    buf = compaction.colormap(
+        pc._access_buffer(),
+        jnp.uint32(clearBits & 0xFFFFFFFF),
+        jnp.uint32(setBits & 0xFFFFFFFF),
+    )
+    rv = _wrap(buf, pc)
+    # Reference moves metadata to the result (python/cwipc/util.py:1309-1317).
+    if pc._metadata is not None:
+        rv.access_metadata()._copy_from(pc._metadata)
+    return rv
+
+
+def cwipc_crop(
+    pc: cwipc_pointcloud_wrapper, bbox: Union[tuple, List[float]]
+) -> cwipc_pointcloud_wrapper:
+    """Crop to [minx,maxx) x [miny,maxy) x [minz,maxz)."""
+    buf = compaction.crop(pc._access_buffer(), jnp.asarray(list(bbox), jnp.float32))
+    return _wrap(buf, pc)
+
+
+def cwipc_join(
+    pc1: cwipc_pointcloud_wrapper, pc2: cwipc_pointcloud_wrapper
+) -> cwipc_pointcloud_wrapper:
+    """Concatenate two pointclouds (pc1's points first)."""
+    n1, n2 = pc1.count(), pc2.count()
+    cap = bucket_capacity(n1 + n2)
+    buf = compaction.join(pc1._access_buffer(), pc2._access_buffer(), capacity=cap)
+    return cwipc_pointcloud_wrapper(
+        buf,
+        min(pc1.timestamp(), pc2.timestamp()),
+        min(pc1.cellsize(), pc2.cellsize()),
+        _count_hint=n1 + n2,
+    )
+
+
+def cwipc_join_multi(pcs: Iterable[cwipc_pointcloud_wrapper]) -> cwipc_pointcloud_wrapper:
+    return functools.reduce(cwipc_join, pcs)

@@ -1,0 +1,124 @@
+"""Masked stream-compaction ops: tilefilter, tilemap, crop, colormap, join.
+
+TPU-native equivalents of the reference's point-loop operators
+(reference: src/cwipc_filters.cpp:281-418).  On a static-shape compiler,
+"remove some points" becomes: compute a keep-mask, cumsum the mask into
+destination slots, scatter into a same-capacity output, and update the device
+count scalar.  No host synchronization happens anywhere in this module; the
+count stays a device scalar so chains of ops fuse under one jit.
+
+Semantics preserved exactly from the reference:
+
+* ``tilefilter(pc, t)``: keeps points whose tile == t, or ALL points when
+  t == 0 (exact equality, NOT a bitmask test — cwipc_filters.cpp:295-299).
+* ``tilemap``: tile' = lut[tile], 256-entry LUT (cwipc_filters.cpp:308-331).
+* ``crop``: bbox test is lower-inclusive / upper-exclusive
+  (cwipc_filters.cpp:347-354).
+* ``colormap``: rgba' = (rgba & ~clearBits) | setBits on the PCL-layout
+  packed value, i.e. the masks can also touch the tile byte (bits 24-31)
+  (cwipc_filters.cpp:362-386).
+* ``join``: concatenation, order pc1 then pc2 (cwipc_filters.cpp:388-418);
+  timestamp/cellsize combination is done by the host wrapper.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.buffers import PointBuffer
+
+
+def compact(buf: PointBuffer, keep: jax.Array) -> PointBuffer:
+    """Keep the masked points, preserving order; padding slots are zeroed.
+
+    ``keep`` is a bool[capacity] mask; it is automatically restricted to the
+    valid region of the buffer.
+    """
+    cap = buf.capacity
+    keep = jnp.logical_and(keep, buf.valid_mask())
+    # Destination slot for every kept point; dropped points scatter to index
+    # `cap`, which `mode="drop"` discards.
+    slots = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    tgt = jnp.where(keep, slots, cap)
+    new_xyz = jnp.zeros_like(buf.xyz).at[tgt].set(buf.xyz, mode="drop")
+    new_rgba = jnp.zeros_like(buf.rgba).at[tgt].set(buf.rgba, mode="drop")
+    new_count = keep.sum(dtype=jnp.int32)
+    return PointBuffer(xyz=new_xyz, rgba=new_rgba, count=new_count)
+
+
+@jax.jit
+def tilefilter(buf: PointBuffer, tile: jax.Array) -> PointBuffer:
+    """Select points with tile == tile, or all points when tile == 0."""
+    tile = jnp.asarray(tile, jnp.uint32)
+    point_tile = (buf.rgba >> 24) & 0xFF
+    keep = jnp.logical_or(tile == 0, point_tile == tile)
+    return compact(buf, keep)
+
+
+@jax.jit
+def tilemap(buf: PointBuffer, lut: jax.Array) -> PointBuffer:
+    """Rewrite every point's tile through a 256-entry LUT."""
+    lut = lut.astype(jnp.uint32)
+    point_tile = (buf.rgba >> 24) & 0xFF
+    new_tile = lut[point_tile]
+    new_rgba = (buf.rgba & jnp.uint32(0x00FFFFFF)) | (new_tile << 24)
+    new_rgba = jnp.where(buf.valid_mask(), new_rgba, 0)
+    return PointBuffer(xyz=buf.xyz, rgba=new_rgba, count=buf.count)
+
+
+@jax.jit
+def crop(buf: PointBuffer, bbox: jax.Array) -> PointBuffer:
+    """Keep points inside [x0,x1) x [y0,y1) x [z0,z1); bbox is f32[6]."""
+    bbox = bbox.astype(jnp.float32)
+    lo = bbox[0::2]  # x0, y0, z0
+    hi = bbox[1::2]  # x1, y1, z1
+    inside = jnp.all((buf.xyz >= lo) & (buf.xyz < hi), axis=-1)
+    return compact(buf, inside)
+
+
+@jax.jit
+def colormap(buf: PointBuffer, clear_bits: jax.Array, set_bits: jax.Array) -> PointBuffer:
+    """rgba' = (rgba & ~clearBits) | setBits (PCL packed layout, tile byte included)."""
+    clear_bits = jnp.asarray(clear_bits, jnp.uint32)
+    set_bits = jnp.asarray(set_bits, jnp.uint32)
+    new_rgba = (buf.rgba & ~clear_bits) | set_bits
+    new_rgba = jnp.where(buf.valid_mask(), new_rgba, 0)
+    return PointBuffer(xyz=buf.xyz, rgba=new_rgba, count=buf.count)
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def join(buf1: PointBuffer, buf2: PointBuffer, capacity: int) -> PointBuffer:
+    """Concatenate two buffers into a buffer of the given (static) capacity.
+
+    Points of buf1 come first, then points of buf2, as in the reference
+    (cwipc_filters.cpp:403-409).
+    """
+    cap = capacity
+    idx1 = jnp.arange(buf1.capacity, dtype=jnp.int32)
+    idx2 = jnp.arange(buf2.capacity, dtype=jnp.int32)
+    tgt1 = jnp.where(idx1 < buf1.count, idx1, cap)
+    tgt2 = jnp.where(idx2 < buf2.count, idx2 + buf1.count, cap)
+    xyz = jnp.zeros((cap, 3), jnp.float32)
+    rgba = jnp.zeros((cap,), jnp.uint32)
+    xyz = xyz.at[tgt1].set(buf1.xyz, mode="drop").at[tgt2].set(buf2.xyz, mode="drop")
+    rgba = rgba.at[tgt1].set(buf1.rgba, mode="drop").at[tgt2].set(buf2.rgba, mode="drop")
+    return PointBuffer(xyz=xyz, rgba=rgba, count=buf1.count + buf2.count)
+
+
+@jax.jit
+def transform44(buf: PointBuffer, matrix: jax.Array) -> PointBuffer:
+    """Apply a 4x4 homogeneous transform to all points (registration helper).
+
+    Equivalent of the reference's cwipc_transform in
+    python/cwipc/registration/util.py:295-309, but on-device: a [N,3]x[3,3]
+    matmul plus translation, which XLA maps onto the MXU.
+    """
+    m = matrix.astype(jnp.float32)
+    rot = m[:3, :3]
+    trans = m[:3, 3]
+    new_xyz = buf.xyz @ rot.T + trans
+    new_xyz = jnp.where(buf.valid_mask()[:, None], new_xyz, 0.0)
+    return PointBuffer(xyz=new_xyz, rgba=buf.rgba, count=buf.count)
