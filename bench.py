@@ -1,0 +1,95 @@
+"""Headline benchmark: fused downsample + outlier-removal + tilefilter chain.
+
+Measures points/sec/chip on a 1M-point synthetic cloud (the BASELINE.json
+metric) on the default platform (the real TPU chip under the driver).
+
+The host reaches the chip through a relay with ~33 ms fixed dispatch +
+readback overhead per program execution (measured; a directly-attached host
+is ~10 us).  To report the chip-side chain cost, the benchmark runs K
+chained iterations inside ONE jitted program (lax.fori_loop with a
+loop-dependent perturbation so iterations cannot be CSE'd) and differences
+two program sizes: per-chain = (t_K - t_1) / (K - 1).
+
+vs_baseline is the ratio to the driver-supplied north-star target of
+1e9 points/sec/chip.
+"""
+
+import json
+import os
+import time
+
+# Persistent compilation cache: chain compiles are minutes through the
+# remote-compile relay; cache them across bench runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from cwipc_util_tpu.core.buffers import PointBuffer
+    from cwipc_util_tpu.models.synthetic import _generate
+    from cwipc_util_tpu.ops.chain import downsample_outliers_tilefilter
+
+    hsteps = asteps = 1000  # 1,000,000 points
+    n_points = hsteps * asteps
+    capacity = 1 << 20
+    out_capacity = 1 << 18  # body at 2x-spacing voxels: ~250k centroids
+    cellsize = jnp.float32(2.0 / hsteps * 2.0)  # 4mm voxels on 2mm spacing
+    k = 30
+    mult = jnp.float32(1.0)
+    tile = jnp.uint32(1)
+
+    buf = _generate(hsteps, asteps, capacity, jnp.float32(0.5))
+
+    def make_program(iters: int):
+        @jax.jit
+        def program(b: PointBuffer, seed: jax.Array) -> jax.Array:
+            def body(i, acc):
+                # loop-dependent nudge (sub-nm) so XLA cannot collapse
+                # the K iterations into one
+                eps = (seed + i).astype(jnp.float32) * 1e-12
+                bi = PointBuffer(xyz=b.xyz + eps, rgba=b.rgba, count=b.count)
+                out = downsample_outliers_tilefilter(
+                    bi, cellsize, k=k, mult=mult, tile=tile,
+                    out_capacity=out_capacity,
+                )
+                return acc + out.count
+            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+        return program
+
+    K = 4
+    p1 = make_program(1)
+    pK = make_program(K)
+
+    def timed(prog, s):
+        t0 = time.perf_counter()
+        v = int(np.asarray(prog(buf, jnp.int32(s))))  # forced readback sync
+        return time.perf_counter() - t0, v
+
+    # warmup / compile both programs
+    timed(p1, 0)
+    timed(pK, 0)
+
+    reps = 3
+    t1 = min(timed(p1, 100 + r)[0] for r in range(reps))
+    tK = min(timed(pK, 200 + r)[0] for r in range(reps))
+    per_chain = max((tK - t1) / (K - 1), 1e-9)
+
+    pts_per_sec = n_points / per_chain
+    print(
+        json.dumps(
+            {
+                "metric": "downsample+outlier+tilefilter points/sec/chip (1M-pt cloud)",
+                "value": round(pts_per_sec),
+                "unit": "points/sec",
+                "vs_baseline": round(pts_per_sec / 1e9, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

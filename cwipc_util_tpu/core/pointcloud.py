@@ -246,8 +246,14 @@ class cwipc_pointcloud_wrapper:
         self._timestamp = int(timestamp)
 
     def count(self) -> int:
+        if self._buffer is None and not self._owned:
+            # Freed object: the reference's count() logs a warning and
+            # returns 0 (src/cwipc_util.cpp:210-216 for the NULL case).
+            from ..utils.logging import CWIPC_LOG_LEVEL_WARNING, cwipc_log
+
+            cwipc_log(CWIPC_LOG_LEVEL_WARNING, "cwipc_util", "count: freed pointcloud")
+            return 0
         if self._count_cache is None:
-            self._assert_alive()
             self._count_cache = int(self._access_buffer().count)
         return self._count_cache
 

@@ -1,0 +1,50 @@
+"""Fused op pipelines — the framework's hot path.
+
+The reference applies its operators one C call at a time with a host copy
+between stages (e.g. the downsample -> outlier-removal -> tilefilter chain
+used as this project's headline benchmark, reference:
+src/cwipc_filters.cpp:89-306).  Here the whole chain is a single jitted XLA
+program: intermediate clouds never leave HBM, counts stay device scalars,
+and XLA fuses the masking/packing elementwise work between the sort and the
+segment reductions.
+
+Pipeline structure chosen from measured v5e primitive costs (sorts and
+contiguous traffic fast; random gathers and searchsorted slow):
+
+1. downsample emits voxel centroids in Morton order (ops/voxelize.py),
+2. the outlier stage runs the gather-free sliding-window kNN directly on
+   that Morton order (ops/outliers.py `window` method),
+3. tilefilter is a mask + cumsum + scatter compaction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.buffers import PointBuffer
+from . import compaction, outliers, voxelize
+
+
+@partial(jax.jit, static_argnames=("k", "window", "out_capacity"))
+def downsample_outliers_tilefilter(
+    buf: PointBuffer,
+    cellsize: jax.Array,
+    k: int,
+    mult: jax.Array,
+    tile: jax.Array,
+    window: int = 48,
+    out_capacity: int | None = None,
+) -> PointBuffer:
+    """Fused voxel downsample -> statistical outlier removal -> tilefilter.
+
+    ``out_capacity`` bounds the post-downsample buffer (callers that know
+    the reduction factor shrink it to cut downstream cost); the outlier
+    stage uses the Morton sliding-window kNN, exact for all but the few
+    points whose k-th neighbor falls across a space-filling-curve seam.
+    """
+    down = voxelize.downsample(buf, cellsize, out_capacity=out_capacity)
+    clean = outliers.remove_outliers(down, k, mult, method="window", window=window)
+    return compaction.tilefilter(clean, tile)

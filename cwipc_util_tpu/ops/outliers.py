@@ -184,11 +184,55 @@ def _mean_knn_dist_grid(
 
 
 # ---------------------------------------------------------------------------
+# Morton-window path (gather-free)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("k", "window"))
+def _mean_knn_dist_window(
+    xyz: jax.Array, count: jax.Array, k: int, window: int = 48
+) -> jax.Array:
+    """Approximate kNN mean distance using a sliding window in array order.
+
+    Assumes the points are spatially ordered (Morton order — exactly what
+    ops/voxelize.py emits), so a point's k nearest neighbors are almost
+    always among its +/-window neighbors in the array.  Candidate access is
+    pure shifting — zero random gathers, which measured ~30x slower than
+    contiguous traffic on v5e.  Window boundaries of the space-filling curve
+    make this approximate; the `exact`/`grid` methods remain for parity.
+    """
+    cap = xyz.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    valid = idx < count
+
+    def shift_d2(_, w):
+        rolled = jnp.roll(xyz, -w, axis=0)
+        diff = xyz - rolled
+        d2 = jnp.sum(diff * diff, axis=-1)
+        nb = idx + w
+        ok = jnp.logical_and(nb >= 0, nb < count)
+        return None, jnp.where(ok, d2, _F32_MAX)
+
+    offsets = jnp.asarray(
+        [w for w in range(-window, window + 1) if w != 0], jnp.int32
+    )
+    # scan keeps the HLO small (one rolled-distance body, 2*window trips)
+    _, d2 = jax.lax.scan(shift_d2, None, offsets)
+    d2 = d2.T  # [cap, 2*window]
+
+    neg_top, _ = jax.lax.top_k(-d2, k)
+    dists = jnp.sqrt(jnp.maximum(-neg_top, 0.0))
+    dists = jnp.where(-neg_top < _F32_MAX / 2, dists, 0.0)
+    md = dists.sum(axis=-1) / float(k)
+    return jnp.where(valid, md, 0.0)
+
+
+# ---------------------------------------------------------------------------
 # Public op
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("k", "method", "cell_cap"))
+@partial(jax.jit, static_argnames=("k", "method", "cell_cap", "window"))
 def remove_outliers(
     buf: PointBuffer,
     k: int,
@@ -196,11 +240,14 @@ def remove_outliers(
     method: str = "exact",
     cell: jax.Array | None = None,
     cell_cap: int = 32,
+    window: int = 48,
 ) -> PointBuffer:
     """Statistical outlier removal over the whole buffer (no tiling)."""
     if method == "grid":
         assert cell is not None, "grid method needs a cell size"
         md = _mean_knn_dist_grid(buf.xyz, buf.count, cell, k, cell_cap=cell_cap)
+    elif method == "window":
+        md = _mean_knn_dist_window(buf.xyz, buf.count, k, window=window)
     else:
         md = _mean_knn_dist_bruteforce(buf.xyz, buf.count, k)
     keep = _keep_from_mean_dists(md, buf.valid_mask(), mult)

@@ -1,0 +1,193 @@
+"""Registration helper functions on wrapper point clouds.
+
+Re-implementation of the reference's numpy/open3d helper layer
+(reference: python/cwipc/registration/util.py) without the Open3D
+dependency: transforms, masked tile selection, direction/floor filters,
+per-tile downsample, tile census, radius percentiles.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .. import (
+    cwipc_downsample,
+    cwipc_from_numpy_matrix,
+    cwipc_join,
+    cwipc_tilefilter,
+)
+from ..core.pointcloud import cwipc_pointcloud_wrapper
+
+RegistrationTransformation = np.ndarray  # 4x4 float64
+Vector3 = np.ndarray
+
+
+def transformation_identity() -> RegistrationTransformation:
+    return np.identity(4)
+
+
+def transformation_invert(m: RegistrationTransformation) -> RegistrationTransformation:
+    return np.linalg.inv(np.asarray(m, np.float64))
+
+
+def transformation_frompython(m) -> RegistrationTransformation:
+    return np.asarray(m, np.float64).reshape(4, 4)
+
+
+def transformation_topython(m: RegistrationTransformation) -> List[List[float]]:
+    return [list(map(float, row)) for row in np.asarray(m).reshape(4, 4)]
+
+
+def transformation_is_identity(m: RegistrationTransformation, epsilon: float = 1e-6) -> bool:
+    return bool(np.allclose(np.asarray(m), np.identity(4), atol=epsilon))
+
+
+def transformation_compare(
+    a: RegistrationTransformation, b: RegistrationTransformation
+) -> Tuple[float, float]:
+    """(translation distance, rotation angle in radians) between transforms."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    dt = float(np.linalg.norm(a[:3, 3] - b[:3, 3]))
+    r = a[:3, :3] @ b[:3, :3].T
+    cos_angle = (np.trace(r) - 1.0) / 2.0
+    angle = float(np.arccos(np.clip(cos_angle, -1.0, 1.0)))
+    return dt, angle
+
+
+def cwipc_transform(
+    pc: cwipc_pointcloud_wrapper, transform: RegistrationTransformation
+) -> cwipc_pointcloud_wrapper:
+    """Apply a 4x4 transform to a cloud (reference: registration/util.py:295-309)."""
+    m = pc.get_numpy_matrix()
+    t = np.asarray(transform, np.float64).reshape(4, 4)
+    m[:, 0:3] = m[:, 0:3] @ t[:3, :3].T + t[:3, 3]
+    new_pc = cwipc_from_numpy_matrix(m, pc.timestamp())
+    new_pc._set_cellsize(pc.cellsize())
+    return new_pc
+
+
+def cwipc_tilefilter_masked(
+    pc: cwipc_pointcloud_wrapper, mask: int
+) -> cwipc_pointcloud_wrapper:
+    """Select points whose tile has any of the mask bits set (AND-mask select,
+    reference: registration/util.py:98-112) — unlike cwipc_tilefilter's exact
+    match."""
+    arr = pc.get_numpy_array()
+    sel = (arr["tile"] & mask) != 0
+    sub = arr[sel]
+    m = np.zeros((sub.shape[0], 7), np.float32)
+    for i, f in enumerate(("x", "y", "z", "r", "g", "b", "tile")):
+        m[:, i] = sub[f]
+    new_pc = cwipc_from_numpy_matrix(m, pc.timestamp())
+    new_pc._set_cellsize(pc.cellsize())
+    return new_pc
+
+
+def cwipc_direction_filter(
+    pc: cwipc_pointcloud_wrapper,
+    direction: Union[Vector3, Tuple[float, float, float]],
+    threshold: float,
+) -> cwipc_pointcloud_wrapper:
+    """Keep points whose estimated outward normal faces `direction`
+    (reference: registration/util.py:114-144, o3d normals replaced by the
+    framework's Morton-window estimator)."""
+    import jax.numpy as jnp
+
+    from .normals import estimate_normals
+
+    d = np.asarray(direction, np.float64).reshape(3)
+    norm = np.linalg.norm(d)
+    if norm != 0:
+        d = d / norm
+    buf = pc._access_buffer()
+    cellsize = pc.cellsize() if pc.cellsize() > 0 else 0.02
+    normals = np.asarray(estimate_normals(buf, jnp.float32(max(cellsize * 4, 0.02))))
+    n = pc.count()
+    keep = (normals[:n] @ d) >= threshold
+
+    m = pc.get_numpy_matrix()[keep]
+    new_pc = cwipc_from_numpy_matrix(m, pc.timestamp())
+    new_pc._set_cellsize(pc.cellsize())
+    return new_pc
+
+
+def cwipc_floor_filter(
+    pc: cwipc_pointcloud_wrapper, level: float = 0.1, keep_floor: bool = False
+) -> cwipc_pointcloud_wrapper:
+    """Split off points near the floor (y < level); keep floor or the rest."""
+    m = pc.get_numpy_matrix()
+    is_floor = m[:, 1] < level
+    sel = is_floor if keep_floor else ~is_floor
+    new_pc = cwipc_from_numpy_matrix(m[sel], pc.timestamp())
+    new_pc._set_cellsize(pc.cellsize())
+    return new_pc
+
+
+def cwipc_randomize_floor(
+    pc: cwipc_pointcloud_wrapper, level: float = 0.1
+) -> cwipc_pointcloud_wrapper:
+    """Randomly shuffle the tile assignment of floor points (y < level)
+    (reference: registration/util.py:146-168)."""
+    m = pc.get_numpy_matrix()
+    is_floor = m[:, 1] < level
+    floor = m[is_floor]
+    rest = m[~is_floor]
+    tiles = floor[:, 6].copy()
+    np.random.shuffle(tiles)
+    floor[:, 6] = tiles
+    new_pc = cwipc_from_numpy_matrix(np.concatenate([floor, rest], axis=0), pc.timestamp())
+    new_pc._set_cellsize(pc.cellsize())
+    return new_pc
+
+
+def get_tiles_used(pc: cwipc_pointcloud_wrapper) -> List[int]:
+    """Distinct tile values present, ascending (reference: util.py:285-293)."""
+    arr = pc.get_numpy_array()
+    return [int(t) for t in np.unique(arr["tile"])]
+
+
+def cwipc_tile_occupancy(pc: cwipc_pointcloud_wrapper) -> dict:
+    """Census: tile value -> point count (reference: util.py:184-200)."""
+    arr = pc.get_numpy_array()
+    values, counts = np.unique(arr["tile"], return_counts=True)
+    return {int(v): int(c) for v, c in zip(values, counts)}
+
+
+def cwipc_downsample_pertile(
+    pc: cwipc_pointcloud_wrapper, cellsize: float
+) -> cwipc_pointcloud_wrapper:
+    """Downsample each tile independently so tiles never merge
+    (reference: registration/util.py:170-182)."""
+    result: Optional[cwipc_pointcloud_wrapper] = None
+    for tilenum in get_tiles_used(pc):
+        tile_pc = cwipc_tilefilter(pc, tilenum)
+        tile_down = cwipc_downsample(tile_pc, cellsize)
+        tile_pc.free()
+        if result is None:
+            result = tile_down
+        else:
+            joined = cwipc_join(result, tile_down)
+            result.free()
+            tile_down.free()
+            result = joined
+    if result is None:
+        return pc.clone()
+    return result
+
+
+def cwipc_xz_radius_percentile(
+    pc: cwipc_pointcloud_wrapper, percentile: float = 90.0
+) -> float:
+    """Percentile of point distance from the vertical axis through the
+    centroid (reference: util.py:202-216) — used to size correspondence
+    search regions."""
+    m = pc.get_numpy_matrix(onlyGeometry=True)
+    if m.shape[0] == 0:
+        return 0.0
+    center = m.mean(axis=0)
+    dx = m[:, 0] - center[0]
+    dz = m[:, 2] - center[2]
+    return float(np.percentile(np.sqrt(dx * dx + dz * dz), percentile))

@@ -6,7 +6,9 @@ the env vars must be set before JAX initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the host environment pre-sets JAX_PLATFORMS=axon (the real
+# TPU); tests must run on CPU with 8 virtual devices for the mesh tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
