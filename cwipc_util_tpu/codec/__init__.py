@@ -1,1 +1,257 @@
-"""cwipc_util_tpu.codec subpackage."""
+"""Point-cloud compression codec (the framework's `cwipc_codec` equivalent).
+
+The reference suite compresses clouds with the external `_cwipc_codec`
+plugin (MPEG-anchor octree + JPEG, re-exported by python/cwipc/codec.py; API
+usage at python/cwipc/net/sink_encoder.py:147-156).  This module provides
+the same Python API surface — ``cwipc_encoder_params``,
+``cwipc_new_encoder``, ``cwipc_new_encodergroup``, ``cwipc_new_decoder`` —
+backed by a TPU-native codec:
+
+* geometry: voxel quantization at ``octree_bits`` depth runs on-device
+  through the Morton-sort downsample kernel (ops/voxelize.py), which emits
+  the occupied voxels already in Morton order; the host stage
+  delta-encodes the sorted 30-bit Morton codes and entropy-codes them with
+  zlib (deltas of a sorted spatial curve are tiny).
+* color/tile: per-voxel averaged RGB bytes and tile bytes in Morton order,
+  zlib-compressed; ``jpeg_quality`` maps to the entropy-coder effort level.
+
+The wire format ("CTC1") is self-consistent but deliberately NOT
+bit-compatible with the MPEG anchor (that codec's bitstream is defined by
+an external standard); the capability surface — tiled encoder groups,
+multi-quality streams, .cwicpc playback — is equivalent.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from ..core.buffers import bucket_capacity, buffer_from_arrays
+from ..core.errors import CwipcError
+from ..core.pointcloud import cwipc_pointcloud_wrapper
+
+MAGIC = b"CTC1"
+_HDR_FMT = "<4sBBHIQ4fIII"
+_HDR_SIZE = struct.calcsize(_HDR_FMT)
+
+
+@dataclass
+class cwipc_encoder_params:
+    """Encoder parameters, field-compatible with the reference's struct
+    (do_inter_frame, gop_size, exp_factor, octree_bits, jpeg_quality,
+    macroblock_size, tilenumber, voxelsize)."""
+
+    do_inter_frame: bool = False
+    gop_size: int = 1
+    exp_factor: float = 1.0
+    octree_bits: int = 9
+    jpeg_quality: int = 85
+    macroblock_size: int = 16
+    tilenumber: int = 0
+    voxelsize: float = 0.0
+
+
+def _compact1by2(x: np.ndarray) -> np.ndarray:
+    """Inverse of the Morton bit-spread: extract every third bit."""
+    x = x & 0x09249249
+    x = (x | (x >> 2)) & 0x030C30C3
+    x = (x | (x >> 4)) & 0x0300F00F
+    x = (x | (x >> 8)) & 0x030000FF
+    x = (x | (x >> 16)) & 0x000003FF
+    return x
+
+
+def _spread1by2(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint32) & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+class cwipc_encoder_wrapper:
+    """Single-quality encoder; feed() compresses one cloud per call."""
+
+    def __init__(self, params: Optional[cwipc_encoder_params] = None, **kw):
+        if params is None:
+            params = cwipc_encoder_params(**kw)
+        self.params = params
+        self._result: Optional[bytes] = None
+        # zlib level from jpeg_quality: high quality -> more effort
+        self._zlevel = max(1, min(9, int(round(params.jpeg_quality / 11))))
+
+    def free(self, *, force: bool = False) -> None:
+        self._result = None
+
+    def feed(self, pc: cwipc_pointcloud_wrapper) -> None:
+        import jax.numpy as jnp
+
+        from ..ops.voxelize import downsample
+
+        p = self.params
+        if p.tilenumber != 0:
+            from ..registration.util import cwipc_tilefilter_masked
+
+            pc = cwipc_tilefilter_masked(pc, p.tilenumber)
+
+        arr = pc.get_numpy_array()
+        n = arr.shape[0]
+        if n == 0:
+            hdr = struct.pack(
+                _HDR_FMT, MAGIC, p.octree_bits, 0, 0, 0, pc.timestamp(),
+                pc.cellsize(), 0.0, 0.0, 0.0, 0, 0, 0,
+            )
+            self._result = hdr
+            return
+
+        xyz = np.stack([arr["x"], arr["y"], arr["z"]], axis=-1)
+        lo = xyz.min(axis=0)
+        extent = float((xyz.max(axis=0) - lo).max()) * max(p.exp_factor, 1.0)
+        extent = max(extent, 1e-6)
+        step = extent / (1 << p.octree_bits)
+        if p.voxelsize > 0:
+            step = max(step, p.voxelsize)
+
+        # Quantize+merge on device: downsample at `step` emits voxel
+        # centroids in Morton order.
+        buf = pc._access_buffer()
+        down = downsample(buf, jnp.float32(step))
+        m = int(down.count)
+        dxyz = np.asarray(down.xyz[:m])
+        drgba = np.asarray(down.rgba[:m])
+
+        coords = np.clip(
+            np.floor((dxyz - lo[None, :]) / step).astype(np.int64), 0, (1 << p.octree_bits) - 1
+        ).astype(np.uint32)
+        morton = (
+            (_spread1by2(coords[:, 2]) << 2)
+            | (_spread1by2(coords[:, 1]) << 1)
+            | _spread1by2(coords[:, 0])
+        )
+        order = np.argsort(morton, kind="stable")
+        morton = morton[order]
+        drgba = drgba[order]
+
+        deltas = np.diff(morton, prepend=np.uint32(0)).astype(np.uint32)
+        pos_blob = zlib.compress(deltas.tobytes(), self._zlevel)
+        rgb = np.empty((m, 3), np.uint8)
+        rgb[:, 0] = (drgba >> 16) & 0xFF
+        rgb[:, 1] = (drgba >> 8) & 0xFF
+        rgb[:, 2] = drgba & 0xFF
+        col_blob = zlib.compress(rgb.tobytes(), self._zlevel)
+        tiles = ((drgba >> 24) & 0xFF).astype(np.uint8)
+        tile_blob = zlib.compress(tiles.tobytes(), self._zlevel)
+
+        hdr = struct.pack(
+            _HDR_FMT, MAGIC, p.octree_bits, 0, 0, m, pc.timestamp(),
+            float(step), float(lo[0]), float(lo[1]), float(lo[2]),
+            len(pos_blob), len(col_blob), len(tile_blob),
+        )
+        self._result = hdr + pos_blob + col_blob + tile_blob
+
+    def available(self, wait: bool = False) -> bool:
+        return self._result is not None
+
+    def get_encoded_size(self) -> int:
+        return len(self._result) if self._result else 0
+
+    def get_bytes(self) -> bytes:
+        if self._result is None:
+            raise CwipcError("cwipc_encoder: no encoded data available")
+        rv = self._result
+        self._result = None
+        return rv
+
+    def at_gop_boundary(self) -> bool:
+        return True
+
+
+class cwipc_encodergroup_wrapper:
+    """Fan-out: one feed() compresses the cloud with every added encoder."""
+
+    def __init__(self) -> None:
+        self._encoders: List[cwipc_encoder_wrapper] = []
+
+    def addencoder(self, version: int = 1, params: Optional[cwipc_encoder_params] = None, **kw) -> cwipc_encoder_wrapper:
+        enc = cwipc_encoder_wrapper(params=params, **kw)
+        self._encoders.append(enc)
+        return enc
+
+    def feed(self, pc: cwipc_pointcloud_wrapper) -> None:
+        for enc in self._encoders:
+            enc.feed(pc)
+
+    def close(self) -> None:
+        self._encoders = []
+
+    def free(self, *, force: bool = False) -> None:
+        self.close()
+
+
+class cwipc_decoder_wrapper:
+    """Decoder for the CTC1 format."""
+
+    def __init__(self) -> None:
+        self._result: Optional[cwipc_pointcloud_wrapper] = None
+
+    def free(self, *, force: bool = False) -> None:
+        self._result = None
+
+    def feed(self, data: bytes) -> None:
+        if len(data) < _HDR_SIZE:
+            raise CwipcError("cwipc_decoder: packet too short")
+        (magic, octree_bits, _flags, _res, n, timestamp, step, ox, oy, oz,
+         lpos, lcol, ltile) = struct.unpack(_HDR_FMT, data[:_HDR_SIZE])
+        if magic != MAGIC:
+            raise CwipcError("cwipc_decoder: bad magic")
+        off = _HDR_SIZE
+        if n == 0:
+            buf = buffer_from_arrays(
+                np.zeros((0, 3), np.float32),
+                np.zeros(0, np.uint8), np.zeros(0, np.uint8),
+                np.zeros(0, np.uint8), np.zeros(0, np.uint8),
+            )
+            self._result = cwipc_pointcloud_wrapper(buf, timestamp, step, _count_hint=0)
+            return
+        pos_blob = data[off : off + lpos]; off += lpos
+        col_blob = data[off : off + lcol]; off += lcol
+        tile_blob = data[off : off + ltile]; off += ltile
+
+        deltas = np.frombuffer(zlib.decompress(pos_blob), np.uint32)
+        morton = np.cumsum(deltas, dtype=np.uint32)
+        cx = _compact1by2(morton)
+        cy = _compact1by2(morton >> 1)
+        cz = _compact1by2(morton >> 2)
+        origin = np.array([ox, oy, oz], np.float32)
+        xyz = (np.stack([cx, cy, cz], axis=-1).astype(np.float32) + 0.5) * step + origin
+
+        rgb = np.frombuffer(zlib.decompress(col_blob), np.uint8).reshape(n, 3)
+        tiles = np.frombuffer(zlib.decompress(tile_blob), np.uint8)
+
+        buf = buffer_from_arrays(xyz, rgb[:, 0], rgb[:, 1], rgb[:, 2], tiles)
+        self._result = cwipc_pointcloud_wrapper(buf, timestamp, step, _count_hint=n)
+
+    def available(self, wait: bool = False) -> bool:
+        return self._result is not None
+
+    def get(self) -> Optional[cwipc_pointcloud_wrapper]:
+        rv = self._result
+        self._result = None
+        return rv
+
+
+def cwipc_new_encoder(version: int = 1, params: Optional[cwipc_encoder_params] = None, **kw) -> cwipc_encoder_wrapper:
+    return cwipc_encoder_wrapper(params=params, **kw)
+
+
+def cwipc_new_encodergroup() -> cwipc_encodergroup_wrapper:
+    return cwipc_encodergroup_wrapper()
+
+
+def cwipc_new_decoder() -> cwipc_decoder_wrapper:
+    return cwipc_decoder_wrapper()

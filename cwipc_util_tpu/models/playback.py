@@ -1,0 +1,183 @@
+"""File playback sources: .ply / .cwipcdump / .cwicpc directories or lists.
+
+Re-implementation of the reference's playback module
+(reference: python/cwipc/playback.py): loop mode with a single-file clone
+cache, fps pacing, retimestamping, timestamp-from-filename digits,
+tileconfig.json tile info, inpoint/outpoint filename filtering.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional, Union
+
+from ..abstract import cwipc_activesource_abstract
+from ..core.errors import CwipcError
+from ..core.pointcloud import cwipc_pointcloud_wrapper
+
+
+def _filename_timestamp(fn: str) -> int:
+    digits = "".join(c for c in os.path.basename(fn) if c.isdigit())
+    return int(digits) if digits else 0
+
+
+class _Filesource(cwipc_activesource_abstract):
+    """Plays back a list of .ply files as an active source."""
+
+    def __init__(
+        self,
+        filenames: Union[str, List[str]],
+        tileInfo: Optional[List[Dict[Any, Any]]] = None,
+        loop: bool = False,
+        fps: Optional[int] = None,
+        retimestamp: bool = False,
+    ):
+        if not tileInfo:
+            tileInfo = [
+                {"cameraName": "None", "cameraMask": 0, "normal": {"x": 0, "y": 0, "z": 0}}
+            ]
+        self.tileInfo = tileInfo
+        self.filenames = list(filenames)
+        self.loop = loop
+        self.single_file_mode = self.loop and len(self.filenames) == 1
+        self.single_file_mode_pc: Optional[cwipc_pointcloud_wrapper] = None
+        self.retimestamp = retimestamp
+        self.delta_t = 1.0 / fps if fps else 0.0
+        self.earliest_return = time.time()
+
+    # -- source protocol ---------------------------------------------------
+
+    def free(self, *, force: bool = False) -> None:
+        self.stop()
+
+    def start(self) -> bool:
+        return True
+
+    def stop(self) -> None:
+        self.filenames = []
+        self.single_file_mode_pc = None
+
+    def seek(self, timestamp: int) -> bool:
+        return False
+
+    def eof(self) -> bool:
+        if self.single_file_mode_pc is not None:
+            return False
+        return not self.filenames
+
+    def available(self, wait: bool = False) -> bool:
+        if self.single_file_mode_pc:
+            return True
+        return bool(self.filenames)
+
+    def get(self) -> Optional[cwipc_pointcloud_wrapper]:
+        if not self.filenames:
+            if self.single_file_mode_pc:
+                return self.single_file_mode_pc.clone()
+            return None
+        fn = self.filenames.pop(0)
+        if self.loop:
+            self.filenames.append(fn)
+        rv = self._read_file(fn)
+        if self.single_file_mode and rv:
+            self.single_file_mode_pc = rv.clone()
+        now = time.time()
+        if now < self.earliest_return:
+            time.sleep(self.earliest_return - now)
+        self.earliest_return = time.time() + self.delta_t
+        if self.retimestamp and rv is not None:
+            rv._set_timestamp(int(time.time() * 1000))
+        return rv
+
+    def _read_file(self, fn: str) -> Optional[cwipc_pointcloud_wrapper]:
+        from .. import cwipc_read
+
+        return cwipc_read(fn, _filename_timestamp(fn))
+
+    # -- tiling / config / metadata -----------------------------------------
+
+    def maxtile(self) -> int:
+        return len(self.tileInfo)
+
+    def get_tileinfo_dict(self, i: int) -> Dict[Any, Any]:
+        return self.tileInfo[i]
+
+    def reload_config(self, config) -> None:
+        return None
+
+    def get_config(self) -> Optional[bytes]:
+        return None
+
+    def request_metadata(self, name: str) -> None:
+        raise CwipcError("Not supported for playback sources")
+
+    def is_metadata_requested(self, name: str) -> bool:
+        return False
+
+    def auxiliary_operation(self, op: str, inbuf: bytes, outbuf: bytearray) -> bool:
+        return False
+
+    def statistics(self) -> None:
+        pass
+
+
+class _DumpFilesource(_Filesource):
+    """Plays back .cwipcdump files."""
+
+    def _read_file(self, fn: str) -> Optional[cwipc_pointcloud_wrapper]:
+        from .. import cwipc_read_debugdump
+
+        return cwipc_read_debugdump(fn)
+
+
+class _CompressedFilesource(_Filesource):
+    """Plays back .cwicpc compressed files through the codec decoder."""
+
+    def __init__(self, *args: Any, **kwargs: Any):
+        super().__init__(*args, **kwargs)
+        from ..codec import cwipc_new_decoder
+
+        self.decoder = cwipc_new_decoder()
+
+    def _read_file(self, fn: str) -> Optional[cwipc_pointcloud_wrapper]:
+        with open(fn, "rb") as fp:
+            data = fp.read()
+        self.decoder.feed(data)
+        return self.decoder.get()
+
+
+def cwipc_playback(
+    dir_or_files: Union[str, List[str]],
+    ext: str = ".ply",
+    loop: bool = False,
+    fps: Optional[int] = None,
+    inpoint: Optional[int] = None,
+    outpoint: Optional[int] = None,
+    retimestamp: bool = False,
+) -> cwipc_activesource_abstract:
+    """Source that plays .ply/.cwipcdump/.cwicpc files from a directory or list."""
+    tileInfo = None
+    if isinstance(dir_or_files, str):
+        names = sorted(
+            fn for fn in os.listdir(dir_or_files) if fn.lower().endswith(ext)
+        )
+        if not names:
+            raise CwipcError(f"No {ext} files in {dir_or_files}")
+        if inpoint:
+            names = [fn for fn in names if _filename_timestamp(fn) >= inpoint]
+        if outpoint:
+            names = [fn for fn in names if _filename_timestamp(fn) <= outpoint]
+        tileinfo_fn = os.path.join(dir_or_files, "tileconfig.json")
+        if os.path.exists(tileinfo_fn):
+            with open(tileinfo_fn) as fp:
+                tileInfo = json.load(fp).get("tileInfo")
+        dir_or_files = [os.path.join(dir_or_files, fn) for fn in names]
+    if ext == ".ply":
+        return _Filesource(dir_or_files, tileInfo=tileInfo, loop=loop, fps=fps, retimestamp=retimestamp)
+    if ext == ".cwipcdump":
+        return _DumpFilesource(dir_or_files, tileInfo=tileInfo, loop=loop, fps=fps, retimestamp=retimestamp)
+    if ext == ".cwicpc":
+        return _CompressedFilesource(dir_or_files, tileInfo=tileInfo, loop=loop, fps=fps, retimestamp=retimestamp)
+    raise CwipcError(f"Unknown playback filetype {ext}")

@@ -1,0 +1,129 @@
+"""Decoder source: rawsource bytes -> codec decoder -> pointcloud queue.
+
+Re-implementation of the reference's decoder source
+(reference: python/cwipc/net/source_decoder.py): a thread pulls compressed
+packets from a rawsource, decodes them and queues the clouds; active and
+passive factory variants.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Optional
+
+from .. import codec
+from ..abstract import cwipc_activesource_abstract
+from ..core.pointcloud import cwipc_pointcloud_wrapper
+from ..utils.stats import Stats
+from .abstract import cwipc_activerawsource_abstract, cwipc_rawsource_abstract
+
+
+class _NetDecoder(threading.Thread, cwipc_activesource_abstract):
+    FOURCC = "cwi1"
+
+    def __init__(self, source: cwipc_rawsource_abstract, verbose: bool = False):
+        threading.Thread.__init__(self, daemon=True)
+        self.name = "cwipc_util_tpu._NetDecoder"
+        self.source = source
+        self.source.set_fourcc(self.FOURCC)
+        self.verbose = verbose
+        self.running = False
+        self.output_queue: "queue.Queue[Optional[cwipc_pointcloud_wrapper]]" = queue.Queue(maxsize=2)
+        self.decoder = codec.cwipc_new_decoder()
+        self.stats = Stats("netdecoder")
+
+    def free(self, *, force: bool = False) -> None:
+        self.stop()
+
+    def start(self) -> bool:
+        self.running = True
+        threading.Thread.start(self)
+        if isinstance(self.source, cwipc_activerawsource_abstract):
+            self.source.start()
+        return True
+
+    def stop(self) -> None:
+        self.running = False
+        if isinstance(self.source, cwipc_activerawsource_abstract):
+            self.source.stop()
+        try:
+            self.output_queue.put(None, block=False)
+        except queue.Full:
+            pass
+        if self.is_alive():
+            self.join(timeout=2)
+
+    def eof(self) -> bool:
+        # not EOF while decoded clouds are still queued
+        return self.output_queue.empty() and (not self.running or self.source.eof())
+
+    def available(self, wait: bool = False) -> bool:
+        # queued clouds stay available even after the thread has finished
+        if not self.output_queue.empty():
+            return True
+        if not self.running:
+            return False
+        return self.source.available(wait)
+
+    def get(self) -> Optional[cwipc_pointcloud_wrapper]:
+        if self.eof():
+            return None
+        return self.output_queue.get()
+
+    def run(self) -> None:
+        while self.running:
+            if self.source.eof():
+                break
+            cpc = self.source.get()
+            if not cpc:
+                break
+            t0 = time.time()
+            self.decoder.feed(cpc)
+            pc = self.decoder.get() if self.decoder.available(True) else None
+            self.stats.add("decode_duration", time.time() - t0)
+            if pc is None:
+                continue
+            self.stats.add("pointcount", pc.count(), isInt=True)
+            self.output_queue.put(pc)
+        self.running = False
+
+    # tiling/config stubs (decoded streams carry no camera interface)
+    def seek(self, timestamp: int) -> bool:
+        return False
+
+    def maxtile(self) -> int:
+        return 1
+
+    def get_tileinfo_dict(self, tilenum: int) -> dict:
+        return {}
+
+    def reload_config(self, config) -> None:
+        return None
+
+    def get_config(self) -> bytes:
+        return b""
+
+    def request_metadata(self, name: str) -> None:
+        pass
+
+    def is_metadata_requested(self, name: str) -> bool:
+        return False
+
+    def auxiliary_operation(self, op: str, inbuf: bytes, outbuf: bytearray) -> bool:
+        return False
+
+    def statistics(self) -> None:
+        self.stats.print()
+        self.source.statistics()
+
+
+def cwipc_activesource_decoder(source: cwipc_activerawsource_abstract, verbose: bool = False):
+    """Active source decoding compressed packets from an active rawsource."""
+    return _NetDecoder(source, verbose=verbose)
+
+
+def cwipc_source_decoder(source: cwipc_rawsource_abstract, verbose: bool = False):
+    """Source decoding compressed packets from a (passive) rawsource."""
+    return _NetDecoder(source, verbose=verbose)

@@ -1,0 +1,77 @@
+"""cwipc forward: capture pointclouds and serve/push them over the network.
+
+Re-implementation of the reference's forward script
+(reference: python/cwipc/scripts/cwipc_forward.py): source -> encoder (or
+passthrough) -> netserver (serve) | netingest (push).  Tiled/multi-quality
+stream fan-out is computed from the source's maxtile/tileinfo
+(cwipc_forward.py:48-63).
+"""
+
+import sys
+import threading
+
+from ..net.sink_encoder import cwipc_sink_encoder
+from ..net.sink_netingest import cwipc_sink_netingest
+from ..net.sink_netserver import cwipc_sink_netserver
+from ..net.sink_passthrough import cwipc_sink_passthrough
+from ._scriptsupport import (
+    ArgumentParser,
+    SourceServer,
+    activesource_factory_from_args,
+    beginOfRun,
+    endOfRun,
+)
+
+DEFAULT_PORT = 4303
+
+
+def main() -> int:
+    parser = ArgumentParser(description="Forward pointcloud streams over the network")
+    parser.add_argument("--port", type=int, default=DEFAULT_PORT, help=f"Serve on this port (default {DEFAULT_PORT})")
+    parser.add_argument("--forward", metavar="HOST:PORT", help="Push to a cwipc netserver relay instead of serving")
+    parser.add_argument("--noencode", action="store_true", help="Send uncompressed packets (fourcc cwi0)")
+    parser.add_argument("--tiled", action="store_true", help="One stream per tile")
+    parser.add_argument("--octree_bits", type=int, action="append", help="Encoder octree depth (may repeat for multi-quality)")
+    parser.add_argument("--jpeg_quality", type=int, action="append", help="Encoder color quality (may repeat)")
+    args = parser.parse_args()
+    beginOfRun(args)
+
+    source = activesource_factory_from_args(args)()
+
+    if args.forward:
+        rawsink = cwipc_sink_netingest(args.forward, verbose=args.verbose > 1)
+    else:
+        rawsink = cwipc_sink_netserver(args.port, verbose=args.verbose > 1, nodrop=args.nodrop)
+
+    if args.noencode:
+        forwarder = cwipc_sink_passthrough(rawsink, verbose=args.verbose > 0, nodrop=args.nodrop)
+    else:
+        forwarder = cwipc_sink_encoder(rawsink, verbose=args.verbose > 0, nodrop=args.nodrop)
+        tiles = [{}]
+        if args.tiled and hasattr(source, "maxtile"):
+            maxtile = source.maxtile()
+            tiles = [source.get_tileinfo_dict(i) for i in range(1, maxtile)] or [{}]
+        forwarder.set_encoder_params(
+            tiles, args.octree_bits or None, args.jpeg_quality or None
+        )
+
+    server = SourceServer(source, forwarder, args)
+    thread = threading.Thread(target=server.run, name="cwipc_forward.source", daemon=True)
+    forwarder.set_producer(thread)
+    forwarder.start()
+    thread.start()
+    try:
+        thread.join()
+    except KeyboardInterrupt:
+        pass
+    server.stop()
+    forwarder.stop()
+    if args.verbose:
+        server.statistics()
+        forwarder.statistics()
+    endOfRun(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,100 @@
+"""cwipc grab: capture pointclouds and write them to files.
+
+Re-implementation of the reference's grab script
+(reference: python/cwipc/scripts/cwipc_grab.py): source -> FileWriter sink
+writing ply / cwipcdump / cwicpc files named by a pattern.
+"""
+
+import os
+import sys
+import threading
+from typing import Optional
+
+from .. import CWIPC_FLAGS_BINARY, cwipc_write, cwipc_write_debugdump
+from ..core.pointcloud import cwipc_pointcloud_wrapper
+from ..utils.stats import Stats
+from ._scriptsupport import (
+    ArgumentParser,
+    SourceServer,
+    activesource_factory_from_args,
+    beginOfRun,
+    endOfRun,
+)
+
+
+class FileWriter:
+    """Sink writing each fed cloud to a file named by the pattern."""
+
+    def __init__(self, dirname: str, pattern: str, flags: int = 0, compressed: bool = False, verbose: bool = False):
+        self.dirname = dirname
+        self.pattern = pattern
+        self.flags = flags
+        self.compressed = compressed
+        self.verbose = verbose
+        self.count_written = 0
+        self.producer = None
+        self.stats = Stats("grab")
+        self.encoder = None
+        if compressed:
+            from ..codec import cwipc_new_encoder
+
+            self.encoder = cwipc_new_encoder()
+
+    def set_producer(self, producer) -> None:
+        self.producer = producer
+
+    def feed(self, pc: cwipc_pointcloud_wrapper) -> None:
+        filename = os.path.join(self.dirname, self.pattern % pc.timestamp())
+        if filename.endswith(".cwipcdump"):
+            cwipc_write_debugdump(filename, pc)
+        elif filename.endswith(".cwicpc"):
+            assert self.encoder is not None
+            self.encoder.feed(pc)
+            with open(filename, "wb") as fp:
+                fp.write(self.encoder.get_bytes())
+        else:
+            cwipc_write(filename, pc, self.flags)
+        self.count_written += 1
+        if self.verbose:
+            print(f"grab: wrote {filename}")
+        pc.free()
+
+    def statistics(self) -> None:
+        print(f"filewriter: written={self.count_written}")
+
+
+def main() -> int:
+    parser = ArgumentParser(description="Capture pointclouds to files")
+    parser.add_argument("--cwipcdump", action="store_true", help="Save as .cwipcdump (default: .ply)")
+    parser.add_argument("--compress", action="store_true", help="Save as compressed .cwicpc")
+    parser.add_argument("--binary", action="store_true", help="Save as binary .ply")
+    parser.add_argument("outputdir", help="Directory to write the files to")
+    args = parser.parse_args()
+    beginOfRun(args)
+    if not os.path.isdir(args.outputdir):
+        print(f"{sys.argv[0]}: no such directory: {args.outputdir}")
+        return -1
+    if args.cwipcdump:
+        pattern, flags, compressed = "pointcloud-%d.cwipcdump", 0, False
+    elif args.compress:
+        pattern, flags, compressed = "pointcloud-%d.cwicpc", 0, True
+    else:
+        pattern, flags, compressed = "pointcloud-%d.ply", (CWIPC_FLAGS_BINARY if args.binary else 0), False
+
+    source = activesource_factory_from_args(args)()
+    writer = FileWriter(args.outputdir, pattern, flags, compressed, verbose=args.verbose > 0)
+    server = SourceServer(source, writer, args)
+    thread = threading.Thread(target=server.run, name="cwipc_grab.source", daemon=True)
+    writer.set_producer(thread)
+    thread.start()
+    thread.join()
+    server.stop()
+    if args.verbose:
+        server.statistics()
+        writer.statistics()
+    endOfRun(args)
+    return 0 if writer.count_written else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,55 @@
+"""cwipc view: capture pointclouds and show them in a window.
+
+Re-implementation of the reference's view script
+(reference: python/cwipc/scripts/cwipc_view.py): source -> SourceServer
+thread -> Visualizer; --nodisplay for headless runs.
+"""
+
+import sys
+import threading
+
+from ..io.visualizer import Visualizer
+from ._scriptsupport import (
+    ArgumentParser,
+    SourceServer,
+    activesource_factory_from_args,
+    beginOfRun,
+    endOfRun,
+)
+
+
+def main() -> int:
+    parser = ArgumentParser(description="View pointcloud streams")
+    parser.add_argument("--nodisplay", action="store_true", help="Run without a display window (count clouds only)")
+    parser.add_argument("--latencies", metavar="FILE", help="Write per-cloud latency CSV to FILE")
+    args = parser.parse_args()
+    beginOfRun(args)
+
+    source_factory = activesource_factory_from_args(args)
+    source = source_factory()
+    visualizer = Visualizer(verbose=args.verbose > 0, nodisplay=args.nodisplay)
+    server = SourceServer(source, visualizer, args)
+
+    source_thread = threading.Thread(target=server.run, name="cwipc_view.source", daemon=True)
+    visualizer.set_producer(source_thread)
+    source_thread.start()
+    try:
+        visualizer.run()
+    except KeyboardInterrupt:
+        pass
+    server.stop()
+    source_thread.join(timeout=5)
+    if args.verbose:
+        server.statistics()
+        visualizer.statistics()
+    if args.latencies:
+        with open(args.latencies, "w") as fp:
+            fp.write("latency\n")
+            for lat in server.get_latencies():
+                fp.write(f"{lat}\n")
+    endOfRun(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,301 @@
+"""Pipeline tests: codec, playback, capturer registry, network loopback,
+synchronizer — the integration layer (reference test strategy SURVEY.md §4:
+localhost TCP substitutes for real networks, synthetic substitutes for
+cameras)."""
+
+import os
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import cwipc_util_tpu as cwipc
+from cwipc_util_tpu import codec
+from cwipc_util_tpu.models.capturer import cwipc_capturer
+from cwipc_util_tpu.models.playback import cwipc_playback
+
+
+@pytest.fixture(scope="module")
+def small_pc():
+    gen = cwipc.cwipc_synthetic(0, 1500)
+    gen.start()
+    pc = gen.get()
+    gen.stop()
+    assert pc is not None
+    return pc
+
+
+class TestCodec:
+    def test_roundtrip(self, small_pc):
+        enc = codec.cwipc_new_encoder(params=codec.cwipc_encoder_params(octree_bits=10))
+        enc.feed(small_pc)
+        assert enc.available()
+        data = enc.get_bytes()
+        assert len(data) < small_pc.count() * 16  # actually compressed
+        dec = codec.cwipc_new_decoder()
+        dec.feed(data)
+        assert dec.available()
+        out = dec.get()
+        assert out is not None
+        assert out.timestamp() == small_pc.timestamp()
+        # lossy: counts within the quantization-merge tolerance
+        assert out.count() <= small_pc.count()
+        assert out.count() > small_pc.count() * 0.9
+        # geometric error bounded by the quantization step
+        a = small_pc.get_numpy_matrix(onlyGeometry=True)
+        b = out.get_numpy_matrix(onlyGeometry=True)
+        bbox = a.max(axis=0) - a.min(axis=0)
+        step = bbox.max() / (1 << 10)
+        # every decoded point is within step of some original point
+        d = np.sqrt(((b[:200, None, :] - a[None, :, :]) ** 2).sum(-1)).min(axis=1)
+        assert (d <= step * 0.9).all()
+
+    def test_quality_affects_size(self, small_pc):
+        sizes = []
+        for bits in (6, 8, 10):
+            enc = codec.cwipc_new_encoder(params=codec.cwipc_encoder_params(octree_bits=bits))
+            enc.feed(small_pc)
+            sizes.append(len(enc.get_bytes()))
+        assert sizes[0] < sizes[1] < sizes[2]
+
+    def test_encodergroup_tiles(self, small_pc):
+        group = codec.cwipc_new_encodergroup()
+        enc_all = group.addencoder(params=codec.cwipc_encoder_params(tilenumber=0))
+        enc_t1 = group.addencoder(params=codec.cwipc_encoder_params(tilenumber=1))
+        group.feed(small_pc)
+        dec = codec.cwipc_new_decoder()
+        dec.feed(enc_t1.get_bytes())
+        t1 = dec.get()
+        dec.feed(enc_all.get_bytes())
+        all_ = dec.get()
+        assert 0 < t1.count() < all_.count()
+        assert (t1.get_numpy_array()["tile"] == 1).all()
+
+    def test_empty_cloud(self):
+        pc = cwipc.cwipc_from_points([], 7)
+        enc = codec.cwipc_new_encoder()
+        enc.feed(pc)
+        dec = codec.cwipc_new_decoder()
+        dec.feed(enc.get_bytes())
+        out = dec.get()
+        assert out.count() == 0
+        assert out.timestamp() == 7
+
+
+class TestPlayback:
+    def _make_dir(self, tmp_path, small_pc, ext):
+        for i in range(3):
+            pc = small_pc.clone()
+            pc._set_timestamp(1000 + i)
+            fn = str(tmp_path / f"frame-{1000 + i}{ext}")
+            if ext == ".ply":
+                cwipc.cwipc_write(fn, pc, cwipc.CWIPC_FLAGS_BINARY)
+            elif ext == ".cwipcdump":
+                cwipc.cwipc_write_debugdump(fn, pc)
+            else:
+                enc = codec.cwipc_new_encoder()
+                enc.feed(pc)
+                with open(fn, "wb") as fp:
+                    fp.write(enc.get_bytes())
+        return str(tmp_path)
+
+    @pytest.mark.parametrize("ext", [".ply", ".cwipcdump", ".cwicpc"])
+    def test_dir_playback(self, tmp_path, small_pc, ext):
+        d = self._make_dir(tmp_path, small_pc, ext)
+        src = cwipc_playback(d, ext=ext, loop=False)
+        assert src.start()
+        count = 0
+        while not src.eof():
+            pc = src.get()
+            assert pc is not None and pc.count() > 0
+            count += 1
+        assert count == 3
+        src.stop()
+
+    def test_single_file_loop(self, tmp_path, small_pc):
+        fn = str(tmp_path / "frame-1.ply")
+        cwipc.cwipc_write(fn, small_pc)
+        src = cwipc_playback([fn], loop=True)
+        src.start()
+        for _ in range(5):
+            assert not src.eof()
+            pc = src.get()
+            assert pc is not None
+        src.stop()
+
+    def test_inpoint_outpoint(self, tmp_path, small_pc):
+        d = self._make_dir(tmp_path, small_pc, ".ply")
+        src = cwipc_playback(d, ext=".ply", inpoint=1001, outpoint=1001)
+        got = []
+        while not src.eof():
+            got.append(src.get().timestamp())
+        assert got == [1001]
+
+
+class TestCapturerRegistry:
+    def test_nonexistent_type(self):
+        with pytest.raises(cwipc.CwipcError):
+            cwipc_capturer('{"type":"nonexistent"}')
+
+    def test_synthetic_type(self):
+        src = cwipc_capturer('{"type":"synthetic", "npoints": 1000}')
+        assert src.start()
+        pc = src.get()
+        assert pc is not None and pc.count() == 961
+        src.stop()
+
+    def test_auto_no_cameras(self):
+        with pytest.raises(cwipc.CwipcError):
+            cwipc_capturer("auto")
+
+    def test_bad_json(self):
+        with pytest.raises(cwipc.CwipcError):
+            cwipc_capturer("{not json")
+
+
+class TestNetworkLoopback:
+    def _free_port(self):
+        s = socket.socket()
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+        s.close()
+        return port
+
+    def test_passthrough_tcp(self, small_pc):
+        """clouds -> passthrough sink -> TCP -> netclient -> passthrough source."""
+        from cwipc_util_tpu.net.sink_netserver import cwipc_sink_netserver
+        from cwipc_util_tpu.net.sink_passthrough import cwipc_sink_passthrough
+        from cwipc_util_tpu.net.source_netclient import cwipc_source_netclient
+        from cwipc_util_tpu.net.source_passthrough import cwipc_source_passthrough
+
+        port = self._free_port()
+        rawsink = cwipc_sink_netserver(port, nodrop=True)
+        sink = cwipc_sink_passthrough(rawsink, nodrop=True)
+
+        producer_done = threading.Event()
+
+        class FakeProducer:
+            ident = 1
+
+            def is_alive(self):
+                return not producer_done.is_set()
+
+        sink.set_producer(FakeProducer())
+        sink.start()
+
+        rawsource = cwipc_source_netclient(f"localhost:{port}")
+        source = cwipc_source_passthrough(rawsource)
+        source.start()
+        time.sleep(0.3)
+
+        sent = [small_pc.clone() for _ in range(3)]
+        for pc in sent:
+            sink.feed(pc)
+        received = []
+        deadline = time.time() + 20
+        while len(received) < 3 and time.time() < deadline:
+            if source.available(True):
+                pc = source.get()
+                if pc is not None:
+                    received.append(pc)
+        producer_done.set()
+        assert len(received) == 3
+        assert received[0].count() == small_pc.count()
+        assert list(received[0].get_points()) == list(small_pc.get_points())
+        source.stop()
+        sink.stop()
+
+    def test_encoder_tcp(self, small_pc):
+        """clouds -> encoder sink -> TCP -> netclient -> decoder source."""
+        from cwipc_util_tpu.net.sink_encoder import cwipc_sink_encoder
+        from cwipc_util_tpu.net.sink_netserver import cwipc_sink_netserver
+        from cwipc_util_tpu.net.source_decoder import cwipc_activesource_decoder
+        from cwipc_util_tpu.net.source_netclient import cwipc_source_netclient
+
+        port = self._free_port()
+        rawsink = cwipc_sink_netserver(port, nodrop=True)
+        sink = cwipc_sink_encoder(rawsink, nodrop=True)
+        sink.set_encoder_params([{}], octree_bits=10)
+
+        done = threading.Event()
+
+        class FakeProducer:
+            ident = 1
+
+            def is_alive(self):
+                return not done.is_set()
+
+        sink.set_producer(FakeProducer())
+        sink.start()
+
+        rawsource = cwipc_source_netclient(f"localhost:{port}")
+        source = cwipc_activesource_decoder(rawsource)
+        source.start()
+        time.sleep(0.3)
+
+        for _ in range(2):
+            sink.feed(small_pc.clone())
+        received = []
+        deadline = time.time() + 30
+        while len(received) < 2 and time.time() < deadline:
+            if source.available(True):
+                pc = source.get()
+                if pc is not None:
+                    received.append(pc)
+        done.set()
+        assert len(received) == 2
+        assert received[0].count() > small_pc.count() * 0.9
+        source.stop()
+        sink.stop()
+
+
+class TestSynchronizer:
+    def test_fuses_matching_timestamps(self, small_pc):
+        from cwipc_util_tpu.net.source_synchronizer import cwipc_source_synchronizer
+
+        class ListSource:
+            def __init__(self, pcs):
+                self.pcs = list(pcs)
+
+            def start(self):
+                return True
+
+            def stop(self):
+                pass
+
+            def eof(self):
+                return not self.pcs
+
+            def available(self, wait=False):
+                return bool(self.pcs)
+
+            def get(self):
+                return self.pcs.pop(0) if self.pcs else None
+
+            def statistics(self):
+                pass
+
+        def tile_pc(ts, tile):
+            pc = cwipc.cwipc_tilefilter(small_pc, tile)
+            pc._set_timestamp(ts)
+            return pc
+
+        s1 = ListSource([tile_pc(100, 1), tile_pc(200, 1)])
+        s2 = ListSource([tile_pc(100, 2), tile_pc(200, 2)])
+        sync = cwipc_source_synchronizer(None, [s1, s2])
+        sync.start()
+        fused = []
+        deadline = time.time() + 15
+        while len(fused) < 2 and time.time() < deadline:
+            if sync.available(True):
+                pc = sync.get()
+                if pc is not None:
+                    fused.append(pc)
+        sync.stop()
+        assert len(fused) == 2
+        assert fused[0].count() == small_pc.count()
+        assert fused[0].timestamp() == 100
+        tiles = set(np.unique(fused[0].get_numpy_array()["tile"]))
+        assert tiles == {1, 2}
