@@ -1,0 +1,211 @@
+"""Alignment analyzers: nearest-distance statistics between clouds.
+
+Re-implementation of the reference's analyzer family
+(reference: python/cwipc/registration/analyze.py): per-point
+nearest-neighbor distances from source to reference (scipy KDTree there;
+the TPU grid kernel ops/knn.py here), distance histogram, and
+"correspondence" extraction — the distance that best characterizes how far
+the source is from the reference — via mean / trimmed mean / median / mode
+(histogram peak) measures.  The symmetric variant (default, analyze.py:284)
+analyzes both directions and keeps the worse correspondence.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.pointcloud import cwipc_pointcloud_wrapper
+from ..ops.knn import nn_search
+from .abstract import AnalysisAlgorithm, AnalysisResults, OverlapAnalysisAlgorithm, OverlapAnalysisResults
+from .util import BaseAlgorithm
+
+DEFAULT_MAX_CORRESPONDENCE = 0.1  # 10cm: sane upper bound for camera misalignment
+DEFAULT_MIN_CORRESPONDENCE = 0.0001
+HISTOGRAM_BINS = 200
+FLOOR_LEVEL = 0.1  # points below this Y are "floor" and can be excluded
+
+
+def _nn_distances(src: cwipc_pointcloud_wrapper, ref: cwipc_pointcloud_wrapper, max_distance: float, ignore_nearest: int = 0) -> np.ndarray:
+    """Finite NN distances source->reference (inf = no match in range)."""
+    sbuf = src._access_buffer()
+    rbuf = ref._access_buffer()
+    if ignore_nearest > 0:
+        # self-precision mode: measure against the k-th neighbor by querying
+        # the cloud against itself and skipping the first `ignore_nearest`
+        # hits; approximated by excluding exact-zero distances.
+        dist, _ = nn_search(sbuf.xyz, sbuf.count, rbuf.xyz, rbuf.count, jnp.float32(max_distance))
+        d = np.asarray(dist[: src.count()])
+        d = d[d > 0]
+        return d
+    dist, _ = nn_search(sbuf.xyz, sbuf.count, rbuf.xyz, rbuf.count, jnp.float32(max_distance))
+    return np.asarray(dist[: src.count()])
+
+
+class RegistrationAnalyzer(BaseAlgorithm, AnalysisAlgorithm):
+    """One-directional analyzer: how far is the source from the reference."""
+
+    plot_label: Optional[str] = None
+
+    def __init__(self) -> None:
+        BaseAlgorithm.__init__(self)
+        self.correspondence_method = "mean"
+        self._extra_methods: Tuple[str, ...] = ()
+        self.max_correspondence = DEFAULT_MAX_CORRESPONDENCE
+        self.min_correspondence = DEFAULT_MIN_CORRESPONDENCE
+        self.ignore_nearest = 0
+        self.ignore_floor = False
+        self._results: Optional[AnalysisResults] = None
+
+    # -- configuration -------------------------------------------------------
+
+    def set_correspondence_measure(self, method: str, *other_methods: str) -> None:
+        self.correspondence_method = method
+        self._extra_methods = other_methods
+
+    def set_max_correspondence_distance(self, correspondence: float) -> None:
+        self.max_correspondence = correspondence
+
+    def set_min_correspondence_distance(self, correspondence: float) -> None:
+        self.min_correspondence = correspondence
+
+    def set_ignore_nearest(self, ignore_nearest: int) -> None:
+        self.ignore_nearest = ignore_nearest
+
+    def set_ignore_floor(self, ignoreFloor: bool) -> None:
+        self.ignore_floor = ignoreFloor
+
+    # -- run ------------------------------------------------------------------
+
+    def _maybe_drop_floor(self, pc: cwipc_pointcloud_wrapper) -> cwipc_pointcloud_wrapper:
+        if not self.ignore_floor:
+            return pc
+        from .util import cwipc_floor_filter
+
+        return cwipc_floor_filter(pc, FLOOR_LEVEL, keep_floor=False)
+
+    def _distances(self) -> np.ndarray:
+        src = self._maybe_drop_floor(self.get_filtered_source_pointcloud())
+        ref = self._maybe_drop_floor(self.get_filtered_reference_pointcloud())
+        return _nn_distances(src, ref, self.max_correspondence, self.ignore_nearest)
+
+    def run(self) -> bool:
+        d = self._distances()
+        self._results = self._compute_results(
+            d,
+            self.get_filtered_source_pointcloud().count(),
+            self.get_filtered_reference_pointcloud().count(),
+        )
+        return True
+
+    def _compute_results(self, d: np.ndarray, n_src: int, n_ref: int) -> AnalysisResults:
+        res = AnalysisResults()
+        res.algorithm = self.__class__.__name__
+        res.variant = self.correspondence_method
+        res.sourcePointCount = n_src
+        res.referencePointCount = n_ref
+        res.tilemask = self.source_tilemask
+        res.referenceTilemask = self.reference_tilemask
+
+        finite = d[np.isfinite(d)]
+        if finite.size == 0:
+            res.minCorrespondence = self.max_correspondence
+            return res
+
+        res.mean = float(finite.mean())
+        res.stddev = float(finite.std())
+        res.median = float(np.median(finite))
+        lo, hi = np.percentile(finite, [5, 95])
+        trimmed = finite[(finite >= lo) & (finite <= hi)]
+        res.tmean = float(trimmed.mean()) if trimmed.size else res.mean
+
+        hist, edges = np.histogram(
+            finite, bins=HISTOGRAM_BINS, range=(self.min_correspondence, self.max_correspondence)
+        )
+        res.histogram = hist
+        res.histogramEdges = edges
+        peak = int(np.argmax(hist))
+        res.mode = float((edges[peak] + edges[peak + 1]) / 2)
+
+        measure = {
+            "mean": res.mean,
+            "median": res.median,
+            "tmean": res.tmean,
+            "mode": res.mode,
+        }.get(self.correspondence_method, res.mean)
+        res.minCorrespondence = float(measure)
+        res.minCorrespondenceCount = int((finite <= res.minCorrespondence).sum())
+        return res
+
+    def get_results(self) -> AnalysisResults:
+        assert self._results is not None
+        return self._results
+
+
+class RegistrationAnalyzerSymmetric(RegistrationAnalyzer):
+    """Analyzes both directions, keeping the worse (larger) correspondence —
+    the default analyzer (reference: analyze.py:284-336, 389)."""
+
+    def run(self) -> bool:
+        src = self._maybe_drop_floor(self.get_filtered_source_pointcloud())
+        ref = self._maybe_drop_floor(self.get_filtered_reference_pointcloud())
+        d_fwd = _nn_distances(src, ref, self.max_correspondence, self.ignore_nearest)
+        d_rev = _nn_distances(ref, src, self.max_correspondence, self.ignore_nearest)
+        r_fwd = self._compute_results(d_fwd, src.count(), ref.count())
+        r_rev = self._compute_results(d_rev, ref.count(), src.count())
+        self._results = (
+            r_fwd if r_fwd.minCorrespondence >= r_rev.minCorrespondence else r_rev
+        )
+        self._results.sourcePointCount = src.count()
+        self._results.referencePointCount = ref.count()
+        self._results.tilemask = self.source_tilemask
+        self._results.referenceTilemask = self.reference_tilemask
+        return True
+
+
+class OverlapAnalyzer(BaseAlgorithm, OverlapAnalysisAlgorithm):
+    """Fitness/RMSE overlap measure (reference: analyze.py:338-387, built on
+    open3d evaluate_registration there): fitness = fraction of source points
+    with a reference neighbor within the correspondence distance, rmse over
+    those inliers."""
+
+    def __init__(self) -> None:
+        BaseAlgorithm.__init__(self)
+        self.correspondence = DEFAULT_MAX_CORRESPONDENCE
+        self._results: Optional[OverlapAnalysisResults] = None
+
+    def set_correspondence(self, correspondence: float) -> None:
+        self.correspondence = correspondence
+
+    def run(self) -> bool:
+        src = self.get_filtered_source_pointcloud()
+        ref = self.get_filtered_reference_pointcloud()
+        d = _nn_distances(src, ref, self.correspondence)
+        inliers = d[np.isfinite(d)]
+        res = OverlapAnalysisResults()
+        res.sourcePointCount = src.count()
+        res.referencePointCount = ref.count()
+        res.tilemask = self.source_tilemask
+        res.referenceTilemask = self.reference_tilemask
+        if src.count() > 0 and inliers.size > 0:
+            res.fitness = float(inliers.size / src.count())
+            res.rmse = float(np.sqrt((inliers**2).mean()))
+        self._results = res
+        return True
+
+    def get_results(self) -> OverlapAnalysisResults:
+        assert self._results is not None
+        return self._results
+
+
+DEFAULT_ANALYZER_ALGORITHM = RegistrationAnalyzerSymmetric
+
+HELP_ANALYZER_ALGORITHMS = """
+Analyzer algorithms:
+    RegistrationAnalyzer           one-directional NN-distance statistics
+    RegistrationAnalyzerSymmetric  both directions, worse wins (default)
+    OverlapAnalyzer                fitness/rmse overlap measure
+Correspondence measures: mean, median, tmean, mode.
+"""

@@ -191,3 +191,88 @@ def cwipc_xz_radius_percentile(
     dx = m[:, 0] - center[0]
     dz = m[:, 2] - center[2]
     return float(np.percentile(np.sqrt(dx * dx + dz * dz), percentile))
+
+
+# ---------------------------------------------------------------------------
+# Base classes for algorithms (reference: registration/util.py:311-449)
+# ---------------------------------------------------------------------------
+
+from .abstract import Algorithm, MulticamAlgorithm, PointCloudFilter  # noqa: E402
+
+
+class BaseAlgorithm(Algorithm):
+    """Common source/reference handling for analysis & alignment algorithms."""
+
+    def __init__(self) -> None:
+        self._source_pointcloud: Optional[cwipc_pointcloud_wrapper] = None
+        self._filtered_source_pointcloud: Optional[cwipc_pointcloud_wrapper] = None
+        self.source_tilemask: Optional[int] = None
+        self._reference_pointcloud: Optional[cwipc_pointcloud_wrapper] = None
+        self._filtered_reference_pointcloud: Optional[cwipc_pointcloud_wrapper] = None
+        self.reference_tilemask: Optional[int] = None
+        self.verbose = False
+        self.debug = False
+
+    def set_source_pointcloud(self, pc: cwipc_pointcloud_wrapper, tilemask: Optional[int] = None) -> None:
+        if tilemask is not None and tilemask != 0:
+            pc = cwipc_tilefilter_masked(pc, tilemask)
+        self._source_pointcloud = pc
+        self._filtered_source_pointcloud = None
+        self.source_tilemask = tilemask
+
+    def set_reference_pointcloud(self, pc: cwipc_pointcloud_wrapper, tilemask: Optional[int] = None) -> None:
+        if tilemask is not None and tilemask != 0:
+            pc = cwipc_tilefilter_masked(pc, tilemask)
+        self._reference_pointcloud = pc
+        self._filtered_reference_pointcloud = None
+        self.reference_tilemask = tilemask
+
+    def get_source_pointcloud(self) -> cwipc_pointcloud_wrapper:
+        assert self._source_pointcloud is not None
+        return self._source_pointcloud
+
+    def get_filtered_source_pointcloud(self) -> cwipc_pointcloud_wrapper:
+        return self._filtered_source_pointcloud or self.get_source_pointcloud()
+
+    def get_reference_pointcloud(self) -> cwipc_pointcloud_wrapper:
+        assert self._reference_pointcloud is not None
+        return self._reference_pointcloud
+
+    def get_filtered_reference_pointcloud(self) -> cwipc_pointcloud_wrapper:
+        return self._filtered_reference_pointcloud or self.get_reference_pointcloud()
+
+    def apply_source_filter(self, filter: PointCloudFilter) -> None:
+        self._filtered_source_pointcloud = filter(self.get_filtered_source_pointcloud())
+
+    def apply_reference_filter(self, filter: PointCloudFilter) -> None:
+        self._filtered_reference_pointcloud = filter(self.get_filtered_reference_pointcloud())
+
+
+class BaseMulticamAlgorithm(MulticamAlgorithm):
+    """Common per-tile handling for multi-camera algorithms."""
+
+    def __init__(self) -> None:
+        self.per_camera_tilenum: List[int] = []
+        self.original_pointcloud: Optional[cwipc_pointcloud_wrapper] = None
+        self.verbose = False
+        self.debug = False
+
+    def set_tiled_pointcloud(self, pc: cwipc_pointcloud_wrapper) -> None:
+        self.original_pointcloud = pc
+        self.per_camera_tilenum = list(get_tiles_used(pc))
+
+    def tilemask_for_camera_index(self, cam_index: int) -> int:
+        return self.per_camera_tilenum[cam_index]
+
+    def camera_index_for_tilemask(self, tilenum: int) -> int:
+        return self.per_camera_tilenum.index(tilenum)
+
+    def camera_count(self) -> int:
+        return len(self.per_camera_tilenum)
+
+    def get_pc_for_tilemask(self, tilemask: int) -> cwipc_pointcloud_wrapper:
+        assert self.original_pointcloud is not None
+        return cwipc_tilefilter(self.original_pointcloud, tilemask)
+
+    def get_pc_for_camnum(self, camnum: int) -> cwipc_pointcloud_wrapper:
+        return self.get_pc_for_tilemask(self.tilemask_for_camera_index(camnum))

@@ -1,0 +1,266 @@
+"""Registration toolkit tests with known ground truth (the reference's
+strategy: simulatecams + noise + known perturbations,
+scripts/cwipc_create_analysis_test.py)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import cwipc_util_tpu as cwipc
+from cwipc_util_tpu.filters.simulatecams import SimulatecamsFilter
+from cwipc_util_tpu.registration.analyze import (
+    OverlapAnalyzer,
+    RegistrationAnalyzer,
+    RegistrationAnalyzerSymmetric,
+)
+from cwipc_util_tpu.registration.cameraconfig import CameraConfig, default_cameraconfig
+from cwipc_util_tpu.registration.fine import (
+    RegistrationComputer_ICP_Generalized,
+    RegistrationComputer_ICP_Point2Point,
+)
+from cwipc_util_tpu.registration.multicamera import (
+    MultiCameraIterative,
+    MultiCameraOneToAllOthers,
+)
+from cwipc_util_tpu.registration.util import (
+    cwipc_tilefilter_masked,
+    cwipc_transform,
+    get_tiles_used,
+    transformation_compare,
+    transformation_identity,
+)
+
+
+def _rotation_y(angle):
+    c, s = math.cos(angle), math.sin(angle)
+    T = np.identity(4)
+    T[0, 0], T[0, 2], T[2, 0], T[2, 2] = c, s, -s, c
+    return T
+
+
+def _translation(x, y, z):
+    T = np.identity(4)
+    T[:3, 3] = (x, y, z)
+    return T
+
+
+@pytest.fixture(scope="module")
+def synth_pc():
+    gen = cwipc.cwipc_synthetic(0, 4000)
+    gen.start()
+    pc = gen.get()
+    gen.stop()
+    return pc
+
+
+@pytest.fixture(scope="module")
+def tiled_pc(synth_pc):
+    """Synthetic cloud split over 3 simulated cameras (hard assignment)."""
+    return SimulatecamsFilter(3, hard=True).filter(synth_pc.clone())
+
+
+class TestAnalyzer:
+    def test_self_analysis_zero(self, synth_pc):
+        an = RegistrationAnalyzer()
+        an.set_source_pointcloud(synth_pc)
+        an.set_reference_pointcloud(synth_pc)
+        an.run()
+        r = an.get_results()
+        assert r.mean == 0.0
+        assert r.minCorrespondence <= 0.001
+
+    def test_shifted_analysis(self, synth_pc):
+        shifted = cwipc_transform(synth_pc, _translation(0.01, 0, 0))
+        an = RegistrationAnalyzerSymmetric()
+        an.set_source_pointcloud(shifted)
+        an.set_reference_pointcloud(synth_pc)
+        an.run()
+        r = an.get_results()
+        # shifted by 1cm: correspondence should be of that order
+        assert 0.002 < r.minCorrespondence < 0.02
+        assert r.histogram is not None and r.histogram.sum() > 0
+
+    def test_overlap(self, synth_pc):
+        an = OverlapAnalyzer()
+        an.set_source_pointcloud(synth_pc)
+        an.set_reference_pointcloud(synth_pc)
+        an.set_correspondence(0.01)
+        an.run()
+        r = an.get_results()
+        assert r.fitness == 1.0
+        assert r.rmse == 0.0
+
+    def test_tilemask_selection(self, tiled_pc):
+        tiles = get_tiles_used(tiled_pc)
+        an = RegistrationAnalyzer()
+        an.set_source_pointcloud(tiled_pc, tiles[0])
+        an.set_reference_pointcloud(tiled_pc, tiles[1])
+        an.run()
+        r = an.get_results()
+        assert r.sourcePointCount > 0
+        assert r.tilemask == tiles[0]
+
+
+class TestICP:
+    @pytest.mark.parametrize(
+        "cls", [RegistrationComputer_ICP_Point2Point, RegistrationComputer_ICP_Generalized]
+    )
+    def test_recovers_small_transform(self, synth_pc, cls):
+        true_T = _translation(0.01, 0.005, -0.008) @ _rotation_y(0.03)
+        moved = cwipc_transform(synth_pc, true_T)
+        aligner = cls()
+        aligner.set_source_pointcloud(moved)
+        aligner.set_reference_pointcloud(synth_pc)
+        aligner.set_correspondence(0.05)
+        assert aligner.run()
+        est = aligner.get_result_transformation()
+        # est should recover inverse(true_T)
+        residual = est @ true_T
+        dt, dr = transformation_compare(residual, transformation_identity())
+        assert dt < 0.004, f"translation residual {dt}"
+        assert dr < 0.02, f"rotation residual {dr}"
+
+    def test_result_pointcloud(self, synth_pc):
+        moved = cwipc_transform(synth_pc, _translation(0.01, 0, 0))
+        aligner = RegistrationComputer_ICP_Point2Point()
+        aligner.set_source_pointcloud(moved)
+        aligner.set_reference_pointcloud(synth_pc)
+        assert aligner.run()
+        out = aligner.get_result_pointcloud()
+        assert out.count() == moved.count()
+        full = aligner.get_result_pointcloud_full()
+        assert full.count() == moved.count() + synth_pc.count()
+
+
+class TestMulticamera:
+    def _perturbed(self, tiled_pc, magnitude=0.01):
+        tiles = get_tiles_used(tiled_pc)
+        parts = []
+        rng = np.random.default_rng(7)
+        truths = {}
+        for i, tilemask in enumerate(tiles):
+            tile_pc = cwipc_tilefilter_masked(tiled_pc, tilemask)
+            T = _translation(*rng.uniform(-magnitude, magnitude, 3)) @ _rotation_y(
+                rng.uniform(-0.02, 0.02)
+            )
+            parts.append(cwipc_transform(tile_pc, T))
+            truths[tilemask] = T
+        return cwipc.cwipc_join_multi(parts), truths
+
+    def test_iterative_improves(self, synth_pc):
+        # soft camera assignment: tiles overlap at sector boundaries, which
+        # is what gives fine alignment its correspondences
+        soft_tiled = SimulatecamsFilter(3, hard=False).filter(synth_pc.clone())
+        perturbed, _ = self._perturbed(soft_tiled)
+        algo = MultiCameraIterative()
+        algo.set_tiled_pointcloud(perturbed)
+        algo.set_max_correspondence(0.05)
+        assert algo.run()
+        pre = max(r.minCorrespondence for r in algo.pre_analysis_results)
+        post = max(r.minCorrespondence for r in algo.post_analysis_results)
+        assert post <= pre * 1.05
+        assert algo.proposed_cellsize > 0
+        assert len(algo.get_result_transformations()) == algo.camera_count()
+        out = algo.get_result_pointcloud_full()
+        assert out.count() == perturbed.count()
+
+    def test_one_to_all_others(self, tiled_pc):
+        perturbed, _ = self._perturbed(tiled_pc, magnitude=0.005)
+        algo = MultiCameraOneToAllOthers()
+        algo.set_tiled_pointcloud(perturbed)
+        algo.set_max_correspondence(0.05)
+        assert algo.run()
+        assert len(algo.get_result_transformations()) == algo.camera_count()
+
+    def test_camera_index_mapping(self, tiled_pc):
+        algo = MultiCameraIterative()
+        algo.set_tiled_pointcloud(tiled_pc)
+        n = algo.camera_count()
+        assert n == 3
+        for i in range(n):
+            mask = algo.tilemask_for_camera_index(i)
+            assert algo.camera_index_for_tilemask(mask) == i
+
+
+class TestCameraConfig:
+    def test_roundtrip_and_backup(self, tmp_path):
+        import json
+
+        fn = str(tmp_path / "cameraconfig.json")
+        data = default_cameraconfig("synthetic", ["a", "b"])
+        with open(fn, "w") as fp:
+            json.dump(data, fp)
+        cfg = CameraConfig(fn)
+        cfg.load()
+        assert cfg.camera_count() == 2
+        assert cfg.all_identity()
+        assert cfg.get_serial_dict() == {"a": 1, "b": 2}
+        T = np.identity(4)
+        T[0, 3] = 0.5
+        cfg.set_transform(0, T)
+        assert cfg.is_dirty()
+        cfg.save()
+        assert not cfg.is_dirty()
+        assert (tmp_path / "cameraconfig.json~").exists()
+        cfg2 = CameraConfig(fn)
+        cfg2.load()
+        assert np.allclose(cfg2.get_transform(0).get_matrix(), T)
+
+    def test_dotted_override(self, tmp_path):
+        import json
+
+        fn = str(tmp_path / "cameraconfig.json")
+        with open(fn, "w") as fp:
+            json.dump(default_cameraconfig("synthetic", ["a"]), fp)
+        cfg = CameraConfig(fn)
+        cfg.load()
+        cfg.set_entry_from_string("camera.0.serial=xyz")
+        assert cfg.get_entry("camera.0.serial") == "xyz"
+
+
+class TestCoarseAruco:
+    def test_detects_synthetic_marker(self):
+        """A floor cloud containing an ArUco pattern must be registered to
+        the marker's known pose."""
+        import cv2
+
+        from cwipc_util_tpu.registration.coarse import (
+            DEFAULT_MARKER_SIZE,
+            MultiCameraCoarseAruco,
+            _marker_world_corners,
+        )
+
+        # build a synthetic floor with the marker pattern (plus the physical
+        # marker's white quiet zone) at a known offset
+        dictionary = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_5X5_250)
+        marker_px = 100
+        pad = 30
+        img = cv2.aruco.generateImageMarker(dictionary, 0, marker_px)
+        canvas = np.full((marker_px + 2 * pad, marker_px + 2 * pad), 255, np.uint8)
+        canvas[pad : pad + marker_px, pad : pad + marker_px] = img
+        size = canvas.shape[0]
+        spacing = DEFAULT_MARKER_SIZE / marker_px
+        ys, xs = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+        n = size * size
+        pts = np.zeros((n, 7), np.float32)
+        pts[:, 0] = (xs.ravel() - size / 2) * spacing
+        pts[:, 2] = (ys.ravel() - size / 2) * spacing
+        val = canvas.ravel().astype(np.float32)
+        pts[:, 3] = pts[:, 4] = pts[:, 5] = val
+        pts[:, 6] = 1  # tile 1
+        # known ground-truth displacement of the camera's view of the marker
+        offset = np.array([0.3, 0.0, -0.2], np.float32)
+        pts[:, 0:3] += offset
+        pc = cwipc.cwipc_from_numpy_matrix(pts, 0)
+
+        algo = MultiCameraCoarseAruco()
+        algo.set_tiled_pointcloud(pc)
+        ok = algo.run()
+        assert ok, "marker not found/registered"
+        T = algo.get_result_transformations()[0]
+        # the transform must undo the offset
+        moved = cwipc_transform(pc, T)
+        m = moved.get_numpy_matrix(onlyGeometry=True)
+        center = m.mean(axis=0)
+        assert np.linalg.norm(center) < 0.02, f"marker center off by {center}"
