@@ -1,0 +1,20 @@
+/* cwipc_tilefilter (reference: apps/cwipc_tilefilter). */
+#include "../cwipc_capi.h"
+#include <cstdio>
+#include <cstdlib>
+
+int main(int argc, char **argv) {
+    if (argc != 4) {
+        fprintf(stderr, "Usage: %s tile input.ply output.ply\n", argv[0]);
+        return 2;
+    }
+    char *error = nullptr;
+    cwipc_pointcloud *pc = cwipc_read(argv[2], 0, &error, CWIPC_API_VERSION);
+    if (!pc) { fprintf(stderr, "%s: %s\n", argv[0], error ? error : "read failed"); return 1; }
+    cwipc_pointcloud *out = cwipc_tilefilter(pc, atoi(argv[1]));
+    printf("%d -> %d points\n", cwipc_pointcloud_count(pc), cwipc_pointcloud_count(out));
+    if (cwipc_write(argv[3], out, &error) != 0) { fprintf(stderr, "write failed\n"); return 1; }
+    cwipc_pointcloud_free(pc);
+    cwipc_pointcloud_free(out);
+    return 0;
+}

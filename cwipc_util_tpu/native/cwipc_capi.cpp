@@ -1,0 +1,867 @@
+/* Native implementation of the cwipc_util_tpu C ABI.
+ *
+ * Fresh C++17 implementation of the contract documented in cwipc_capi.h
+ * (behavioral parity with the reference's libcwipc_util: same struct
+ * layouts, file formats and function semantics — reference:
+ * src/cwipc_util.cpp, src/cwipc_filters.cpp, src/cwipc_synthetic.cpp,
+ * src/cwipc_capturer.cpp, src/logging.cpp — no PCL: points are a flat
+ * std::vector<cwipc_point>, the voxel grid is a hash map, kNN uses the
+ * same spatial-hash-grid design as the TPU kernels).
+ */
+
+#include "cwipc_capi.h"
+
+#include <algorithm>
+#include <atomic>
+#include <chrono>
+#include <cmath>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <map>
+#include <mutex>
+#include <sstream>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+/* ------------------------------------------------------------------ */
+/* logging + error capture                                             */
+/* ------------------------------------------------------------------ */
+
+static std::mutex log_mutex;
+static int log_level = CWIPC_LOG_LEVEL_WARNING;
+static cwipc_log_callback_t log_callback = nullptr;
+static thread_local char **current_errorbuf = nullptr;
+static std::chrono::steady_clock::time_point log_start =
+    std::chrono::steady_clock::now();
+
+static void set_errorbuf(char **buf) { current_errorbuf = buf; }
+
+extern "C" void _cwipc_log_emit(int level, const char *module, const char *message) {
+    if (level == CWIPC_LOG_LEVEL_ERROR && current_errorbuf && *current_errorbuf == nullptr) {
+        std::string full = std::string(module) + ": " + message;
+        *current_errorbuf = strdup(full.c_str());
+    }
+    if (level > log_level) return;
+    double t = std::chrono::duration<double>(std::chrono::steady_clock::now() - log_start).count();
+    static const char *names[] = {"None", "Error", "Warning", "Trace", "Debug"};
+    const char *name = (level >= 0 && level <= 4) ? names[level] : "?";
+    char buf[1024];
+    snprintf(buf, sizeof(buf), "t=%.3f: %s: %s: %s", t, module, name, message);
+    std::lock_guard<std::mutex> lock(log_mutex);
+    if (log_callback) {
+        log_callback(level, buf);
+    } else {
+        fprintf(stderr, "%s\n", buf);
+    }
+}
+
+extern "C" void cwipc_log_configure(int level, cwipc_log_callback_t callback) {
+    std::lock_guard<std::mutex> lock(log_mutex);
+    log_level = level;
+    log_callback = callback;
+}
+
+extern "C" const char *cwipc_get_version(void) { return "cwipc_util_tpu 0.1.0"; }
+
+static bool check_api_version(const char *who, uint64_t apiVersion, char **errorMessage) {
+    if (apiVersion < CWIPC_API_VERSION_OLD || apiVersion > CWIPC_API_VERSION) {
+        if (errorMessage) {
+            char *msg = (char *)malloc(256);
+            snprintf(msg, 256, "%s: incorrect apiVersion 0x%llx", who,
+                     (unsigned long long)apiVersion);
+            *errorMessage = msg;
+        }
+        return false;
+    }
+    return true;
+}
+
+/* ------------------------------------------------------------------ */
+/* allocation tracking (leak oracle)                                    */
+/* ------------------------------------------------------------------ */
+
+static std::atomic<int> n_alloc{0}, n_dealloc{0};
+
+extern "C" int cwipc_dangling_allocations(int log) {
+    int dangling = n_alloc.load() - n_dealloc.load();
+    if (log && dangling != 0) {
+        char buf[128];
+        snprintf(buf, sizeof(buf), "%d free() mismatch. nAlloc=%d, nFree=%d",
+                 dangling, n_alloc.load(), n_dealloc.load());
+        _cwipc_log_emit(CWIPC_LOG_LEVEL_WARNING, "cwipc_pointcloud", buf);
+    }
+    return dangling < 0 ? -dangling : dangling;
+}
+
+/* ------------------------------------------------------------------ */
+/* metadata                                                            */
+/* ------------------------------------------------------------------ */
+
+struct cwipc_metadata {
+    struct Item {
+        std::string name, description;
+        std::vector<uint8_t> data;
+    };
+    std::vector<Item> items;
+};
+
+extern "C" int cwipc_metadata_count(cwipc_metadata *md) {
+    return md ? (int)md->items.size() : 0;
+}
+extern "C" const char *cwipc_metadata_name(cwipc_metadata *md, int idx) {
+    return md->items.at(idx).name.c_str();
+}
+extern "C" const char *cwipc_metadata_description(cwipc_metadata *md, int idx) {
+    return md->items.at(idx).description.c_str();
+}
+extern "C" size_t cwipc_metadata_size(cwipc_metadata *md, int idx) {
+    return md->items.at(idx).data.size();
+}
+extern "C" const void *cwipc_metadata_pointer(cwipc_metadata *md, int idx) {
+    return md->items.at(idx).data.data();
+}
+extern "C" void cwipc_metadata_add(cwipc_metadata *md, const char *name,
+                                   const char *description, const void *data,
+                                   size_t size) {
+    cwipc_metadata::Item item;
+    item.name = name ? name : "";
+    item.description = description ? description : "";
+    item.data.assign((const uint8_t *)data, (const uint8_t *)data + size);
+    md->items.push_back(std::move(item));
+}
+
+/* ------------------------------------------------------------------ */
+/* point cloud object                                                   */
+/* ------------------------------------------------------------------ */
+
+struct cwipc_pointcloud {
+    std::vector<cwipc_point> points;
+    uint64_t timestamp = 0;
+    float cellsize = 0;
+    cwipc_metadata *metadata = nullptr;
+
+    cwipc_pointcloud() { n_alloc++; }
+    ~cwipc_pointcloud() {
+        delete metadata;
+        n_dealloc++;
+    }
+};
+
+extern "C" cwipc_pointcloud *cwipc_from_points(struct cwipc_point *points,
+                                               size_t size, int npoint,
+                                               uint64_t timestamp,
+                                               char **errorMessage,
+                                               uint64_t apiVersion) {
+    if (!check_api_version("cwipc_from_points", apiVersion, errorMessage)) return nullptr;
+    if ((size_t)npoint * sizeof(cwipc_point) != size) {
+        set_errorbuf(errorMessage);
+        _cwipc_log_emit(CWIPC_LOG_LEVEL_ERROR, "cwipc_from_points", "inconsistent size");
+        set_errorbuf(nullptr);
+        return nullptr;
+    }
+    auto *pc = new cwipc_pointcloud();
+    pc->points.assign(points, points + npoint);
+    pc->timestamp = timestamp;
+    return pc;
+}
+
+extern "C" void cwipc_pointcloud_free(cwipc_pointcloud *pc) { delete pc; }
+extern "C" uint64_t cwipc_pointcloud_timestamp(cwipc_pointcloud *pc) { return pc->timestamp; }
+extern "C" float cwipc_pointcloud_cellsize(cwipc_pointcloud *pc) { return pc->cellsize; }
+extern "C" void cwipc_pointcloud__set_timestamp(cwipc_pointcloud *pc, uint64_t ts) { pc->timestamp = ts; }
+
+extern "C" void cwipc_pointcloud__set_cellsize(cwipc_pointcloud *pc, float cellsize) {
+    if (cellsize < 0 && !pc->points.empty()) {
+        /* Reference quirk preserved (src/cwipc_util.cpp:176-204): the guess
+         * is the minimum distance from any point to the FIRST point. */
+        float minDistance = INFINITY;
+        const auto &p0 = pc->points[0];
+        for (size_t i = 1; i < pc->points.size(); i++) {
+            const auto &p = pc->points[i];
+            float dx = p.x - p0.x, dy = p.y - p0.y, dz = p.z - p0.z;
+            float d = sqrtf(dx * dx + dy * dy + dz * dz);
+            if (d < minDistance) minDistance = d;
+        }
+        cellsize = std::isinf(minDistance) ? 0 : minDistance;
+    }
+    pc->cellsize = cellsize;
+}
+
+extern "C" int cwipc_pointcloud_count(cwipc_pointcloud *pc) {
+    return pc ? (int)pc->points.size() : 0;
+}
+extern "C" size_t cwipc_pointcloud_get_uncompressed_size(cwipc_pointcloud *pc) {
+    return pc->points.size() * sizeof(cwipc_point);
+}
+extern "C" int cwipc_pointcloud_copy_uncompressed(cwipc_pointcloud *pc,
+                                                  struct cwipc_point *points,
+                                                  size_t size) {
+    size_t need = pc->points.size() * sizeof(cwipc_point);
+    if (size < need) return -1;
+    memcpy(points, pc->points.data(), need);
+    return (int)pc->points.size();
+}
+
+extern "C" size_t cwipc_pointcloud_copy_packet(cwipc_pointcloud *pc,
+                                               uint8_t *packet, size_t size) {
+    size_t dataSize = pc->points.size() * sizeof(cwipc_point);
+    size_t needed = sizeof(cwipc_cwipcdump_header) + dataSize;
+    if (packet == nullptr) return needed;
+    if (size != needed) return 0;
+    cwipc_cwipcdump_header hdr;
+    memcpy(hdr.hdr, CWIPC_CWIPCDUMP_HEADER, 4);
+    hdr.magic = CWIPC_CWIPCDUMP_VERSION;
+    hdr.timestamp = pc->timestamp;
+    hdr.cellsize = pc->cellsize;
+    hdr.unused = 0;
+    hdr.size = dataSize;
+    memcpy(packet, &hdr, sizeof(hdr));
+    memcpy(packet + sizeof(hdr), pc->points.data(), dataSize);
+    return needed;
+}
+
+extern "C" cwipc_pointcloud *cwipc_from_packet(uint8_t *packet, size_t size,
+                                               char **errorMessage,
+                                               uint64_t apiVersion) {
+    if (!check_api_version("cwipc_from_packet", apiVersion, errorMessage)) return nullptr;
+    set_errorbuf(errorMessage);
+    if (size < sizeof(cwipc_cwipcdump_header)) {
+        _cwipc_log_emit(CWIPC_LOG_LEVEL_ERROR, "cwipc_from_packet", "packet too short");
+        set_errorbuf(nullptr);
+        return nullptr;
+    }
+    cwipc_cwipcdump_header hdr;
+    memcpy(&hdr, packet, sizeof(hdr));
+    if (memcmp(hdr.hdr, CWIPC_CWIPCDUMP_HEADER, 4) != 0 || hdr.magic != CWIPC_CWIPCDUMP_VERSION) {
+        _cwipc_log_emit(CWIPC_LOG_LEVEL_ERROR, "cwipc_from_packet", "bad header");
+        set_errorbuf(nullptr);
+        return nullptr;
+    }
+    if (hdr.size != size - sizeof(hdr) || hdr.size % sizeof(cwipc_point) != 0) {
+        _cwipc_log_emit(CWIPC_LOG_LEVEL_ERROR, "cwipc_from_packet", "inconsistent size");
+        set_errorbuf(nullptr);
+        return nullptr;
+    }
+    auto *pc = new cwipc_pointcloud();
+    size_t n = hdr.size / sizeof(cwipc_point);
+    pc->points.resize(n);
+    memcpy(pc->points.data(), packet + sizeof(hdr), hdr.size);
+    pc->timestamp = hdr.timestamp;
+    pc->cellsize = hdr.cellsize;
+    set_errorbuf(nullptr);
+    return pc;
+}
+
+extern "C" cwipc_metadata *cwipc_pointcloud_access_metadata(cwipc_pointcloud *pc) {
+    if (!pc->metadata) pc->metadata = new cwipc_metadata();
+    return pc->metadata;
+}
+
+/* ------------------------------------------------------------------ */
+/* PLY I/O                                                             */
+/* ------------------------------------------------------------------ */
+
+extern "C" int cwipc_write_ext(const char *filename, cwipc_pointcloud *pc,
+                               int flag, char **errorMessage) {
+    set_errorbuf(errorMessage);
+    std::ofstream fp(filename, std::ios::binary);
+    if (!fp) {
+        _cwipc_log_emit(CWIPC_LOG_LEVEL_ERROR, "cwipc_write", "cannot open file");
+        set_errorbuf(nullptr);
+        return -1;
+    }
+    bool binary = (flag & CWIPC_FLAG_BINARY) != 0;
+    fp << "ply\nformat " << (binary ? "binary_little_endian" : "ascii")
+       << " 1.0\ncomment Created by cwipc_util_tpu native\nelement vertex "
+       << pc->points.size()
+       << "\nproperty float x\nproperty float y\nproperty float z\n"
+          "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+          "property uchar alpha\nend_header\n";
+    if (binary) {
+        for (const auto &p : pc->points) {
+            fp.write((const char *)&p.x, 12);
+            fp.write((const char *)&p.r, 4);
+        }
+    } else {
+        char line[160];
+        for (const auto &p : pc->points) {
+            snprintf(line, sizeof(line), "%.9g %.9g %.9g %d %d %d %d\n", p.x, p.y,
+                     p.z, p.r, p.g, p.b, p.tile);
+            fp << line;
+        }
+    }
+    set_errorbuf(nullptr);
+    return fp.good() ? 0 : -1;
+}
+
+extern "C" int cwipc_write(const char *filename, cwipc_pointcloud *pc,
+                           char **errorMessage) {
+    return cwipc_write_ext(filename, pc, 0, errorMessage);
+}
+
+struct PlyProperty {
+    std::string name, type;
+};
+
+static int ply_type_size(const std::string &t) {
+    if (t == "char" || t == "uchar" || t == "int8" || t == "uint8") return 1;
+    if (t == "short" || t == "ushort" || t == "int16" || t == "uint16") return 2;
+    if (t == "int" || t == "uint" || t == "int32" || t == "uint32" || t == "float" || t == "float32") return 4;
+    if (t == "double" || t == "float64") return 8;
+    return 0;
+}
+
+static double ply_read_binary_value(const uint8_t *p, const std::string &t) {
+    if (t == "char" || t == "int8") return *(const int8_t *)p;
+    if (t == "uchar" || t == "uint8") return *(const uint8_t *)p;
+    if (t == "short" || t == "int16") return *(const int16_t *)p;
+    if (t == "ushort" || t == "uint16") return *(const uint16_t *)p;
+    if (t == "int" || t == "int32") return *(const int32_t *)p;
+    if (t == "uint" || t == "uint32") return *(const uint32_t *)p;
+    if (t == "float" || t == "float32") { float f; memcpy(&f, p, 4); return f; }
+    if (t == "double" || t == "float64") { double d; memcpy(&d, p, 8); return d; }
+    return 0;
+}
+
+extern "C" cwipc_pointcloud *cwipc_read(const char *filename, uint64_t timestamp,
+                                        char **errorMessage, uint64_t apiVersion) {
+    if (!check_api_version("cwipc_read", apiVersion, errorMessage)) return nullptr;
+    set_errorbuf(errorMessage);
+    std::ifstream fp(filename, std::ios::binary);
+    if (!fp) {
+        _cwipc_log_emit(CWIPC_LOG_LEVEL_ERROR, "cwipc_read", "cannot open file");
+        set_errorbuf(nullptr);
+        return nullptr;
+    }
+    std::string line;
+    std::getline(fp, line);
+    if (line != "ply" && line != "ply\r") {
+        _cwipc_log_emit(CWIPC_LOG_LEVEL_ERROR, "cwipc_read", "not a PLY file");
+        set_errorbuf(nullptr);
+        return nullptr;
+    }
+    std::string format;
+    size_t vertex_count = 0;
+    std::vector<PlyProperty> props;
+    bool in_vertex = false;
+    while (std::getline(fp, line)) {
+        if (!line.empty() && line.back() == '\r') line.pop_back();
+        std::istringstream ss(line);
+        std::string kw;
+        ss >> kw;
+        if (kw == "format") { ss >> format; }
+        else if (kw == "element") {
+            std::string name; size_t cnt; ss >> name >> cnt;
+            in_vertex = (name == "vertex");
+            if (in_vertex) vertex_count = cnt;
+        } else if (kw == "property" && in_vertex) {
+            PlyProperty p; ss >> p.type >> p.name;
+            props.push_back(p);
+        } else if (kw == "end_header") break;
+    }
+    int ix = -1, iy = -1, iz = -1, ir = -1, ig = -1, ib = -1, ia = -1;
+    for (size_t i = 0; i < props.size(); i++) {
+        const auto &n = props[i].name;
+        if (n == "x") ix = (int)i;
+        else if (n == "y") iy = (int)i;
+        else if (n == "z") iz = (int)i;
+        else if (n == "red" || n == "r") ir = (int)i;
+        else if (n == "green" || n == "g") ig = (int)i;
+        else if (n == "blue" || n == "b") ib = (int)i;
+        else if (n == "alpha" || n == "tile" || n == "mask") ia = (int)i;
+    }
+    if (ix < 0 || iy < 0 || iz < 0) {
+        _cwipc_log_emit(CWIPC_LOG_LEVEL_ERROR, "cwipc_read", "PLY lacks x/y/z");
+        set_errorbuf(nullptr);
+        return nullptr;
+    }
+    auto *pc = new cwipc_pointcloud();
+    pc->points.resize(vertex_count);
+    pc->timestamp = timestamp;
+    if (format == "ascii") {
+        for (size_t v = 0; v < vertex_count; v++) {
+            std::vector<double> vals(props.size());
+            for (size_t i = 0; i < props.size(); i++)
+                if (!(fp >> vals[i])) { delete pc; set_errorbuf(nullptr); return nullptr; }
+            auto &p = pc->points[v];
+            p.x = (float)vals[ix]; p.y = (float)vals[iy]; p.z = (float)vals[iz];
+            p.r = ir >= 0 ? (uint8_t)vals[ir] : 0;
+            p.g = ig >= 0 ? (uint8_t)vals[ig] : 0;
+            p.b = ib >= 0 ? (uint8_t)vals[ib] : 0;
+            p.tile = ia >= 0 ? (uint8_t)vals[ia] : 0;
+        }
+    } else if (format == "binary_little_endian") {
+        size_t stride = 0;
+        std::vector<size_t> offsets(props.size());
+        for (size_t i = 0; i < props.size(); i++) {
+            offsets[i] = stride;
+            stride += ply_type_size(props[i].type);
+        }
+        std::vector<uint8_t> row(stride);
+        for (size_t v = 0; v < vertex_count; v++) {
+            fp.read((char *)row.data(), stride);
+            if (!fp) { delete pc; set_errorbuf(nullptr); return nullptr; }
+            auto &p = pc->points[v];
+            p.x = (float)ply_read_binary_value(row.data() + offsets[ix], props[ix].type);
+            p.y = (float)ply_read_binary_value(row.data() + offsets[iy], props[iy].type);
+            p.z = (float)ply_read_binary_value(row.data() + offsets[iz], props[iz].type);
+            p.r = ir >= 0 ? (uint8_t)ply_read_binary_value(row.data() + offsets[ir], props[ir].type) : 0;
+            p.g = ig >= 0 ? (uint8_t)ply_read_binary_value(row.data() + offsets[ig], props[ig].type) : 0;
+            p.b = ib >= 0 ? (uint8_t)ply_read_binary_value(row.data() + offsets[ib], props[ib].type) : 0;
+            p.tile = ia >= 0 ? (uint8_t)ply_read_binary_value(row.data() + offsets[ia], props[ia].type) : 0;
+        }
+    } else {
+        _cwipc_log_emit(CWIPC_LOG_LEVEL_ERROR, "cwipc_read", "unsupported PLY format");
+        delete pc;
+        set_errorbuf(nullptr);
+        return nullptr;
+    }
+    set_errorbuf(nullptr);
+    return pc;
+}
+
+extern "C" int cwipc_write_debugdump(const char *filename, cwipc_pointcloud *pc,
+                                     char **errorMessage) {
+    set_errorbuf(errorMessage);
+    std::ofstream fp(filename, std::ios::binary);
+    if (!fp) {
+        _cwipc_log_emit(CWIPC_LOG_LEVEL_ERROR, "cwipc_write_debugdump", "cannot open file");
+        set_errorbuf(nullptr);
+        return -1;
+    }
+    size_t needed = cwipc_pointcloud_copy_packet(pc, nullptr, 0);
+    std::vector<uint8_t> buf(needed);
+    cwipc_pointcloud_copy_packet(pc, buf.data(), needed);
+    fp.write((const char *)buf.data(), needed);
+    set_errorbuf(nullptr);
+    return fp.good() ? 0 : -1;
+}
+
+extern "C" cwipc_pointcloud *cwipc_read_debugdump(const char *filename,
+                                                  char **errorMessage,
+                                                  uint64_t apiVersion) {
+    if (!check_api_version("cwipc_read_debugdump", apiVersion, errorMessage)) return nullptr;
+    set_errorbuf(errorMessage);
+    std::ifstream fp(filename, std::ios::binary);
+    if (!fp) {
+        _cwipc_log_emit(CWIPC_LOG_LEVEL_ERROR, "cwipc_read_debugdump", "cannot open file");
+        set_errorbuf(nullptr);
+        return nullptr;
+    }
+    std::vector<uint8_t> data((std::istreambuf_iterator<char>(fp)),
+                              std::istreambuf_iterator<char>());
+    set_errorbuf(nullptr);
+    return cwipc_from_packet(data.data(), data.size(), errorMessage, apiVersion);
+}
+
+/* ------------------------------------------------------------------ */
+/* operators (hash-grid voxel + kNN; no PCL)                            */
+/* ------------------------------------------------------------------ */
+
+struct VoxelKey {
+    int32_t x, y, z;
+    bool operator==(const VoxelKey &o) const { return x == o.x && y == o.y && z == o.z; }
+};
+struct VoxelKeyHash {
+    size_t operator()(const VoxelKey &k) const {
+        /* spread the 3 coordinates over 64 bits */
+        uint64_t h = (uint64_t)(uint32_t)k.x * 73856093u ^
+                     (uint64_t)(uint32_t)k.y * 19349663u ^
+                     (uint64_t)(uint32_t)k.z * 83492791u;
+        return (size_t)h;
+    }
+};
+
+static cwipc_pointcloud *clone_meta(cwipc_pointcloud *src) {
+    auto *pc = new cwipc_pointcloud();
+    pc->timestamp = src->timestamp;
+    pc->cellsize = src->cellsize;
+    return pc;
+}
+
+extern "C" cwipc_pointcloud *cwipc_downsample(cwipc_pointcloud *pc, float cellsize) {
+    if (!pc) return nullptr;
+    cellsize = fabsf(cellsize);
+    if (pc->cellsize >= cellsize) cellsize = pc->cellsize;
+    struct Acc {
+        double x = 0, y = 0, z = 0, r = 0, g = 0, b = 0;
+        uint32_t n = 0;
+        uint8_t tile = 0;
+    };
+    std::unordered_map<VoxelKey, Acc, VoxelKeyHash> grid;
+    grid.reserve(pc->points.size());
+    float inv = 1.0f / cellsize;
+    for (const auto &p : pc->points) {
+        VoxelKey k{(int32_t)floorf(p.x * inv), (int32_t)floorf(p.y * inv),
+                   (int32_t)floorf(p.z * inv)};
+        auto &a = grid[k];
+        a.x += p.x; a.y += p.y; a.z += p.z;
+        a.r += p.r; a.g += p.g; a.b += p.b;
+        a.tile |= p.tile;
+        a.n++;
+    }
+    auto *rv = clone_meta(pc);
+    rv->cellsize = cellsize;
+    rv->points.reserve(grid.size());
+    for (const auto &kv : grid) {
+        const Acc &a = kv.second;
+        cwipc_point p;
+        p.x = (float)(a.x / a.n); p.y = (float)(a.y / a.n); p.z = (float)(a.z / a.n);
+        p.r = (uint8_t)(a.r / a.n); p.g = (uint8_t)(a.g / a.n); p.b = (uint8_t)(a.b / a.n);
+        p.tile = a.tile;
+        rv->points.push_back(p);
+    }
+    return rv;
+}
+
+extern "C" cwipc_pointcloud *cwipc_tilefilter(cwipc_pointcloud *pc, int tile) {
+    if (!pc) return nullptr;
+    auto *rv = clone_meta(pc);
+    for (const auto &p : pc->points)
+        if (tile == 0 || tile == p.tile) rv->points.push_back(p);
+    return rv;
+}
+
+extern "C" cwipc_pointcloud *cwipc_tilemap(cwipc_pointcloud *pc, uint8_t map[256]) {
+    if (!pc) return nullptr;
+    auto *rv = clone_meta(pc);
+    rv->points = pc->points;
+    for (auto &p : rv->points) p.tile = map[p.tile];
+    return rv;
+}
+
+extern "C" cwipc_pointcloud *cwipc_crop(cwipc_pointcloud *pc, float bbox[6]) {
+    if (!pc) return nullptr;
+    auto *rv = clone_meta(pc);
+    for (const auto &p : pc->points) {
+        if (bbox[0] <= p.x && p.x < bbox[1] && bbox[2] <= p.y && p.y < bbox[3] &&
+            bbox[4] <= p.z && p.z < bbox[5])
+            rv->points.push_back(p);
+    }
+    return rv;
+}
+
+extern "C" cwipc_pointcloud *cwipc_colormap(cwipc_pointcloud *pc,
+                                            uint32_t clearBits, uint32_t setBits) {
+    if (!pc) return nullptr;
+    auto *rv = clone_meta(pc);
+    rv->points = pc->points;
+    for (auto &p : rv->points) {
+        /* PCL packed layout: tile<<24 | r<<16 | g<<8 | b */
+        uint32_t rgba = ((uint32_t)p.tile << 24) | ((uint32_t)p.r << 16) |
+                        ((uint32_t)p.g << 8) | p.b;
+        rgba = (rgba & ~clearBits) | setBits;
+        p.tile = (rgba >> 24) & 0xFF;
+        p.r = (rgba >> 16) & 0xFF;
+        p.g = (rgba >> 8) & 0xFF;
+        p.b = rgba & 0xFF;
+    }
+    return rv;
+}
+
+extern "C" cwipc_pointcloud *cwipc_join(cwipc_pointcloud *pc1, cwipc_pointcloud *pc2) {
+    if (!pc1 || !pc2) return nullptr;
+    auto *rv = new cwipc_pointcloud();
+    rv->points = pc1->points;
+    rv->points.insert(rv->points.end(), pc2->points.begin(), pc2->points.end());
+    rv->timestamp = std::min(pc1->timestamp, pc2->timestamp);
+    rv->cellsize = std::min(pc1->cellsize, pc2->cellsize);
+    return rv;
+}
+
+/* statistical outlier removal: grid-bucketed kNN mean distances, global
+ * mean/stddev threshold (PCL semantics; same algorithm shape as the TPU
+ * kernel in ops/outliers.py). */
+static std::vector<float> mean_knn_distances(const std::vector<cwipc_point> &pts, int k) {
+    size_t n = pts.size();
+    std::vector<float> md(n, 0.0f);
+    if (n < 2) return md;
+    /* estimate spacing from a sample for the grid cell size */
+    double spacing = 0.01;
+    {
+        size_t step = std::max<size_t>(1, n / 256);
+        std::vector<float> samples;
+        for (size_t i = 0; i < n; i += step) {
+            float best = INFINITY;
+            for (size_t j = 0; j < n; j += step) {
+                if (i == j) continue;
+                float dx = pts[i].x - pts[j].x, dy = pts[i].y - pts[j].y, dz = pts[i].z - pts[j].z;
+                best = std::min(best, dx * dx + dy * dy + dz * dz);
+            }
+            if (std::isfinite(best)) samples.push_back(sqrtf(best));
+        }
+        if (!samples.empty()) {
+            std::nth_element(samples.begin(), samples.begin() + samples.size() / 2, samples.end());
+            spacing = std::max(1e-6f, samples[samples.size() / 2]);
+        }
+    }
+    float cell = (float)(spacing * std::max(2.0, sqrt((double)k)));
+    float inv = 1.0f / cell;
+    std::unordered_map<VoxelKey, std::vector<uint32_t>, VoxelKeyHash> grid;
+    for (uint32_t i = 0; i < n; i++) {
+        const auto &p = pts[i];
+        VoxelKey key{(int32_t)floorf(p.x * inv), (int32_t)floorf(p.y * inv),
+                     (int32_t)floorf(p.z * inv)};
+        grid[key].push_back(i);
+    }
+    std::vector<float> d2s;
+    for (uint32_t i = 0; i < n; i++) {
+        const auto &p = pts[i];
+        VoxelKey base{(int32_t)floorf(p.x * inv), (int32_t)floorf(p.y * inv),
+                      (int32_t)floorf(p.z * inv)};
+        d2s.clear();
+        for (int dx = -1; dx <= 1; dx++)
+            for (int dy = -1; dy <= 1; dy++)
+                for (int dz = -1; dz <= 1; dz++) {
+                    auto it = grid.find(VoxelKey{base.x + dx, base.y + dy, base.z + dz});
+                    if (it == grid.end()) continue;
+                    for (uint32_t j : it->second) {
+                        if (j == i) continue;
+                        float ddx = p.x - pts[j].x, ddy = p.y - pts[j].y, ddz = p.z - pts[j].z;
+                        d2s.push_back(ddx * ddx + ddy * ddy + ddz * ddz);
+                    }
+                }
+        int kk = std::min<int>(k, (int)d2s.size());
+        double sum = 0;
+        if (kk > 0) {
+            std::nth_element(d2s.begin(), d2s.begin() + (kk - 1), d2s.end());
+            for (int j = 0; j < kk; j++) sum += sqrt((double)d2s[j]);
+        }
+        /* missing neighbors count as 2*cell away (isolated => outlier) */
+        sum += (k - kk) * 2.0 * cell;
+        md[i] = (float)(sum / k);
+    }
+    return md;
+}
+
+static void remove_outliers_into(const std::vector<cwipc_point> &pts, int k,
+                                 float mult, std::vector<cwipc_point> &out) {
+    size_t n = pts.size();
+    if (n < 2) { out.insert(out.end(), pts.begin(), pts.end()); return; }
+    std::vector<float> md = mean_knn_distances(pts, k);
+    double sum = 0, sq = 0;
+    for (float v : md) { sum += v; sq += (double)v * v; }
+    double mean = sum / n;
+    double var = (sq - sum * sum / n) / std::max<double>(1.0, (double)n - 1);
+    double thr = mean + mult * sqrt(std::max(0.0, var));
+    for (size_t i = 0; i < n; i++)
+        if (md[i] <= thr) out.push_back(pts[i]);
+}
+
+extern "C" cwipc_pointcloud *cwipc_remove_outliers(cwipc_pointcloud *pc, int kNeighbors,
+                                                   float stddevMulThresh, int perTile) {
+    if (!pc) return nullptr;
+    auto *rv = clone_meta(pc);
+    if (!perTile) {
+        remove_outliers_into(pc->points, kNeighbors, stddevMulThresh, rv->points);
+        return rv;
+    }
+    /* distinct tiles in order of first appearance; tile==0 selects ALL
+     * points (reference quirk, src/cwipc_filters.cpp:238-261). */
+    std::vector<int> tiles;
+    for (const auto &p : pc->points)
+        if (std::find(tiles.begin(), tiles.end(), (int)p.tile) == tiles.end())
+            tiles.push_back(p.tile);
+    for (int tile : tiles) {
+        std::vector<cwipc_point> sub;
+        for (const auto &p : pc->points)
+            if (tile == 0 || tile == p.tile) sub.push_back(p);
+        remove_outliers_into(sub, kNeighbors, stddevMulThresh, rv->points);
+    }
+    return rv;
+}
+
+/* ------------------------------------------------------------------ */
+/* synthetic source                                                    */
+/* ------------------------------------------------------------------ */
+
+struct cwipc_source {
+    virtual ~cwipc_source() = default;
+    virtual cwipc_pointcloud *get() = 0;
+    virtual bool available(bool wait) = 0;
+    virtual bool eof() = 0;
+    virtual bool start() = 0;
+    virtual void stop() = 0;
+    virtual int maxtile() { return 1; }
+    virtual bool get_tileinfo(int, struct cwipc_tileinfo *) { return false; }
+};
+
+struct SyntheticSource : public cwipc_source {
+    int hsteps, asteps, fps;
+    float angle = 0;
+    bool started = false;
+    std::chrono::system_clock::time_point start_time, earliest_next;
+
+    SyntheticSource(int fps_, int npoints) : fps(fps_) {
+        if (npoints == 0) npoints = 160000;
+        hsteps = asteps = (int)sqrt((double)npoints);
+    }
+    bool start() override {
+        start_time = std::chrono::system_clock::now();
+        earliest_next = start_time;
+        started = true;
+        return true;
+    }
+    void stop() override { started = false; }
+    bool eof() override { return false; }
+    bool available(bool wait) override {
+        if (!started) return false;
+        if (!wait && fps != 0 && std::chrono::system_clock::now() < earliest_next)
+            return false;
+        return true;
+    }
+    cwipc_pointcloud *get() override {
+        if (!started) return nullptr;
+        auto now = std::chrono::system_clock::now();
+        if (fps != 0 && now < earliest_next) {
+            std::this_thread::sleep_until(earliest_next);
+            now = std::chrono::system_clock::now();
+        }
+        if (fps != 0) earliest_next = now + std::chrono::milliseconds(1000 / fps);
+        uint64_t ts = std::chrono::duration_cast<std::chrono::milliseconds>(
+                          now.time_since_epoch()).count();
+        angle = std::chrono::duration<float>(now - start_time).count();
+        auto *pc = new cwipc_pointcloud();
+        pc->timestamp = ts;
+        pc->cellsize = 2.0f / hsteps;
+        pc->points.reserve((size_t)hsteps * asteps);
+        const float pi = 3.14159265358979f;
+        for (int hi = 0; hi < hsteps; hi++) {
+            float height = hi * (2.0f / hsteps);
+            for (int ai = 0; ai < asteps; ai++) {
+                float a = ai * (2 * pi / asteps);
+                float radius = 0.3f * powf(cosf(height * pi / 3 - pi / 6), 0.71f);
+                float x = radius * sinf(a), y = radius * cosf(a);
+                float r = (1 + sinf(2 * pi * height + angle + a)) / 2;
+                float g = (1 + sinf(3 * pi * height + angle + a)) / 2;
+                float b = (1 + sinf(4 * pi * height + angle + a)) / 2;
+                int rr = (int)(r * 255), gg = (int)(g * 255), bb = (int)(b * 255);
+                bool eye_band = height > 1.7f && height < 1.8f;
+                bool eye_arc = (a > pi * 0.083f && a < pi * 0.1667f) ||
+                               (a > pi * 1.833f && a < pi * 1.917f);
+                if (eye_band && eye_arc && fmodf(angle, pi / 2) > 0.08f)
+                    rr = gg = bb = 255;
+                cwipc_point p;
+                p.x = -x; p.y = height; p.z = y;
+                p.r = (uint8_t)rr; p.g = (uint8_t)gg; p.b = (uint8_t)bb;
+                p.tile = y < 0 ? 1 : 2;
+                pc->points.push_back(p);
+            }
+        }
+        return pc;
+    }
+    int maxtile() override { return 3; }
+    bool get_tileinfo(int tilenum, struct cwipc_tileinfo *info) override {
+        static struct cwipc_tileinfo table[3] = {
+            {{0, 0, 0}, (char *)"synthetic", 2, 0},
+            {{0, 0, 1}, (char *)"synthetic-right", 1, 1},
+            {{0, 0, -1}, (char *)"synthetic-left", 1, 2},
+        };
+        if (tilenum < 0 || tilenum > 2) return false;
+        if (info) *info = table[tilenum];
+        return true;
+    }
+};
+
+extern "C" cwipc_source *cwipc_synthetic(int fps, int npoints, char **errorMessage,
+                                         uint64_t apiVersion) {
+    if (!check_api_version("cwipc_synthetic", apiVersion, errorMessage)) return nullptr;
+    return new SyntheticSource(fps, npoints);
+}
+
+extern "C" void cwipc_source_free(cwipc_source *src) { delete src; }
+extern "C" cwipc_pointcloud *cwipc_source_get(cwipc_source *src) { return src->get(); }
+extern "C" int cwipc_source_available(cwipc_source *src, int wait) {
+    return src->available(wait != 0);
+}
+extern "C" int cwipc_source_eof(cwipc_source *src) { return src->eof(); }
+extern "C" int cwipc_source_start(cwipc_source *src) { return src->start(); }
+extern "C" void cwipc_source_stop(cwipc_source *src) { src->stop(); }
+extern "C" int cwipc_source_maxtile(cwipc_source *src) { return src->maxtile(); }
+extern "C" int cwipc_source_get_tileinfo(cwipc_source *src, int tilenum,
+                                         struct cwipc_tileinfo *tileinfo) {
+    return src->get_tileinfo(tilenum, tileinfo);
+}
+
+/* ------------------------------------------------------------------ */
+/* capturer registry                                                   */
+/* ------------------------------------------------------------------ */
+
+struct CapturerEntry {
+    std::string name;
+    cwipc_capturer_count_fn countFn;
+    cwipc_capturer_factory_fn factoryFn;
+};
+static std::vector<CapturerEntry> capturers;
+static std::mutex capturers_mutex;
+
+extern "C" void _cwipc_register_capturer(const char *name,
+                                         cwipc_capturer_count_fn countFn,
+                                         cwipc_capturer_factory_fn factoryFn) {
+    std::lock_guard<std::mutex> lock(capturers_mutex);
+    capturers.push_back({name, countFn, factoryFn});
+}
+
+/* minimal JSON "type" extraction: find "type" : "value" */
+static std::string json_find_type(const std::string &json) {
+    size_t pos = json.find("\"type\"");
+    if (pos == std::string::npos) return "";
+    pos = json.find(':', pos);
+    if (pos == std::string::npos) return "";
+    pos = json.find('"', pos);
+    if (pos == std::string::npos) return "";
+    size_t end = json.find('"', pos + 1);
+    if (end == std::string::npos) return "";
+    return json.substr(pos + 1, end - pos - 1);
+}
+
+extern "C" cwipc_source *cwipc_capturer(const char *configFilename,
+                                        char **errorMessage, uint64_t apiVersion) {
+    if (!check_api_version("cwipc_capturer", apiVersion, errorMessage)) return nullptr;
+    std::string config;
+    if (configFilename == nullptr || strcmp(configFilename, "auto") == 0) {
+        std::lock_guard<std::mutex> lock(capturers_mutex);
+        const CapturerEntry *present = nullptr;
+        int n_present = 0;
+        for (const auto &e : capturers) {
+            if (e.countFn && e.countFn() > 0) {
+                present = &e;
+                n_present++;
+            }
+        }
+        if (n_present != 1) {
+            if (errorMessage)
+                *errorMessage = strdup(n_present == 0
+                                           ? "cwipc_capturer: auto: no camera types detected"
+                                           : "cwipc_capturer: auto: multiple camera types present");
+            return nullptr;
+        }
+        return present->factoryFn("{}", errorMessage);
+    }
+    if (configFilename[0] == '{') {
+        config = configFilename;
+    } else {
+        std::ifstream fp(configFilename);
+        if (!fp) {
+            if (errorMessage) *errorMessage = strdup("cwipc_capturer: cannot open config file");
+            return nullptr;
+        }
+        std::stringstream ss;
+        ss << fp.rdbuf();
+        config = ss.str();
+    }
+    std::string type = json_find_type(config);
+    {
+        std::lock_guard<std::mutex> lock(capturers_mutex);
+        for (const auto &e : capturers)
+            if (e.name == type) return e.factoryFn(config.c_str(), errorMessage);
+    }
+    if (errorMessage) {
+        std::string msg = "cwipc_capturer: unknown capturer type \"" + type + "\"";
+        *errorMessage = strdup(msg.c_str());
+    }
+    return nullptr;
+}

@@ -1,0 +1,173 @@
+/* cwipc_util_tpu native C ABI.
+ *
+ * Cross-language interop surface of the TPU-native cwipc framework:
+ * the same wire formats, struct layouts and extern "C" entry points as the
+ * reference library's public API (reference: include/cwipc_util/api.h),
+ * re-implemented from the documented contract so C/C++ consumers (capturer
+ * plugins, game-engine bindings, the native CLI apps) can link against
+ * libcwipc_util_tpu without Python.  The TPU compute path lives in the
+ * Python/JAX layer; this library provides the native object model,
+ * serialization, synthetic source, CPU fallback operators, logging and the
+ * capturer plugin registry.
+ */
+
+#ifndef CWIPC_UTIL_TPU_CAPI_H
+#define CWIPC_UTIL_TPU_CAPI_H
+
+#include <stdint.h>
+#include <stddef.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+#define CWIPC_API_VERSION ((uint64_t)0x20260129)
+#define CWIPC_API_VERSION_OLD ((uint64_t)0x20260129)
+
+/* cwipcdump file/packet format: 32-byte header + packed points. */
+#define CWIPC_CWIPCDUMP_HEADER "cpcd"
+#define CWIPC_CWIPCDUMP_VERSION ((uint32_t)0x20210208)
+#define CWIPC_FLAG_BINARY 1
+
+struct cwipc_cwipcdump_header {
+    char hdr[4];
+    uint32_t magic;
+    uint64_t timestamp;
+    float cellsize;
+    uint32_t unused;
+    uint64_t size;
+};
+
+/* The 16-byte external point record. */
+struct cwipc_point {
+    float x, y, z;
+    uint8_t r, g, b;
+    uint8_t tile;
+};
+
+struct cwipc_vector {
+    double x, y, z;
+};
+
+struct cwipc_tileinfo {
+    struct cwipc_vector normal;
+    char *cameraName;
+    uint8_t ncamera;
+    uint8_t cameraMask;
+};
+
+/* Legacy proxy packet header (24 bytes). */
+struct cwipc_point_packetheader {
+    uint32_t magic;
+    uint32_t dataCount;
+    uint64_t timestamp;
+    float cellsize;
+    uint32_t unused;
+};
+#define CWIPC_POINT_PACKETHEADER_MAGIC 0x20201016
+
+enum cwipc_log_level {
+    CWIPC_LOG_LEVEL_NONE = 0,
+    CWIPC_LOG_LEVEL_ERROR = 1,
+    CWIPC_LOG_LEVEL_WARNING = 2,
+    CWIPC_LOG_LEVEL_TRACE = 3,
+    CWIPC_LOG_LEVEL_DEBUG = 4
+};
+
+typedef void (*cwipc_log_callback_t)(int level, const char *message);
+
+/* Opaque handles. */
+typedef struct cwipc_pointcloud cwipc_pointcloud;
+typedef struct cwipc_source cwipc_source;
+typedef struct cwipc_metadata cwipc_metadata;
+
+/* ---- point cloud object ---------------------------------------------- */
+
+cwipc_pointcloud *cwipc_from_points(struct cwipc_point *points, size_t size,
+                                    int npoint, uint64_t timestamp,
+                                    char **errorMessage, uint64_t apiVersion);
+cwipc_pointcloud *cwipc_from_packet(uint8_t *packet, size_t size,
+                                    char **errorMessage, uint64_t apiVersion);
+void cwipc_pointcloud_free(cwipc_pointcloud *pc);
+uint64_t cwipc_pointcloud_timestamp(cwipc_pointcloud *pc);
+float cwipc_pointcloud_cellsize(cwipc_pointcloud *pc);
+void cwipc_pointcloud__set_cellsize(cwipc_pointcloud *pc, float cellsize);
+void cwipc_pointcloud__set_timestamp(cwipc_pointcloud *pc, uint64_t timestamp);
+int cwipc_pointcloud_count(cwipc_pointcloud *pc);
+size_t cwipc_pointcloud_get_uncompressed_size(cwipc_pointcloud *pc);
+int cwipc_pointcloud_copy_uncompressed(cwipc_pointcloud *pc,
+                                       struct cwipc_point *points, size_t size);
+size_t cwipc_pointcloud_copy_packet(cwipc_pointcloud *pc, uint8_t *packet,
+                                    size_t size);
+cwipc_metadata *cwipc_pointcloud_access_metadata(cwipc_pointcloud *pc);
+
+/* ---- serialization ----------------------------------------------------- */
+
+cwipc_pointcloud *cwipc_read(const char *filename, uint64_t timestamp,
+                             char **errorMessage, uint64_t apiVersion);
+int cwipc_write(const char *filename, cwipc_pointcloud *pc, char **errorMessage);
+int cwipc_write_ext(const char *filename, cwipc_pointcloud *pc, int flag,
+                    char **errorMessage);
+cwipc_pointcloud *cwipc_read_debugdump(const char *filename,
+                                       char **errorMessage, uint64_t apiVersion);
+int cwipc_write_debugdump(const char *filename, cwipc_pointcloud *pc,
+                          char **errorMessage);
+
+/* ---- operators (native CPU path) --------------------------------------- */
+
+cwipc_pointcloud *cwipc_downsample(cwipc_pointcloud *pc, float cellsize);
+cwipc_pointcloud *cwipc_remove_outliers(cwipc_pointcloud *pc, int kNeighbors,
+                                        float stddevMulThresh, int perTile);
+cwipc_pointcloud *cwipc_tilefilter(cwipc_pointcloud *pc, int tile);
+cwipc_pointcloud *cwipc_tilemap(cwipc_pointcloud *pc, uint8_t map[256]);
+cwipc_pointcloud *cwipc_crop(cwipc_pointcloud *pc, float bbox[6]);
+cwipc_pointcloud *cwipc_colormap(cwipc_pointcloud *pc, uint32_t clearBits,
+                                 uint32_t setBits);
+cwipc_pointcloud *cwipc_join(cwipc_pointcloud *pc1, cwipc_pointcloud *pc2);
+
+/* ---- synthetic source --------------------------------------------------- */
+
+cwipc_source *cwipc_synthetic(int fps, int npoints, char **errorMessage,
+                              uint64_t apiVersion);
+void cwipc_source_free(cwipc_source *src);
+cwipc_pointcloud *cwipc_source_get(cwipc_source *src);
+int cwipc_source_available(cwipc_source *src, int wait);
+int cwipc_source_eof(cwipc_source *src);
+int cwipc_source_start(cwipc_source *src);
+void cwipc_source_stop(cwipc_source *src);
+int cwipc_source_maxtile(cwipc_source *src);
+int cwipc_source_get_tileinfo(cwipc_source *src, int tilenum,
+                              struct cwipc_tileinfo *tileinfo);
+
+/* ---- capturer plugin registry ------------------------------------------- */
+
+typedef int (*cwipc_capturer_count_fn)(void);
+typedef cwipc_source *(*cwipc_capturer_factory_fn)(const char *configJson,
+                                                   char **errorMessage);
+void _cwipc_register_capturer(const char *name, cwipc_capturer_count_fn countFn,
+                              cwipc_capturer_factory_fn factoryFn);
+cwipc_source *cwipc_capturer(const char *configFilename, char **errorMessage,
+                             uint64_t apiVersion);
+
+/* ---- metadata -------------------------------------------------------------- */
+
+int cwipc_metadata_count(cwipc_metadata *md);
+const char *cwipc_metadata_name(cwipc_metadata *md, int idx);
+const char *cwipc_metadata_description(cwipc_metadata *md, int idx);
+size_t cwipc_metadata_size(cwipc_metadata *md, int idx);
+const void *cwipc_metadata_pointer(cwipc_metadata *md, int idx);
+void cwipc_metadata_add(cwipc_metadata *md, const char *name,
+                        const char *description, const void *data, size_t size);
+
+/* ---- logging / diagnostics ---------------------------------------------------- */
+
+void cwipc_log_configure(int level, cwipc_log_callback_t callback);
+void _cwipc_log_emit(int level, const char *module, const char *message);
+int cwipc_dangling_allocations(int log);
+const char *cwipc_get_version(void);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* CWIPC_UTIL_TPU_CAPI_H */

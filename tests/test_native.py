@@ -1,0 +1,177 @@
+"""Native C ABI tests: build libcwipc_util_tpu.so, bind it with ctypes, and
+verify cross-language parity — files and packets written by the native lib
+must read back identically through the Python/JAX layer and vice versa
+(the reference's C-ABI interop contract, include/cwipc_util/api.h)."""
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+import numpy as np
+import pytest
+
+import cwipc_util_tpu as cwipc
+
+NATIVE_DIR = pathlib.Path(__file__).parent.parent / "cwipc_util_tpu" / "native"
+
+
+@pytest.fixture(scope="module")
+def native_lib():
+    so = NATIVE_DIR / "build" / "libcwipc_util_tpu.so"
+    if not so.exists():
+        rv = subprocess.run(["make", "-C", str(NATIVE_DIR)], capture_output=True, text=True)
+        if rv.returncode != 0:
+            pytest.skip(f"native build failed: {rv.stderr[-500:]}")
+    lib = ctypes.CDLL(str(so))
+    lib.cwipc_from_points.restype = ctypes.c_void_p
+    lib.cwipc_from_points.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_uint64,
+    ]
+    lib.cwipc_from_packet.restype = ctypes.c_void_p
+    lib.cwipc_from_packet.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_char_p), ctypes.c_uint64,
+    ]
+    lib.cwipc_read.restype = ctypes.c_void_p
+    lib.cwipc_read.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_char_p), ctypes.c_uint64,
+    ]
+    lib.cwipc_write.restype = ctypes.c_int
+    lib.cwipc_write.argtypes = [ctypes.c_char_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p)]
+    lib.cwipc_pointcloud_count.restype = ctypes.c_int
+    lib.cwipc_pointcloud_count.argtypes = [ctypes.c_void_p]
+    lib.cwipc_pointcloud_timestamp.restype = ctypes.c_uint64
+    lib.cwipc_pointcloud_timestamp.argtypes = [ctypes.c_void_p]
+    lib.cwipc_pointcloud_copy_packet.restype = ctypes.c_size_t
+    lib.cwipc_pointcloud_copy_packet.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
+    lib.cwipc_pointcloud_copy_uncompressed.restype = ctypes.c_int
+    lib.cwipc_pointcloud_copy_uncompressed.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
+    lib.cwipc_pointcloud_free.argtypes = [ctypes.c_void_p]
+    lib.cwipc_downsample.restype = ctypes.c_void_p
+    lib.cwipc_downsample.argtypes = [ctypes.c_void_p, ctypes.c_float]
+    lib.cwipc_dangling_allocations.restype = ctypes.c_int
+    lib.cwipc_dangling_allocations.argtypes = [ctypes.c_int]
+    return lib
+
+
+def _py_cloud():
+    return cwipc.cwipc_from_points(
+        [(1, 2, 3, 0x10, 0x20, 0x30, 1), (4, 5, 6, 0x40, 0x50, 0x60, 2)], 4242
+    )
+
+
+class TestNativeInterop:
+    def test_packet_python_to_native(self, native_lib):
+        """Packets serialized by the Python layer parse in the native lib."""
+        pc = _py_cloud()
+        packet = bytes(pc.get_packet())
+        err = ctypes.c_char_p()
+        buf = ctypes.create_string_buffer(packet, len(packet))
+        npc = native_lib.cwipc_from_packet(buf, len(packet), ctypes.byref(err), cwipc.CWIPC_API_VERSION)
+        assert not err.value, err.value
+        assert npc
+        assert native_lib.cwipc_pointcloud_count(npc) == 2
+        assert native_lib.cwipc_pointcloud_timestamp(npc) == 4242
+        native_lib.cwipc_pointcloud_free(npc)
+
+    def test_packet_native_to_python(self, native_lib):
+        """Packets serialized natively parse in the Python layer, bit-equal."""
+        pc = _py_cloud()
+        pts = bytes(pc.get_bytes())
+        err = ctypes.c_char_p()
+        buf = ctypes.create_string_buffer(pts, len(pts))
+        npc = native_lib.cwipc_from_points(buf, len(pts), 2, 4242, ctypes.byref(err), cwipc.CWIPC_API_VERSION)
+        assert npc
+        need = native_lib.cwipc_pointcloud_copy_packet(npc, None, 0)
+        out = ctypes.create_string_buffer(int(need))
+        assert native_lib.cwipc_pointcloud_copy_packet(npc, out, need) == need
+        pc2 = cwipc.cwipc_from_packet(out.raw)
+        assert list(pc2.get_points()) == list(pc.get_points())
+        assert pc2.timestamp() == 4242
+        native_lib.cwipc_pointcloud_free(npc)
+
+    def test_ply_cross_read(self, native_lib, tmp_path):
+        """Native-written PLY reads in Python and vice versa (ascii+binary)."""
+        pc = _py_cloud()
+        err = ctypes.c_char_p()
+        for flags in (0, cwipc.CWIPC_FLAGS_BINARY):
+            fn = str(tmp_path / f"py_{flags}.ply")
+            cwipc.cwipc_write(fn, pc, flags)
+            npc = native_lib.cwipc_read(fn.encode(), 0, ctypes.byref(err), cwipc.CWIPC_API_VERSION)
+            assert npc, err.value
+            assert native_lib.cwipc_pointcloud_count(npc) == 2
+            fn2 = str(tmp_path / f"native_{flags}.ply")
+            assert native_lib.cwipc_write(fn2.encode(), npc, ctypes.byref(err)) == 0
+            pc2 = cwipc.cwipc_read(fn2, 0)
+            assert list(pc2.get_points()) == list(pc.get_points())
+            native_lib.cwipc_pointcloud_free(npc)
+
+    def test_native_downsample_matches_python(self, native_lib):
+        """The native hash-grid downsample and the TPU kernel agree on the
+        voxel set (order-independent)."""
+        gen = cwipc.cwipc_synthetic(0, 2500)
+        gen.start()
+        pc = gen.get()
+        gen.stop()
+        py_down = cwipc.cwipc_downsample(pc, 0.05)
+
+        pts = bytes(pc.get_bytes())
+        err = ctypes.c_char_p()
+        buf = ctypes.create_string_buffer(pts, len(pts))
+        npc = native_lib.cwipc_from_points(buf, len(pts), pc.count(), 0, ctypes.byref(err), cwipc.CWIPC_API_VERSION)
+        ndown = native_lib.cwipc_downsample(npc, 0.05)
+        n = native_lib.cwipc_pointcloud_count(ndown)
+        assert n == py_down.count()
+        out = ctypes.create_string_buffer(n * 16)
+        native_lib.cwipc_pointcloud_copy_uncompressed(ndown, out, n * 16)
+        native_arr = np.frombuffer(out.raw, cwipc.POINT_DTYPE)
+        py_arr = py_down.get_numpy_array()
+
+        # set equality keyed by voxel id (hash map order != Morton order, and
+        # f32-vs-f64 accumulation gives sub-1e-5 centroid differences)
+        def as_dict(arr):
+            inv = np.float32(1.0) / np.float32(0.05)
+            keys = np.floor(
+                np.stack([arr["x"], arr["y"], arr["z"]], -1).astype(np.float32) * inv
+            ).astype(np.int64)
+            return {
+                tuple(k): (float(x), float(y), float(z), int(t))
+                for k, x, y, z, t in zip(keys, arr["x"], arr["y"], arr["z"], arr["tile"])
+            }
+
+        nd, pd = as_dict(native_arr), as_dict(py_arr)
+        assert set(nd.keys()) == set(pd.keys())
+        for k in nd:
+            nx, ny, nz, nt = nd[k]
+            px, py_, pz, pt = pd[k]
+            assert abs(nx - px) < 1e-4 and abs(ny - py_) < 1e-4 and abs(nz - pz) < 1e-4
+            assert nt == pt, f"tile mismatch at voxel {k}: {nt} vs {pt}"
+        native_lib.cwipc_pointcloud_free(npc)
+        native_lib.cwipc_pointcloud_free(ndown)
+
+    def test_native_leak_oracle(self, native_lib):
+        before = native_lib.cwipc_dangling_allocations(0)
+        pc = _py_cloud()
+        pts = bytes(pc.get_bytes())
+        buf = ctypes.create_string_buffer(pts, len(pts))
+        err = ctypes.c_char_p()
+        npc = native_lib.cwipc_from_points(buf, len(pts), 2, 0, ctypes.byref(err), cwipc.CWIPC_API_VERSION)
+        assert native_lib.cwipc_dangling_allocations(0) == before + 1
+        native_lib.cwipc_pointcloud_free(npc)
+        assert native_lib.cwipc_dangling_allocations(0) == before
+
+    def test_native_apps_roundtrip(self, native_lib, tmp_path):
+        """The native CLI apps convert files the Python layer can read."""
+        build = NATIVE_DIR / "build"
+        rv = subprocess.run(
+            [str(build / "cwipc_generate"), "1", str(tmp_path)],
+            capture_output=True, text=True,
+        )
+        assert rv.returncode == 0, rv.stderr
+        ply = rv.stdout.strip().splitlines()[-1]
+        dump = str(tmp_path / "out.cwipcdump")
+        rv = subprocess.run([str(build / "cwipc_ply2dump"), ply, dump], capture_output=True, text=True)
+        assert rv.returncode == 0, rv.stderr
+        pc = cwipc.cwipc_read_debugdump(dump)
+        assert pc.count() == 160000
