@@ -26,6 +26,9 @@ from .core.pointcloud import (
     cwipc_point_array,
     cwipc_point_numpy_dtype,
     cwipc_pointcloud_wrapper,
+    cwipc_skeleton_collection,
+    cwipc_skeleton_joint,
+    parse_skeleton_collection,
 )
 from .io.dump import (
     CWIPC_CWIPCDUMP_HEADER,

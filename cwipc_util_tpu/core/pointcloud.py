@@ -312,3 +312,43 @@ class cwipc_pointcloud_wrapper:
         if self._metadata is None:
             self._metadata = cwipc_metadata()
         return self._metadata
+
+
+# ---------------------------------------------------------------------------
+# Skeleton structures (k4abt body tracking interop,
+# reference: include/cwipc_util/api.h:118-141, python/cwipc/util.py)
+# ---------------------------------------------------------------------------
+
+
+class cwipc_skeleton_joint(ctypes.Structure):
+    """Per-joint skeleton information as reported by a body tracker."""
+
+    _fields_ = [
+        ("confidence", ctypes.c_uint32),
+        ("x", ctypes.c_float),
+        ("y", ctypes.c_float),
+        ("z", ctypes.c_float),
+        ("q_w", ctypes.c_float),
+        ("q_x", ctypes.c_float),
+        ("q_y", ctypes.c_float),
+        ("q_z", ctypes.c_float),
+    ]
+
+
+class cwipc_skeleton_collection(ctypes.Structure):
+    """Header of a skeleton collection; joints follow contiguously."""
+
+    _fields_ = [
+        ("n_skeletons", ctypes.c_uint32),
+        ("n_joints", ctypes.c_uint32),
+    ]
+
+
+def parse_skeleton_collection(data: bytes):
+    """Parse a skeleton-collection metadata blob into
+    (n_skeletons, n_joints, [joint, ...])."""
+    hdr = cwipc_skeleton_collection.from_buffer_copy(data[:8])
+    joints = (cwipc_skeleton_joint * (hdr.n_skeletons * hdr.n_joints)).from_buffer_copy(
+        data[8:]
+    )
+    return hdr.n_skeletons, hdr.n_joints, list(joints)

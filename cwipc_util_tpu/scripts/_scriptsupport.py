@@ -124,6 +124,27 @@ def activesource_factory_from_args(
             return source_synchronizer.cwipc_source_synchronizer(rdr, decoders, verbose=verbose2)
 
         return make_mt_netclient
+    if args.lldplay:
+        def make_lldplay() -> cwipc_activesource_abstract:
+            from ..net import source_lldplay
+
+            rdr = source_lldplay.cwipc_source_lldplay(args.lldplay, verbose=verbose2)
+            return cast(cwipc_activesource_abstract, activedecoder_factory(rdr, verbose=verbose2))
+
+        return make_lldplay
+    if args.mt_lldplay:
+        def make_mt_lldplay() -> cwipc_activesource_abstract:
+            from ..net import source_lldplay
+
+            rdr = source_lldplay.cwipc_multisource_lldplay(args.mt_lldplay, verbose=verbose2)
+            rdr.start()
+            decoders = [
+                passivedecoder_factory(rdr.get_tile_source(i), verbose=verbose2)
+                for i in range(rdr.get_tile_count())
+            ]
+            return source_synchronizer.cwipc_source_synchronizer(rdr, decoders, verbose=verbose2)
+
+        return make_mt_lldplay
     if getattr(args, "kinect", False) or getattr(args, "realsense", False) or getattr(args, "orbbec", False):
         name = "kinect" if args.kinect else ("realsense2" if args.realsense else "orbbec")
         if not cwipc_check_module(name):

@@ -29,6 +29,7 @@ def main() -> int:
     parser = ArgumentParser(description="Forward pointcloud streams over the network")
     parser.add_argument("--port", type=int, default=DEFAULT_PORT, help=f"Serve on this port (default {DEFAULT_PORT})")
     parser.add_argument("--forward", metavar="HOST:PORT", help="Push to a cwipc netserver relay instead of serving")
+    parser.add_argument("--lldpkg", metavar="URL", help="Push streams to a low-latency DASH ingest server (requires SIGNALS)")
     parser.add_argument("--noencode", action="store_true", help="Send uncompressed packets (fourcc cwi0)")
     parser.add_argument("--tiled", action="store_true", help="One stream per tile")
     parser.add_argument("--octree_bits", type=int, action="append", help="Encoder octree depth (may repeat for multi-quality)")
@@ -38,7 +39,11 @@ def main() -> int:
 
     source = activesource_factory_from_args(args)()
 
-    if args.forward:
+    if args.lldpkg:
+        from ..net.sink_lldpkg import cwipc_sink_lldpkg
+
+        rawsink = cwipc_sink_lldpkg(args.lldpkg, verbose=args.verbose > 1)
+    elif args.forward:
         rawsink = cwipc_sink_netingest(args.forward, verbose=args.verbose > 1)
     else:
         rawsink = cwipc_sink_netserver(args.port, verbose=args.verbose > 1, nodrop=args.nodrop)
