@@ -19,7 +19,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..core.buffers import PointBuffer
 from ..ops import compaction, outliers, voxelize
@@ -82,7 +86,7 @@ def make_fusion_step(mesh: Mesh, k: int = 12, cell_cap: int = 16):
         mesh=mesh,
         in_specs=(P(CAMERA_AXIS), P(CAMERA_AXIS), P(CAMERA_AXIS), P(), P()),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
