@@ -12,9 +12,12 @@ are jitted XLA/Pallas kernels.
 
 from .abstract import (
     cwipc_activesource_abstract,
+    cwipc_activesource_wrapper,
     cwipc_pointcloud_abstract,
     cwipc_sink_abstract,
+    cwipc_sink_wrapper,
     cwipc_source_abstract,
+    cwipc_source_wrapper,
 )
 from .core.buffers import POINT_DTYPE, POINT_SIZE, PointBuffer
 from .core.errors import CwipcError

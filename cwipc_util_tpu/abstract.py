@@ -100,3 +100,58 @@ class cwipc_sink_abstract(ABC):
 
     def interact(self, prompt: Optional[str], responses: Optional[str], millis: int) -> str:
         return ""
+
+
+# ---------------------------------------------------------------------------
+# Wrapper-class aliases.  The reference exposes its ctypes wrapper classes
+# as cwipc_source_wrapper / cwipc_activesource_wrapper / cwipc_sink_wrapper
+# (python/cwipc/util.py:742-944); in this framework sources are Python
+# objects already, so the "wrapper" names are constructible shells kept for
+# API compatibility (user code does `cwipc.cwipc_source_wrapper()` in
+# tests/teardown paths).
+# ---------------------------------------------------------------------------
+
+
+class cwipc_source_wrapper(cwipc_source_abstract):
+    """Empty source shell (API-compatibility constructor)."""
+
+    def __init__(self, wrapped: Optional[cwipc_source_abstract] = None):
+        self._wrapped = wrapped
+
+    def free(self, *, force: bool = False) -> None:
+        if self._wrapped:
+            self._wrapped.free(force=force)
+
+    def eof(self) -> bool:
+        return self._wrapped.eof() if self._wrapped else True
+
+    def available(self, wait: bool) -> bool:
+        return self._wrapped.available(wait) if self._wrapped else False
+
+    def get(self):
+        return self._wrapped.get() if self._wrapped else None
+
+
+class cwipc_activesource_wrapper(cwipc_source_wrapper):
+    """Empty active-source shell (API-compatibility constructor)."""
+
+    def start(self) -> bool:
+        return self._wrapped.start() if self._wrapped else False
+
+    def stop(self) -> None:
+        if self._wrapped:
+            self._wrapped.stop()
+
+
+class cwipc_sink_wrapper(cwipc_sink_abstract):
+    """Empty sink shell (API-compatibility constructor)."""
+
+    def __init__(self, wrapped=None):
+        self._wrapped = wrapped
+
+    def free(self, *, force: bool = False) -> None:
+        if self._wrapped:
+            self._wrapped.free(force=force)
+
+    def feed(self, pc, clear: bool) -> bool:
+        return self._wrapped.feed(pc, clear) if self._wrapped else False

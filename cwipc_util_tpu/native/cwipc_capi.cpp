@@ -598,27 +598,51 @@ static std::vector<float> mean_knn_distances(const std::vector<cwipc_point> &pts
             spacing = std::max(1e-6f, samples[samples.size() / 2]);
         }
     }
-    float cell = (float)(spacing * std::max(2.0, sqrt((double)k)));
+    /* Sorted-grid layout (same design as the TPU kernel, ops/knn.py): sort
+     * point indices by packed cell key once, then neighbor cells are
+     * contiguous ranges found by binary search — no hash map churn. */
+    float cell = (float)(spacing * std::max(2.0, sqrt((double)k) / 1.5));
     float inv = 1.0f / cell;
-    std::unordered_map<VoxelKey, std::vector<uint32_t>, VoxelKeyHash> grid;
+    int32_t minc[3] = {INT32_MAX, INT32_MAX, INT32_MAX};
+    std::vector<int32_t> cx(n), cy(n), cz(n);
     for (uint32_t i = 0; i < n; i++) {
-        const auto &p = pts[i];
-        VoxelKey key{(int32_t)floorf(p.x * inv), (int32_t)floorf(p.y * inv),
-                     (int32_t)floorf(p.z * inv)};
-        grid[key].push_back(i);
+        cx[i] = (int32_t)floorf(pts[i].x * inv);
+        cy[i] = (int32_t)floorf(pts[i].y * inv);
+        cz[i] = (int32_t)floorf(pts[i].z * inv);
+        minc[0] = std::min(minc[0], cx[i]);
+        minc[1] = std::min(minc[1], cy[i]);
+        minc[2] = std::min(minc[2], cz[i]);
     }
+    auto key_of = [&](int32_t x, int32_t y, int32_t z) -> uint64_t {
+        uint64_t ux = (uint32_t)(x - minc[0]) & 0xFFFFF;
+        uint64_t uy = (uint32_t)(y - minc[1]) & 0xFFFFF;
+        uint64_t uz = (uint32_t)(z - minc[2]) & 0xFFFFF;
+        return (ux << 40) | (uy << 20) | uz;
+    };
+    std::vector<uint64_t> keys(n);
+    std::vector<uint32_t> order(n);
+    for (uint32_t i = 0; i < n; i++) {
+        keys[i] = key_of(cx[i], cy[i], cz[i]);
+        order[i] = i;
+    }
+    std::sort(order.begin(), order.end(),
+              [&](uint32_t a, uint32_t b) { return keys[a] < keys[b]; });
+    std::vector<uint64_t> skeys(n);
+    for (uint32_t i = 0; i < n; i++) skeys[i] = keys[order[i]];
+
     std::vector<float> d2s;
+    d2s.reserve(1024);
     for (uint32_t i = 0; i < n; i++) {
         const auto &p = pts[i];
-        VoxelKey base{(int32_t)floorf(p.x * inv), (int32_t)floorf(p.y * inv),
-                      (int32_t)floorf(p.z * inv)};
         d2s.clear();
         for (int dx = -1; dx <= 1; dx++)
             for (int dy = -1; dy <= 1; dy++)
                 for (int dz = -1; dz <= 1; dz++) {
-                    auto it = grid.find(VoxelKey{base.x + dx, base.y + dy, base.z + dz});
-                    if (it == grid.end()) continue;
-                    for (uint32_t j : it->second) {
+                    uint64_t nk = key_of(cx[i] + dx, cy[i] + dy, cz[i] + dz);
+                    auto lo = std::lower_bound(skeys.begin(), skeys.end(), nk);
+                    auto hi = std::upper_bound(lo, skeys.end(), nk);
+                    for (auto it = lo; it != hi; ++it) {
+                        uint32_t j = order[it - skeys.begin()];
                         if (j == i) continue;
                         float ddx = p.x - pts[j].x, ddy = p.y - pts[j].y, ddz = p.z - pts[j].z;
                         d2s.push_back(ddx * ddx + ddy * ddy + ddz * ddz);

@@ -43,7 +43,51 @@ class FileWriter:
     def set_producer(self, producer) -> None:
         self.producer = producer
 
+    def _write_aux(self, pc: cwipc_pointcloud_wrapper) -> None:
+        """Write RGB/depth aux images as PNG and skeletons as JSON, named by
+        timestamp (the reference's filename-pattern machinery,
+        python/cwipc/scripts/cwipc_grab.py)."""
+        md = pc._metadata
+        if md is None:
+            return
+        import json
+
+        for i in range(md.count()):
+            name = md.name(i)
+            ts = pc.timestamp()
+            if name.startswith("rgb") or name.startswith("depth"):
+                try:
+                    img = md.get_image(i)
+                except (ValueError, KeyError):
+                    continue
+                try:
+                    import cv2
+
+                    out = os.path.join(self.dirname, f"{name}-{ts}.png")
+                    cv2.imwrite(out, img[..., ::-1] if img.ndim == 3 else img)
+                except ImportError:
+                    pass
+            elif name.startswith("skeleton"):
+                from ..core.pointcloud import parse_skeleton_collection
+
+                n_s, n_j, joints = parse_skeleton_collection(md.data(i))
+                out = os.path.join(self.dirname, f"{name}-{ts}.json")
+                with open(out, "w") as fp:
+                    json.dump(
+                        dict(
+                            n_skeletons=n_s,
+                            n_joints=n_j,
+                            joints=[
+                                dict(confidence=j.confidence, x=j.x, y=j.y, z=j.z,
+                                     q_w=j.q_w, q_x=j.q_x, q_y=j.q_y, q_z=j.q_z)
+                                for j in joints
+                            ],
+                        ),
+                        fp,
+                    )
+
     def feed(self, pc: cwipc_pointcloud_wrapper) -> None:
+        self._write_aux(pc)
         filename = os.path.join(self.dirname, self.pattern % pc.timestamp())
         if filename.endswith(".cwipcdump"):
             cwipc_write_debugdump(filename, pc)
