@@ -252,6 +252,10 @@ def remove_outliers(
         md = _mean_knn_dist_grid(buf.xyz, buf.count, cell, k, cell_cap=cell_cap)
     elif method == "window":
         md = _mean_knn_dist_window(buf.xyz, buf.count, k, window=window)
+    elif method == "window_pallas":
+        from .pallas_window_knn import window_knn_mean_distance
+
+        md = window_knn_mean_distance(buf.xyz, buf.count, k, window=window)
     else:
         md = _mean_knn_dist_bruteforce(buf.xyz, buf.count, k)
     keep = _keep_from_mean_dists(md, buf.valid_mask(), mult)

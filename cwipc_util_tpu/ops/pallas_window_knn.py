@@ -1,0 +1,119 @@
+"""Pallas TPU kernel: fused Morton-window kNN mean distance.
+
+The window-kNN outlier stage (ops/outliers.py `window` method) in XLA
+materializes a [2W, CAP] distance matrix in HBM and sorts it.  This kernel
+fuses the whole stage block-wise in VMEM:
+
+* each grid step DMAs one row block plus a 128-lane-aligned halo from HBM
+  (coordinates live as a [3, cap] transposed layout so the lane dimension
+  is the point axis — Mosaic requires 128-aligned slice shapes),
+* the 2W shifted squared distances live as register/VMEM values,
+* the k smallest are selected by iterative min-extraction (k VPU sweeps
+  over a [2W, B] tile — cheaper than a sort for k<=2W),
+* one [B] result row is written back.
+
+HBM traffic is one read of xyz plus one write of md — the minimum possible
+— versus read+write of the [2W, CAP] matrix (~2W/3 x more) for the XLA
+version.  Grid steps run sequentially on the TPU core, so no cross-block
+synchronization is needed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_F32_MAX = jnp.finfo(jnp.float32).max
+
+BLOCK = 2048
+HALO = 64  # half of the 128-lane alignment unit, >= max supported window
+
+
+def _window_knn_kernel(count_ref, xyz_hbm, md_ref, xyz_vmem, sem, *, window: int, k: int):
+    # xyz_hbm is [8, HALO + cap + HALO] (zero-padded; rows 3..7 are
+    # zero so they add nothing to the distances), so the slice
+    # [block_start, block_start + BLOCK + 2*HALO) is always in bounds,
+    # 128-aligned, and the block's point 0 sits at lane HALO.
+    i = pl.program_id(0)
+    count = count_ref[0]
+    block_start = i * BLOCK
+
+    dma = pltpu.make_async_copy(
+        xyz_hbm.at[:, pl.ds(block_start, BLOCK + 2 * HALO)],
+        xyz_vmem,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    base = xyz_vmem[:, pl.ds(HALO, BLOCK)]  # [3, B]
+    row_ids = block_start + jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)[0]
+
+    # 2W shifted squared distances, stacked [2W, B].
+    d2_list = []
+    for w in range(-window, window + 1):
+        if w == 0:
+            continue
+        nb = xyz_vmem[:, pl.ds(HALO + w, BLOCK)]
+        diff = base - nb
+        d2 = jnp.sum(diff * diff, axis=0)  # [B]
+        nb_global = row_ids + w
+        ok = (nb_global >= 0) & (nb_global < count)
+        d2_list.append(jnp.where(ok, d2, _F32_MAX))
+    d2 = jnp.stack(d2_list, axis=0)  # [2W, B]
+
+    # k smallest by iterative extraction (k sweeps of min+mask).  The
+    # first-occurrence tie-break is a min-over-row-index (Mosaic has no
+    # cumsum primitive).
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+    big_i32 = jnp.iinfo(jnp.int32).max
+    total = jnp.zeros((BLOCK,), jnp.float32)
+    for _ in range(k):
+        m = jnp.min(d2, axis=0)  # [B]
+        contrib = jnp.where(m < _F32_MAX / 2, jnp.sqrt(jnp.maximum(m, 0.0)), 0.0)
+        total = total + contrib
+        # mask out exactly one occurrence of the minimum per column
+        is_min = d2 == m[None, :]
+        first_row = jnp.min(jnp.where(is_min, row_iota, big_i32), axis=0)
+        d2 = jnp.where(row_iota == first_row[None, :], _F32_MAX, d2)
+
+    md = total / float(k)
+    md = jnp.where(row_ids < count, md, 0.0)
+    md_ref[:] = md
+
+
+@partial(jax.jit, static_argnames=("k", "window"))
+def window_knn_mean_distance(
+    xyz: jax.Array, count: jax.Array, k: int, window: int = 32
+) -> jax.Array:
+    """Per-point mean distance to the k nearest among the +/-window Morton
+    neighbors, as one fused Pallas kernel.  Drop-in for the XLA
+    `_mean_knn_dist_window` (same semantics, same approximation)."""
+    cap = xyz.shape[0]
+    assert cap % BLOCK == 0, f"capacity {cap} must be a multiple of {BLOCK}"
+    assert window <= HALO, f"window {window} exceeds the kernel halo {HALO}"
+    grid = cap // BLOCK
+    interpret = jax.devices()[0].platform == "cpu"  # tests run interpreted
+    # pad coords to 8 rows (f32 sublane tiling) and HALO lanes on each side
+    xyz_t = jnp.pad(xyz.T, ((0, 5), (HALO, HALO)))  # [8, HALO+cap+HALO]
+    kernel = partial(_window_knn_kernel, window=window, k=min(k, 2 * window))
+    md = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec((BLOCK,), lambda i, c: (i,), memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((8, BLOCK + 2 * HALO), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((cap,), jnp.float32),
+    )(jnp.asarray(count, jnp.int32).reshape(1), xyz_t)
+    return md
