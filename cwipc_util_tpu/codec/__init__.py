@@ -120,7 +120,9 @@ class cwipc_encoder_wrapper:
         # Quantize+merge on device: downsample at `step` emits voxel
         # centroids in Morton order.
         buf = pc._access_buffer()
-        down = downsample(buf, jnp.float32(step))
+        # octree_bits >= 10 can span the full 1024-cell Morton domain where
+        # the fast single-key path clamps; use exact keys there.
+        down = downsample(buf, jnp.float32(step), exact_keys=p.octree_bits >= 10)
         m = int(down.count)
         dxyz = np.asarray(down.xyz[:m])
         drgba = np.asarray(down.rgba[:m])

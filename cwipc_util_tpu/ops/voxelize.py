@@ -70,6 +70,16 @@ def _part1by2(x: jax.Array) -> jax.Array:
     return x
 
 
+def _unpart1by2(x: jax.Array) -> jax.Array:
+    """Inverse of _part1by2: extract every third bit back to 10 bits."""
+    x = x & 0x09249249
+    x = (x | (x >> 2)) & 0x030C30C3
+    x = (x | (x >> 4)) & 0x0300F00F
+    x = (x | (x >> 8)) & 0x030000FF
+    x = (x | (x >> 16)) & 0x000003FF
+    return x
+
+
 def morton3(vx: jax.Array, vy: jax.Array, vz: jax.Array) -> jax.Array:
     """30-bit Morton interleave of three 10-bit coordinates (int32 in/out)."""
     return (
@@ -127,12 +137,31 @@ def downsample(
             | (skz != jnp.roll(skz, 1)),
         )
     else:
-        smk, sx, sy, sz, srgba = jax.lax.sort(
-            (mkey, buf.xyz[:, 0], buf.xyz[:, 1], buf.xyz[:, 2],
-             buf.rgba.astype(jnp.int32)),
-            num_keys=1,
+        # Fast path: the absolute voxel coordinate is reconstructible from
+        # the Morton key (+ vmin), so the sort payload only needs the
+        # IN-VOXEL offset — quantized to 10 bits per axis and packed into a
+        # single int32 (error <= cellsize/1024, far below fp32 noise at
+        # realistic scales).  3 sort operands instead of 5.
+        frac = buf.xyz * inv - v.astype(jnp.float32)
+        q = jnp.clip((frac * 1024.0).astype(jnp.int32), 0, 1023)
+        fracs = (q[:, 0] << 20) | (q[:, 1] << 10) | q[:, 2]
+        smk, sfr, srgba = jax.lax.sort(
+            (mkey, fracs, buf.rgba.astype(jnp.int32)), num_keys=1
         )
         new_seg = jnp.logical_or(idx == 0, smk != jnp.roll(smk, 1))
+        # reconstruct sorted coordinates: (vmin + demorton(key) + frac) * cell
+        vmin_safe = jnp.where(vmin == _SENTINEL, 0, vmin)
+        vx = _unpart1by2(smk) + vmin_safe[0]
+        vy = _unpart1by2(smk >> 1) + vmin_safe[1]
+        vz = _unpart1by2(smk >> 2) + vmin_safe[2]
+        cell = jnp.asarray(cellsize, jnp.float32)
+        # +0.5 LSB centers the truncated quantization
+        fx = (((sfr >> 20) & 1023).astype(jnp.float32) + 0.5) * (1.0 / 1024.0)
+        fy = (((sfr >> 10) & 1023).astype(jnp.float32) + 0.5) * (1.0 / 1024.0)
+        fz = ((sfr & 1023).astype(jnp.float32) + 0.5) * (1.0 / 1024.0)
+        sx = (vx.astype(jnp.float32) + fx) * cell
+        sy = (vy.astype(jnp.float32) + fy) * cell
+        sz = (vz.astype(jnp.float32) + fz) * cell
     srgba = srgba.astype(jnp.uint32)
     seg = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
 
