@@ -1,0 +1,107 @@
+"""CLI integration tests — the reference's CTest pipelines as pytest
+(reference: python/CMakeLists.txt:68-124): headless view, grab, playback,
+check, and the forward->netclient->view loopback over localhost."""
+
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = str(pathlib.Path(__file__).parent.parent)
+
+
+def run_cwipc(*args, timeout=240, env_extra=None):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    if env_extra:
+        env.update(env_extra)
+    return subprocess.run(
+        [sys.executable, "-m", "cwipc_util_tpu", *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=env,
+        cwd=REPO,
+    )
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+class TestBasicCommands:
+    def test_version(self):
+        rv = run_cwipc("version")
+        assert rv.returncode == 0
+        assert rv.stdout.strip()
+
+    def test_unknown_subcommand(self):
+        rv = run_cwipc("bogus")
+        assert rv.returncode == 2
+
+    def test_view_headless(self):
+        rv = run_cwipc("view", "--synthetic", "--npoints", "1000", "--nodisplay", "--count", "5")
+        assert rv.returncode == 0, rv.stderr[-500:]
+
+    def test_grab_and_play(self, tmp_path):
+        rv = run_cwipc("grab", "--synthetic", "--npoints", "1000", "--count", "2", str(tmp_path))
+        assert rv.returncode == 0, rv.stderr[-500:]
+        plys = list(tmp_path.glob("*.ply"))
+        assert len(plys) == 2
+        rv = run_cwipc("play", str(tmp_path), "--nodisplay", "--count", "2")
+        assert rv.returncode == 0, rv.stderr[-500:]
+
+    def test_view_version_flag(self):
+        for sub in ("register", "forward", "view"):
+            rv = run_cwipc(sub, "--version")
+            assert rv.returncode == 0, f"{sub}: {rv.stderr[-300:]}"
+
+    def test_join_files(self, tmp_path):
+        rv = run_cwipc("grab", "--synthetic", "--npoints", "1000", "--count", "2", str(tmp_path))
+        assert rv.returncode == 0
+        plys = [str(p) for p in tmp_path.glob("*.ply")]
+        out = str(tmp_path / "joined.ply")
+        rv = run_cwipc("join", out, *plys)
+        assert rv.returncode == 0, rv.stderr[-500:]
+        assert "1922 points" in rv.stdout  # 2 x 961
+
+
+class TestNetworkPipelines:
+    def test_forward_view_loopback_raw(self):
+        """parallel: forward --noencode -> TCP -> view --nodecode."""
+        port = _free_port()
+        rv = run_cwipc(
+            "parallel",
+            "forward", "--synthetic", "--npoints", "1000", "--count", "12",
+            "--nodrop", "--noencode", "--port", str(port),
+            "--",
+            "view", "--netclient", f"localhost:{port}", "--nodecode",
+            "--nodisplay", "--count", "5",
+            timeout=420,
+            env_extra={"CWIPC_PARALLEL_STAGGER": "6"},
+        )
+        assert rv.returncode == 0, rv.stderr[-800:]
+
+    def test_forward_view_loopback_compressed(self):
+        """parallel: forward (encoded) -> TCP -> view (decoded)."""
+        port = _free_port()
+        rv = run_cwipc(
+            "parallel",
+            "forward", "--synthetic", "--npoints", "1000", "--count", "12",
+            "--nodrop", "--port", str(port),
+            "--",
+            "view", "--netclient", f"localhost:{port}",
+            "--nodisplay", "--count", "5",
+            timeout=420,
+            env_extra={"CWIPC_PARALLEL_STAGGER": "6"},
+        )
+        assert rv.returncode == 0, rv.stderr[-800:]
