@@ -22,11 +22,11 @@ FIXTURE_DIR = pathlib.Path(__file__).parent / "fixtures" / "input"
 
 @pytest.fixture(scope="session")
 def ply_fixture(tmp_path_factory) -> str:
-    """A deterministic .ply fixture generated from the synthetic source.
-
-    The reference test suite uses tests/fixtures/input/pcl_frame1.ply (absent
-    from the mirror); we generate an equivalent fixture cloud.
-    """
+    """The committed deterministic fixture cloud (the reference layout's
+    tests/fixtures/input/pcl_frame1.ply), regenerated on the fly if absent."""
+    committed = FIXTURE_DIR / "pcl_frame1.ply"
+    if committed.exists():
+        return str(committed)
     import cwipc_util_tpu as cwipc
 
     path = tmp_path_factory.mktemp("fixtures") / "pcl_frame1.ply"

@@ -247,3 +247,28 @@ class TestRemoveOutliers:
         if orig_tiles[0] == 1:
             boundary = np.searchsorted(np.cumsum(tiles == 2), 1)
             assert (tiles[:boundary] == 1).all() or first_1 == 0
+
+
+class TestWideScene:
+    def test_downsample_wide_extent_exact_keys(self):
+        """Scenes wider than the 1024-cell Morton domain must still produce
+        the exact voxel set (the wrapper switches to exact tiebreak keys)."""
+        rng = np.random.default_rng(3)
+        n = 5000
+        pts = np.zeros(n, cwipc.POINT_DTYPE)
+        # 200m extent at 5cm cells = 4000 cells per axis (>> 1024)
+        xyz = rng.uniform(-100, 100, size=(n, 3)).astype(np.float32)
+        pts["x"], pts["y"], pts["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+        pts["tile"] = rng.integers(1, 3, size=n)
+        pc = cwipc.cwipc_from_numpy_array(pts, 0)
+        cellsize = 0.05
+        out = cwipc.cwipc_downsample(pc, cellsize)
+
+        inv = np.float32(1.0) / np.float32(cellsize)
+        keys = np.floor(xyz * inv).astype(np.int64)
+        uniq = np.unique(keys, axis=0)
+        assert out.count() == uniq.shape[0]
+        got = out.get_numpy_matrix(onlyGeometry=True)
+        got_keys = np.unique(np.floor(got.astype(np.float32) * inv).astype(np.int64), axis=0)
+        assert got_keys.shape[0] == uniq.shape[0]
+        assert (got_keys == uniq).all()
