@@ -108,3 +108,88 @@ def render_points(
             img[vv, uu] = rgb
             depth_img[vv, uu] = z
     return (img, depth_img) if return_depth else img
+
+
+# ---------------------------------------------------------------------------
+# Skeleton overlay (the viewer's k4abt skeleton rendering,
+# reference: src/cwipc_window.cpp:136-238)
+# ---------------------------------------------------------------------------
+
+# The azure-kinect body-tracking joint hierarchy: (child, parent) pairs over
+# the standard 32-joint set (pelvis=0 root).
+K4ABT_BONES = [
+    (1, 0), (2, 1), (3, 2), (26, 3),            # spine + neck + head
+    (4, 2), (5, 4), (6, 5), (7, 6), (8, 7), (9, 8), (10, 7),   # left arm/hand
+    (11, 2), (12, 11), (13, 12), (14, 13), (15, 14), (16, 15), (17, 14),  # right arm/hand
+    (18, 0), (19, 18), (20, 19), (21, 20),      # left leg
+    (22, 0), (23, 22), (24, 23), (25, 24),      # right leg
+    (27, 26), (28, 26), (29, 26), (30, 26), (31, 26),  # face points
+]
+
+
+def fuse_skeletons(collections, n_joints: int = 32):
+    """Merge per-camera skeleton observations by per-joint confidence
+    (reference: cwipc_window.cpp skeleton fusion): for each joint keep the
+    observation with the highest confidence.
+
+    `collections` is a list of (n_skeletons, n_joints, joints) tuples as
+    returned by core.pointcloud.parse_skeleton_collection.
+    """
+    best = [None] * n_joints
+    for n_s, n_j, joints in collections:
+        for s in range(n_s):
+            for j in range(min(n_j, n_joints)):
+                joint = joints[s * n_j + j]
+                if best[j] is None or joint.confidence > best[j].confidence:
+                    best[j] = joint
+    return best
+
+
+def draw_line(img: np.ndarray, p0, p1, color=(255, 255, 0)) -> None:
+    """Rasterize a 2D line segment by dense sampling (numpy, no cv2 needed)."""
+    h, w = img.shape[:2]
+    n = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1]), 1)) + 1
+    us = np.linspace(p0[0], p1[0], n).round().astype(int)
+    vs = np.linspace(p0[1], p1[1], n).round().astype(int)
+    ok = (us >= 0) & (us < w) & (vs >= 0) & (vs < h)
+    img[vs[ok], us[ok]] = color
+
+
+def render_skeleton_overlay(
+    img: np.ndarray,
+    joints,
+    camera: OrbitCamera,
+    min_confidence: int = 1,
+    joint_color=(255, 0, 255),
+    bone_color=(255, 255, 0),
+) -> None:
+    """Project fused joints with the same camera model as render_points and
+    draw bones + joints onto an existing image, in place."""
+    h, w = img.shape[:2]
+    view = camera.view_matrix()
+    f = 0.5 * h / math.tan(math.radians(camera.fov_deg) / 2)
+
+    def project(joint):
+        if joint is None or joint.confidence < min_confidence:
+            return None
+        p = np.array([joint.x, joint.y, joint.z, 1.0])
+        cam_p = view @ p
+        z = -cam_p[2]
+        if z <= 1e-6:
+            return None
+        u = cam_p[0] / z * f + w / 2
+        v = -cam_p[1] / z * f + h / 2
+        return (u, v)
+
+    pts2d = [project(j) for j in joints]
+    for child, parent in K4ABT_BONES:
+        if child < len(pts2d) and parent < len(pts2d):
+            a, b = pts2d[child], pts2d[parent]
+            if a is not None and b is not None:
+                draw_line(img, a, b, bone_color)
+    for p in pts2d:
+        if p is None:
+            continue
+        ui, vi = int(round(p[0])), int(round(p[1]))
+        if 1 <= ui < w - 1 and 1 <= vi < h - 1:
+            img[vi - 1 : vi + 2, ui - 1 : ui + 2] = joint_color

@@ -46,6 +46,7 @@ class cwipc_window_sink:
         self._caption = title
         self._gui = _try_cv2_gui()
         self._last_image: Optional[np.ndarray] = None
+        self._skeletons: list = []
 
     def free(self, *, force: bool = False) -> None:
         if self._gui:
@@ -63,9 +64,20 @@ class cwipc_window_sink:
             rgb = np.stack([arr["r"], arr["g"], arr["b"]], axis=-1)
             if clear:
                 self._points_xyz, self._points_rgb = xyz, rgb
+                self._skeletons = []
             else:
                 self._points_xyz = np.concatenate([self._points_xyz, xyz])
                 self._points_rgb = np.concatenate([self._points_rgb, rgb])
+            md = pc._metadata
+            if md is not None:
+                from ..core.pointcloud import parse_skeleton_collection
+
+                for i in range(md.count()):
+                    if md.name(i).startswith("skeleton"):
+                        try:
+                            self._skeletons.append(parse_skeleton_collection(md.data(i)))
+                        except Exception:
+                            pass
         self._render()
         return True
 
@@ -77,6 +89,11 @@ class cwipc_window_sink:
             self.height,
             self.camera,
         )
+        if self._skeletons:
+            from .render import fuse_skeletons, render_skeleton_overlay
+
+            joints = fuse_skeletons(self._skeletons)
+            render_skeleton_overlay(img, joints, self.camera)
         self._last_image = img
         if self._gui:
             import cv2
