@@ -1,0 +1,103 @@
+"""Property tests: random clouds through every op, checked against direct
+numpy oracles (seeded, deterministic)."""
+
+import numpy as np
+import pytest
+
+import cwipc_util_tpu as cwipc
+
+
+def random_cloud(rng, n, scale=1.0):
+    arr = np.zeros(n, cwipc.POINT_DTYPE)
+    xyz = rng.uniform(-scale, scale, size=(n, 3)).astype(np.float32)
+    arr["x"], arr["y"], arr["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    for ch in ("r", "g", "b"):
+        arr[ch] = rng.integers(0, 256, size=n)
+    arr["tile"] = rng.integers(0, 8, size=n)
+    return arr, cwipc.cwipc_from_numpy_array(arr, rng.integers(0, 2**40))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+class TestOpProperties:
+    def test_tilefilter_matches_numpy(self, seed):
+        rng = np.random.default_rng(seed)
+        arr, pc = random_cloud(rng, int(rng.integers(1, 3000)))
+        for tile in (0, 1, 3, 7, 200):
+            got = cwipc.cwipc_tilefilter(pc, tile).get_numpy_array()
+            expect = arr if tile == 0 else arr[arr["tile"] == tile]
+            assert np.array_equal(got, expect), f"tile {tile}"
+
+    def test_crop_matches_numpy(self, seed):
+        rng = np.random.default_rng(seed + 10)
+        arr, pc = random_cloud(rng, int(rng.integers(1, 3000)))
+        bbox = sorted(rng.uniform(-1, 1, 2).tolist()) + sorted(rng.uniform(-1, 1, 2).tolist()) + sorted(rng.uniform(-1, 1, 2).tolist())
+        got = cwipc.cwipc_crop(pc, bbox).get_numpy_array()
+        sel = (
+            (arr["x"] >= bbox[0]) & (arr["x"] < bbox[1])
+            & (arr["y"] >= bbox[2]) & (arr["y"] < bbox[3])
+            & (arr["z"] >= bbox[4]) & (arr["z"] < bbox[5])
+        )
+        assert np.array_equal(got, arr[sel])
+
+    def test_tilemap_matches_numpy(self, seed):
+        rng = np.random.default_rng(seed + 20)
+        arr, pc = random_cloud(rng, int(rng.integers(1, 3000)))
+        lut = rng.integers(0, 256, size=256).astype(np.uint8)
+        got = cwipc.cwipc_tilemap(pc, bytes(lut)).get_numpy_array()
+        expect = arr.copy()
+        expect["tile"] = lut[arr["tile"]]
+        assert np.array_equal(got, expect)
+
+    def test_colormap_matches_numpy(self, seed):
+        rng = np.random.default_rng(seed + 30)
+        arr, pc = random_cloud(rng, int(rng.integers(1, 3000)))
+        clear = int(rng.integers(0, 2**32))
+        setb = int(rng.integers(0, 2**32))
+        got = cwipc.cwipc_colormap(pc, clear, setb).get_numpy_array()
+        rgba = (
+            (arr["tile"].astype(np.uint32) << 24)
+            | (arr["r"].astype(np.uint32) << 16)
+            | (arr["g"].astype(np.uint32) << 8)
+            | arr["b"].astype(np.uint32)
+        )
+        rgba = (rgba & ~np.uint32(clear)) | np.uint32(setb)
+        expect = arr.copy()
+        expect["tile"] = (rgba >> 24) & 0xFF
+        expect["r"] = (rgba >> 16) & 0xFF
+        expect["g"] = (rgba >> 8) & 0xFF
+        expect["b"] = rgba & 0xFF
+        assert np.array_equal(got, expect)
+
+    def test_downsample_voxel_set(self, seed):
+        rng = np.random.default_rng(seed + 40)
+        arr, pc = random_cloud(rng, int(rng.integers(10, 3000)))
+        cellsize = float(rng.uniform(0.05, 0.5))
+        out = cwipc.cwipc_downsample(pc, cellsize)
+        inv = np.float32(1.0) / np.float32(cellsize)
+        xyz = np.stack([arr["x"], arr["y"], arr["z"]], -1).astype(np.float32)
+        uniq = np.unique(np.floor(xyz * inv).astype(np.int64), axis=0)
+        assert out.count() == uniq.shape[0]
+
+    def test_serialization_roundtrips(self, seed, tmp_path):
+        rng = np.random.default_rng(seed + 50)
+        arr, pc = random_cloud(rng, int(rng.integers(0, 2000)), scale=100.0)
+        pc._set_cellsize(float(rng.uniform(0, 1)))
+        # packet
+        pc2 = cwipc.cwipc_from_packet(pc.get_packet())
+        assert np.array_equal(pc2.get_numpy_array(), arr)
+        assert pc2.timestamp() == pc.timestamp()
+        # binary ply
+        fn = str(tmp_path / f"f{seed}.ply")
+        cwipc.cwipc_write(fn, pc, cwipc.CWIPC_FLAGS_BINARY)
+        assert np.array_equal(cwipc.cwipc_read(fn, 0).get_numpy_array(), arr)
+        # ascii ply (exact f32 round trip through %.9g)
+        fn2 = str(tmp_path / f"fa{seed}.ply")
+        cwipc.cwipc_write(fn2, pc)
+        assert np.array_equal(cwipc.cwipc_read(fn2, 0).get_numpy_array(), arr)
+
+    def test_join_concat(self, seed):
+        rng = np.random.default_rng(seed + 60)
+        a_arr, a = random_cloud(rng, int(rng.integers(0, 1000)))
+        b_arr, b = random_cloud(rng, int(rng.integers(0, 1000)))
+        out = cwipc.cwipc_join(a, b).get_numpy_array()
+        assert np.array_equal(out, np.concatenate([a_arr, b_arr]))
