@@ -1,0 +1,275 @@
+"""Pallas TPU kernel: segmented reduction over sorted voxel runs.
+
+Replaces the XLA post-sort pipeline of the voxel downsample (boundary
+detection + global cumsum + 15-channel segment_sum, ~4-5 ms at 1M points)
+with ONE pass over the sorted data:
+
+* grid steps run sequentially, carrying the open run's partial sums, the
+  previous key, the staging write pointer and the flushed-chunk counter in
+  scratch;
+* per block: boundaries -> Hillis-Steele prefix scan (pltpu.roll shift-adds
+  — Mosaic has no cumsum), segmented inclusive sums with a window mask,
+  segmented bitwise-OR for the tile mask;
+* completed runs are PLACED into a VMEM staging buffer with a one-hot MXU
+  matmul (each emitted run owns one staging column, so sum == assignment)
+  — Mosaic has no scatter, and dynamic DMA offsets must be provably
+  128-aligned, so the staging buffer is flushed to HBM in 128-column chunks
+  at offsets built as chunk_counter * 128;
+* the channel set is (fx, fy, fz, r, g, b, count, tile_or, key_lo, key_hi):
+  in-voxel fractional sums (the quantized-payload downsample layout),
+  color sums, occupancy, OR'd tile bits, and the 30-bit Morton key split
+  into two f32-exact 15-bit halves.
+
+Output: channel-major [16, out_cap] f32 plus the number of runs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SENTINEL = jnp.iinfo(jnp.int32).max
+
+B = 1024  # points per grid step
+STAGE_CHUNKS = 10  # staging width = 127 leftover + up to B emitted, in 128s
+STAGE_W = STAGE_CHUNKS * 128
+NCH = 16  # channel rows (10 used), sublane-aligned
+
+
+def _lane_iota2(n):
+    """[1, n] lane iota (Mosaic rolls need 2-D operands)."""
+    return jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+
+def _prefix_sum(x):
+    """Inclusive prefix sum over a [1, B] i32 row (Hillis-Steele, roll-based)."""
+    iota = _lane_iota2(B)
+    d = 1
+    while d < B:
+        shifted = pltpu.roll(x, d, 1)
+        x = x + jnp.where(iota >= d, shifted, 0)
+        d *= 2
+    return x
+
+
+def _segmented_scan_add(ch, bcum):
+    """Segmented inclusive sums of ch [NCH, B] within runs defined by bcum [1, B]."""
+    iota2 = jax.lax.broadcasted_iota(jnp.int32, (NCH, B), 1)
+    bcum2 = jnp.broadcast_to(bcum, (NCH, B))
+    d = 1
+    while d < B:
+        shifted = pltpu.roll(ch, d, 1)
+        bshift = pltpu.roll(bcum2, d, 1)
+        same_run = (bcum2 - bshift == 0) & (iota2 >= d)
+        ch = ch + jnp.where(same_run, shifted, 0.0)
+        d *= 2
+    return ch
+
+
+def _segmented_scan_or(x, bcum):
+    """Segmented inclusive bitwise-OR of x [1, B] i32 within runs."""
+    iota = _lane_iota2(B)
+    d = 1
+    while d < B:
+        shifted = pltpu.roll(x, d, 1)
+        bshift = pltpu.roll(bcum, d, 1)
+        same_run = (bcum - bshift == 0) & (iota >= d)
+        x = x | jnp.where(same_run, shifted, 0)
+        d *= 2
+    return x
+
+
+def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
+            stage, carry_sums, carry_or_key, chunk_ptr, sem, *, grid: int):
+    i = pl.program_id(0)
+    count = count_ref[0]
+
+    @pl.when(i == 0)
+    def _init():
+        stage[:, :] = jnp.zeros((NCH, STAGE_W), jnp.float32)
+        carry_sums[:, :] = jnp.zeros((NCH, 128), jnp.float32)
+        carry_or_key[0] = 0  # carry OR
+        carry_or_key[1] = _SENTINEL  # previous key
+        carry_or_key[2] = 0  # staging write pointer (columns)
+        chunk_ptr[0] = 0
+
+    smk = smk_ref[:].reshape(1, B)
+    sfr = sfr_ref[:].reshape(1, B)
+    srgba = srgba_ref[:].reshape(1, B)
+    iota = _lane_iota2(B)
+    valid = smk != _SENTINEL
+
+    # channels [NCH, B]
+    fx = (((sfr >> 20) & 1023).astype(jnp.float32) + 0.5) * (1.0 / 1024.0)
+    fy = (((sfr >> 10) & 1023).astype(jnp.float32) + 0.5) * (1.0 / 1024.0)
+    fz = ((sfr & 1023).astype(jnp.float32) + 0.5) * (1.0 / 1024.0)
+    r = ((srgba >> 16) & 0xFF).astype(jnp.float32)
+    g = ((srgba >> 8) & 0xFF).astype(jnp.float32)
+    b_ch = (srgba & 0xFF).astype(jnp.float32)
+    ones = jnp.where(valid, 1.0, 0.0)
+    key_lo = jnp.where(valid, (smk & 0x7FFF).astype(jnp.float32), 0.0)
+    key_hi = jnp.where(valid, ((smk >> 15) & 0x7FFF).astype(jnp.float32), 0.0)
+    zero = jnp.zeros((1, B), jnp.float32)
+    w = ones
+    ch = jnp.concatenate(
+        [fx * w, fy * w, fz * w, r * w, g * w, b_ch * w, ones, zero,
+         key_lo, key_hi, zero, zero, zero, zero, zero, zero],
+        axis=0,
+    )  # [NCH, B]
+    tile = jnp.where(valid, (srgba >> 24) & 0xFF, 0)
+
+    # run boundaries (first lane compares against the carried key)
+    prev_key = pltpu.roll(smk, 1, 1)
+    carry_key = carry_or_key[1]
+    b_flag = jnp.where(iota == 0, smk != carry_key, smk != prev_key).astype(jnp.int32)
+    bcum = _prefix_sum(b_flag)
+
+    # continuation: the open run's partial is seeded into LANE 0 only (the
+    # segmented scan then propagates it through the run; seeding every
+    # continuation lane would multiply-count it).  The OR seed is idempotent
+    # but gets the same treatment for clarity.
+    is_cont_seed = (iota == 0) & (bcum == 0)
+    ch = ch + jnp.where(is_cont_seed, carry_sums[:, 0:1], 0.0)
+    tile = tile | jnp.where(is_cont_seed, carry_or_key[0], 0)
+
+    ch = _segmented_scan_add(ch, bcum)
+    tile_or = _segmented_scan_or(tile, bcum)
+    # rows 7-9 are per-run VALUES, not sums: overwrite them after the scan
+    # (the emission matmul picks exactly one column per run, so values pass
+    # through unchanged)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (NCH, B), 0)
+    ch = jnp.where(row_iota == 7, tile_or.astype(jnp.float32), ch)
+    ch = jnp.where(row_iota == 8, key_lo, ch)
+    ch = jnp.where(row_iota == 9, key_hi, ch)
+
+    # ends: a run ends where the NEXT lane starts a new run; the block's
+    # last lane carries over instead (the final block force-closes it)
+    next_b = pltpu.roll(b_flag, B - 1, 1)  # roll left by 1
+    ends = jnp.where(iota == B - 1, 0, next_b)
+    is_last_block = i == grid - 1
+    force_close = is_last_block & (iota == B - 1) & valid
+    ends = jnp.where(force_close, 1, ends).astype(jnp.int32)
+    ends = jnp.where(valid, ends, 0)
+
+    # If this block STARTS a new run while a previous run is still open
+    # (it ended exactly at the block boundary), the carried partial must be
+    # emitted now, ahead of the in-block emissions.
+    carry_open = carry_key != _SENTINEL
+    emit_carry = ((b_flag[0, 0] == 1) & carry_open).astype(jnp.int32)
+
+    ends_scan = _prefix_sum(ends)
+    erank = ends_scan - 1 + emit_carry  # emitted rank within block
+    n_emit = jnp.max(ends_scan) + emit_carry
+
+    wp = carry_or_key[2]
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, STAGE_W), 1)
+    carry_target = jnp.where(emit_carry == 1, wp, -1)
+    stage[:, :] = stage[:, :] + jnp.where(
+        lane_w == carry_target, 1.0, 0.0
+    ) * carry_sums[:, 0:1]
+
+    # one-hot placement into the staging buffer: column wp + erank
+    target = jnp.where(ends == 1, wp + erank, -1)  # [1, B]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (B, STAGE_W), 1)
+    onehot = (col_iota == target.reshape(B, 1)).astype(jnp.float32)
+    stage[:, :] = stage[:, :] + jax.lax.dot_general(
+        ch, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # flush completed 128-column chunks
+    wp_new = wp + n_emit
+    nflush = wp_new // 128
+    base_chunk = chunk_ptr[0]
+    max_chunks = out_ref.shape[1] // 128
+    for f in range(STAGE_CHUNKS):
+        @pl.when((f < nflush) & (base_chunk + f < max_chunks))
+        def _flush(f=f):
+            dst = out_ref.at[:, pl.ds(pl.multiple_of((base_chunk + f) * 128, 128), 128)]
+            dma = pltpu.make_async_copy(stage.at[:, pl.ds(f * 128, 128)], dst, sem)
+            dma.start()
+            dma.wait()
+
+    # shift the staging buffer left by the flushed columns (static rolls
+    # selected by nflush — Mosaic needs static shift amounts)
+    shifted = stage[:, :]
+    acc = jnp.zeros((NCH, STAGE_W), jnp.float32)
+    for f in range(STAGE_CHUNKS + 1):
+        rolled = pltpu.roll(shifted, STAGE_W - f * 128, 1) if f > 0 else shifted
+        acc = acc + jnp.where(nflush == f, rolled, 0.0)
+    rem = wp_new - nflush * 128
+    keep_cols = jax.lax.broadcasted_iota(jnp.int32, (NCH, STAGE_W), 1) < rem
+    stage[:, :] = jnp.where(keep_cols, acc, 0.0)
+
+    # carry for the next block: the open run's partials = scanned values at
+    # the last lane (unless it was force-closed / invalid)
+    last_cols = ch[:, B - 1 : B]  # [NCH, 1]
+    open_run = jnp.logical_not(is_last_block) & (smk[0, B - 1] != _SENTINEL)
+    carry_sums[:, 0:1] = jnp.where(open_run, last_cols, 0.0)
+    carry_or_key[0] = jnp.where(open_run, tile_or[0, B - 1], 0)
+    carry_or_key[1] = smk[0, B - 1]
+    carry_or_key[2] = rem
+    chunk_ptr[0] = base_chunk + nflush
+
+    @pl.when(is_last_block & (base_chunk + nflush < max_chunks))
+    def _finalize_flush():
+        # flush the final partial chunk (trailing columns are zero)
+        dst = out_ref.at[:, pl.ds(pl.multiple_of((base_chunk + nflush) * 128, 128), 128)]
+        dma = pltpu.make_async_copy(stage.at[:, pl.ds(0, 128)], dst, sem)
+        dma.start()
+        dma.wait()
+
+    @pl.when(is_last_block)
+    def _finalize_count():
+        nseg_ref[0] = (base_chunk + nflush) * 128 + rem
+
+
+@partial(jax.jit, static_argnames=("out_capacity",))
+def segment_reduce_sorted(smk, sfr, srgba, count, out_capacity: int):
+    """Reduce sorted voxel runs: returns (channels [16, out_cap] f32, nseg).
+
+    Inputs are the sorted arrays of the quantized downsample path
+    (ops/voxelize.py): Morton keys with _SENTINEL padding, packed 10-bit
+    fracs, rgba as int32.
+    """
+    cap = smk.shape[0]
+    assert cap % B == 0
+    grid = cap // B
+    out_cap = out_capacity + 256  # slack for the final partial-chunk flush
+    assert out_cap % 128 == 0
+    interpret = jax.devices()[0].platform == "cpu"
+    kernel = partial(_kernel, grid=grid)
+    out, nseg = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((B,), lambda i, c: (i,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((B,), lambda i, c: (i,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((B,), lambda i, c: (i,), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((NCH, STAGE_W), jnp.float32),
+                pltpu.VMEM((NCH, 128), jnp.float32),
+                pltpu.SMEM((3,), jnp.int32),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((NCH, out_cap), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(jnp.asarray(count, jnp.int32).reshape(1), smk, sfr, srgba)
+    return out[:, :out_capacity], nseg[0]

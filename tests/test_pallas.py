@@ -36,3 +36,43 @@ class TestWindowKnnKernel:
         assert int(a.count) == int(b.count)
         na, nb = np.asarray(a.xyz[: int(a.count)]), np.asarray(b.xyz[: int(b.count)])
         assert np.array_equal(na, nb)
+
+
+class TestSegmentReduceKernel:
+    @pytest.mark.parametrize("count,nruns", [(3500, 300), (4096, 500), (100, 7), (0, 1)])
+    def test_matches_numpy_oracle(self, count, nruns):
+        from cwipc_util_tpu.ops.pallas_segment_reduce import (
+            B as SRB,
+            segment_reduce_sorted,
+        )
+
+        rng = np.random.default_rng(count + nruns)
+        cap = 4 * SRB
+        if count:
+            lens = rng.multinomial(count, np.ones(nruns) / nruns)
+            keys = np.repeat(
+                np.sort(rng.choice(1 << 29, size=nruns, replace=False)).astype(np.int32), lens
+            )[:count]
+        else:
+            keys = np.zeros(0, np.int32)
+        smk = np.full(cap, np.iinfo(np.int32).max, np.int32)
+        smk[: len(keys)] = keys
+        sfr = rng.integers(0, 1 << 30, size=cap).astype(np.int32)
+        srgba = rng.integers(-(2**31), 2**31, size=cap).astype(np.int32)
+        out, nseg = segment_reduce_sorted(
+            jnp.asarray(smk), jnp.asarray(sfr), jnp.asarray(srgba),
+            jnp.int32(len(keys)), out_capacity=2048,
+        )
+        out = np.asarray(out)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        assert int(nseg) == len(uniq)
+        if not len(keys):
+            return
+        r = ((srgba[: len(keys)] >> 16) & 0xFF).astype(np.float64)
+        tile = ((srgba[: len(keys)].astype(np.int64) >> 24) & 0xFF).astype(np.int64)
+        for s in range(len(uniq)):
+            sel = inv == s
+            assert int(out[8, s]) + int(out[9, s]) * 32768 == uniq[s]
+            assert abs(out[3, s] - r[sel].sum()) < 1e-2
+            assert int(out[6, s]) == sel.sum()
+            assert int(out[7, s]) == np.bitwise_or.reduce(tile[sel])
