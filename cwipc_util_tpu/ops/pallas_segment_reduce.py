@@ -125,7 +125,10 @@ def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
     # run boundaries (first lane compares against the carried key)
     prev_key = pltpu.roll(smk, 1, 1)
     carry_key = carry_or_key[1]
-    b_flag = jnp.where(iota == 0, smk != carry_key, smk != prev_key).astype(jnp.int32)
+    # select over int32, not bool (Mosaic can't truncate i8 selects to i1)
+    neq_carry = (smk != carry_key).astype(jnp.int32)
+    neq_prev = (smk != prev_key).astype(jnp.int32)
+    b_flag = jnp.where(iota == 0, neq_carry, neq_prev)
     bcum = _prefix_sum(b_flag)
 
     # continuation: the open run's partial is seeded into LANE 0 only (the
