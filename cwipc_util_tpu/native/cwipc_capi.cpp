@@ -702,16 +702,7 @@ extern "C" cwipc_pointcloud *cwipc_remove_outliers(cwipc_pointcloud *pc, int kNe
 /* synthetic source                                                    */
 /* ------------------------------------------------------------------ */
 
-struct cwipc_source {
-    virtual ~cwipc_source() = default;
-    virtual cwipc_pointcloud *get() = 0;
-    virtual bool available(bool wait) = 0;
-    virtual bool eof() = 0;
-    virtual bool start() = 0;
-    virtual void stop() = 0;
-    virtual int maxtile() { return 1; }
-    virtual bool get_tileinfo(int, struct cwipc_tileinfo *) { return false; }
-};
+#include "cwipc_source_impl.hpp"
 
 struct SyntheticSource : public cwipc_source {
     int hsteps, asteps, fps;

@@ -159,6 +159,13 @@ const void *cwipc_metadata_pointer(cwipc_metadata *md, int idx);
 void cwipc_metadata_add(cwipc_metadata *md, const char *name,
                         const char *description, const void *data, size_t size);
 
+/* ---- proxy TCP receiver (reference: src/cwipc_proxy.cpp) ----------------
+ * Binds host:port, accepts one sender at a time, receives 24-byte-header
+ * point packets (magic CWIPC_POINT_PACKETHEADER_MAGIC) and hands the newest
+ * cloud to the consumer (latest-wins). */
+cwipc_source *cwipc_proxy(const char *host, int port, char **errorMessage,
+                          uint64_t apiVersion);
+
 /* ---- logging / diagnostics ---------------------------------------------------- */
 
 void cwipc_log_configure(int level, cwipc_log_callback_t callback);
