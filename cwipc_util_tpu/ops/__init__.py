@@ -60,12 +60,26 @@ def cwipc_downsample(
         cellsize = pc.cellsize()
     buf = pc._access_buffer()
     # The fast single-Morton-key sort is exact within a 1024^3-cell domain;
-    # wider scenes need the exact per-axis tiebreak keys.
-    valid = buf.valid_mask()
-    big = jnp.float32(3.0e38)
-    lo = jnp.min(jnp.where(valid[:, None], buf.xyz, big), axis=0)
-    hi = jnp.max(jnp.where(valid[:, None], buf.xyz, -big), axis=0)
-    extent_cells = float(jnp.max(hi - lo)) / cellsize if pc.count() > 0 else 0.0
+    # wider scenes need the exact per-axis tiebreak keys.  Use the host
+    # cache for the bounding box when present (a device reduction +
+    # readback costs a full dispatch round trip per call otherwise).
+    if pc.count() == 0:
+        extent_cells = 0.0
+    elif pc._np_cache is not None:
+        arr = pc._np_cache
+        extent_cells = float(
+            max(
+                arr["x"].max() - arr["x"].min(),
+                arr["y"].max() - arr["y"].min(),
+                arr["z"].max() - arr["z"].min(),
+            )
+        ) / cellsize
+    else:
+        valid = buf.valid_mask()
+        big = jnp.float32(3.0e38)
+        lo = jnp.min(jnp.where(valid[:, None], buf.xyz, big), axis=0)
+        hi = jnp.max(jnp.where(valid[:, None], buf.xyz, -big), axis=0)
+        extent_cells = float(jnp.max(hi - lo)) / cellsize
     exact = extent_cells >= 1023.0
     out = voxelize.downsample(buf, jnp.float32(cellsize), exact_keys=exact)
     return _wrap(out, pc, cellsize=cellsize)
