@@ -224,7 +224,14 @@ class cwipc_decoder_wrapper:
         col_blob = data[off : off + lcol]; off += lcol
         tile_blob = data[off : off + ltile]; off += ltile
 
-        deltas = np.frombuffer(zlib.decompress(pos_blob), np.uint32)
+        try:
+            deltas = np.frombuffer(zlib.decompress(pos_blob), np.uint32)
+            col_raw = zlib.decompress(col_blob)
+            tile_raw = zlib.decompress(tile_blob)
+        except zlib.error as e:
+            raise CwipcError(f"cwipc_decoder: corrupt stream: {e}") from e
+        if deltas.shape[0] != n or len(col_raw) != n * 3 or len(tile_raw) != n:
+            raise CwipcError("cwipc_decoder: inconsistent stream sizes")
         morton = np.cumsum(deltas, dtype=np.uint32)
         cx = _compact1by2(morton)
         cy = _compact1by2(morton >> 1)
@@ -232,8 +239,8 @@ class cwipc_decoder_wrapper:
         origin = np.array([ox, oy, oz], np.float32)
         xyz = (np.stack([cx, cy, cz], axis=-1).astype(np.float32) + 0.5) * step + origin
 
-        rgb = np.frombuffer(zlib.decompress(col_blob), np.uint8).reshape(n, 3)
-        tiles = np.frombuffer(zlib.decompress(tile_blob), np.uint8)
+        rgb = np.frombuffer(col_raw, np.uint8).reshape(n, 3)
+        tiles = np.frombuffer(tile_raw, np.uint8)
 
         buf = buffer_from_arrays(xyz, rgb[:, 0], rgb[:, 1], rgb[:, 2], tiles)
         self._result = cwipc_pointcloud_wrapper(buf, timestamp, step, _count_hint=n)

@@ -34,8 +34,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _SENTINEL = jnp.iinfo(jnp.int32).max
 
-B = 1024  # points per grid step
+B = 1024  # points per grid step (XLA's 1-D i32 layout tiles T(1024))
 STAGE_CHUNKS = 10  # staging width = 127 leftover + up to B emitted, in 128s
+QUARTER = 256  # emission sub-tile: narrow one-hots cut staging traffic 3.3x
+Q_W = QUARTER + 128  # relative target range within a quarter
 STAGE_W = STAGE_CHUNKS * 128
 NCH = 16  # channel rows (10 used), sublane-aligned
 
@@ -175,14 +177,37 @@ def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
         lane_w == carry_target, 1.0, 0.0
     ) * carry_sums[:, 0:1]
 
-    # one-hot placement into the staging buffer: column wp + erank
-    target = jnp.where(ends == 1, wp + erank, -1)  # [1, B]
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (B, STAGE_W), 1)
-    onehot = (col_iota == target.reshape(B, 1)).astype(jnp.float32)
-    stage[:, :] = stage[:, :] + jax.lax.dot_general(
-        ch, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # Emission in QUARTER-point sub-tiles: each quarter's targets span at
+    # most QUARTER+128 consecutive staging columns, so a narrow RELATIVE
+    # one-hot places them at column (erank - base_rank), and a dynamic 2-D
+    # roll shifts the quarter result to its absolute position — 3.3x less
+    # one-hot materialization than a full-width placement, which measured
+    # as this kernel's dominant cost.
+    ecum = _prefix_sum(ends)  # emitted count up to each lane
+    col_iota_q = jax.lax.broadcasted_iota(jnp.int32, (QUARTER, Q_W), 1)
+    for q in range(B // QUARTER):
+        lo = q * QUARTER
+        ends_q = ends[:, lo : lo + QUARTER]
+        ch_q = ch[:, lo : lo + QUARTER]
+        erank_q = erank[:, lo : lo + QUARTER]
+        # emitted before this quarter (global, incl. the carry emission)
+        before_q = (ecum[0, lo] - ends[0, lo]) + emit_carry
+        # erank already includes the carry shift; before_q does too
+        rel_target = jnp.where(ends_q == 1, erank_q - before_q, -1)
+        onehot_q = (col_iota_q == rel_target.reshape(QUARTER, 1)).astype(jnp.float32)
+        # HIGHEST precision: the default bf16 MXU decomposition corrupts
+        # the 15-bit key channels (measured); extra MXU passes are ~free
+        # since placement is materialization-bound.
+        placed = jax.lax.dot_general(
+            ch_q, onehot_q, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [NCH, Q_W]
+        padded = jnp.concatenate(
+            [placed, jnp.zeros((NCH, STAGE_W - Q_W), jnp.float32)], axis=1
+        )
+        offset_q = wp + before_q
+        stage[:, :] = stage[:, :] + pltpu.roll(padded, offset_q, 1)
 
     # flush completed 128-column chunks
     wp_new = wp + n_emit

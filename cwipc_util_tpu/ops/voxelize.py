@@ -87,6 +87,39 @@ def morton3(vx: jax.Array, vy: jax.Array, vz: jax.Array) -> jax.Array:
     ).astype(jnp.int32)
 
 
+
+
+def _reduce_runs_pallas(smk, sfr, srgba, count, ocap, vmin_safe, cell):
+    """Fused Pallas reduction of the sorted voxel runs (TPU path)."""
+    from .pallas_segment_reduce import segment_reduce_sorted
+
+    out16, nseg = segment_reduce_sorted(smk, sfr, srgba, count, out_capacity=ocap)
+    cnt = out16[6]
+    denom = jnp.maximum(cnt, 1.0)
+    key = out16[8].astype(jnp.int32) + out16[9].astype(jnp.int32) * 32768
+    vx = _unpart1by2(key) + vmin_safe[0]
+    vy = _unpart1by2(key >> 1) + vmin_safe[1]
+    vz = _unpart1by2(key >> 2) + vmin_safe[2]
+    mean_xyz = jnp.stack(
+        [
+            (vx.astype(jnp.float32) + out16[0] / denom) * cell,
+            (vy.astype(jnp.float32) + out16[1] / denom) * cell,
+            (vz.astype(jnp.float32) + out16[2] / denom) * cell,
+        ],
+        axis=-1,
+    )
+    mean_rgb = (out16[3:6] / denom[None, :]).astype(jnp.uint32)
+    out_tile = out16[7].astype(jnp.uint32)
+
+    out_count = jnp.minimum(nseg, ocap)
+    out_valid = jnp.arange(ocap, dtype=jnp.int32) < out_count
+    out_xyz = jnp.where(out_valid[:, None], mean_xyz, 0.0)
+    out_rgba = jnp.where(
+        out_valid, pack_rgba(mean_rgb[0], mean_rgb[1], mean_rgb[2], out_tile), 0
+    )
+    return PointBuffer(xyz=out_xyz, rgba=out_rgba, count=out_count)
+
+
 @partial(jax.jit, static_argnames=("out_capacity", "exact_keys"))
 def downsample(
     buf: PointBuffer,
@@ -148,13 +181,18 @@ def downsample(
         smk, sfr, srgba = jax.lax.sort(
             (mkey, fracs, buf.rgba.astype(jnp.int32)), num_keys=1
         )
+        vmin_safe = jnp.where(vmin == _SENTINEL, 0, vmin)
+        cell = jnp.asarray(cellsize, jnp.float32)
+        if jax.devices()[0].platform != "cpu":
+            # TPU: the fused Pallas segmented-reduce consumes the sorted
+            # runs in one pass (2.3ms at 1M vs ~4-5ms for the XLA
+            # boundary/cumsum/segment_sum pipeline).
+            return _reduce_runs_pallas(smk, sfr, srgba, buf.count, ocap, vmin_safe, cell)
         new_seg = jnp.logical_or(idx == 0, smk != jnp.roll(smk, 1))
         # reconstruct sorted coordinates: (vmin + demorton(key) + frac) * cell
-        vmin_safe = jnp.where(vmin == _SENTINEL, 0, vmin)
         vx = _unpart1by2(smk) + vmin_safe[0]
         vy = _unpart1by2(smk >> 1) + vmin_safe[1]
         vz = _unpart1by2(smk >> 2) + vmin_safe[2]
-        cell = jnp.asarray(cellsize, jnp.float32)
         # +0.5 LSB centers the truncated quantization
         fx = (((sfr >> 20) & 1023).astype(jnp.float32) + 0.5) * (1.0 / 1024.0)
         fy = (((sfr >> 10) & 1023).astype(jnp.float32) + 0.5) * (1.0 / 1024.0)

@@ -299,3 +299,19 @@ class TestSynchronizer:
         assert fused[0].timestamp() == 100
         tiles = set(np.unique(fused[0].get_numpy_array()["tile"]))
         assert tiles == {1, 2}
+
+
+class TestCodecRobustness:
+    def test_corrupt_streams_raise_cwipc_error(self, small_pc):
+        enc = codec.cwipc_new_encoder()
+        enc.feed(small_pc)
+        good = enc.get_bytes()
+        for name, blob in [
+            ("truncated header", good[:10]),
+            ("bad magic", b"XXXX" + good[4:]),
+            ("truncated payload", good[: len(good) // 2]),
+            ("corrupted zlib", good[:44] + b"\x00" * (len(good) - 44)),
+        ]:
+            dec = codec.cwipc_new_decoder()
+            with pytest.raises(cwipc.CwipcError):
+                dec.feed(blob)
