@@ -59,6 +59,10 @@ _SENTINEL = jnp.iinfo(jnp.int32).max
 _MORTON_BITS = 10
 _MORTON_MAX = (1 << _MORTON_BITS) - 1
 
+# Test hook: force the XLA segment_sum pipeline even on TPU (used by the
+# Pallas-vs-XLA parity checks).
+_FORCE_XLA_REDUCE = False
+
 
 def _part1by2(x: jax.Array) -> jax.Array:
     """Spread the low 10 bits of x so there are two zero bits between each."""
@@ -183,7 +187,7 @@ def downsample(
         )
         vmin_safe = jnp.where(vmin == _SENTINEL, 0, vmin)
         cell = jnp.asarray(cellsize, jnp.float32)
-        if jax.devices()[0].platform != "cpu":
+        if jax.devices()[0].platform != "cpu" and not _FORCE_XLA_REDUCE:
             # TPU: the fused Pallas segmented-reduce consumes the sorted
             # runs in one pass (2.3ms at 1M vs ~4-5ms for the XLA
             # boundary/cumsum/segment_sum pipeline).
