@@ -60,7 +60,9 @@ def main() -> None:
             return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
         return program
 
-    K = 4
+    # K amortizes the relay's ~33 ms dispatch variance (+/- a few ms):
+    # at K=16 a 3 ms jitter is <0.2 ms per chain (~3%).
+    K = 16
     pK = make_program(K)
 
     # Trivial program with the same dispatch+readback shape: its runtime IS
@@ -80,7 +82,7 @@ def main() -> None:
     timed(trivial, 0)
     timed(pK, 0)
 
-    reps = 3
+    reps = 5
     t0_overhead = min(timed(trivial, 100 + r)[0] for r in range(reps))
     tK = min(timed(pK, 200 + r)[0] for r in range(reps))
     per_chain = max((tK - t0_overhead) / K, 1e-9)

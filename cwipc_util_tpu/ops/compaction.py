@@ -37,25 +37,34 @@ def compact(buf: PointBuffer, keep: jax.Array) -> PointBuffer:
     ``keep`` is a bool[capacity] mask; it is automatically restricted to the
     valid region of the buffer.
 
-    Implemented as a stable 2-key sort (dropped-flag, original index)
-    carrying the point payload — measured ~3.5x faster than the
-    cumsum+scatter formulation on v5e (XLA lowers unsorted scatters poorly).
+    Implemented as a stable sort on (dropped-flag, original index) carrying
+    the point payload — measured ~3.5x faster than the cumsum+scatter
+    formulation on v5e (XLA lowers unsorted scatters poorly).  The two keys
+    pack into ONE int32 — the index is unique, so the combined key yields
+    the identical total order, and a 1-key/5-operand sort is measurably
+    cheaper than 2-key/6-operand (extra KEYS cost far more than payloads
+    in XLA's TPU sort).  The packed key (dropped * capacity + idx) needs
+    capacity <= 2^30; larger buffers keep the two-key form.
     """
     cap = buf.capacity
     keep = jnp.logical_and(keep, buf.valid_mask())
     idx = jnp.arange(cap, dtype=jnp.int32)
     dropped = (~keep).astype(jnp.int32)
-    _, _, sx, sy, sz, srgba = jax.lax.sort(
-        (
-            dropped,
-            idx,
-            buf.xyz[:, 0],
-            buf.xyz[:, 1],
-            buf.xyz[:, 2],
-            buf.rgba.astype(jnp.int32),
-        ),
-        num_keys=2,
+    payload = (
+        jax.lax.bitcast_convert_type(buf.xyz[:, 0], jnp.int32),
+        jax.lax.bitcast_convert_type(buf.xyz[:, 1], jnp.int32),
+        jax.lax.bitcast_convert_type(buf.xyz[:, 2], jnp.int32),
+        buf.rgba.astype(jnp.int32),
     )
+    if cap <= (1 << 30):
+        sorted_ops = jax.lax.sort((dropped * cap + idx,) + payload, num_keys=1)
+        sxi, syi, szi, srgba = sorted_ops[1:]
+    else:
+        sorted_ops = jax.lax.sort((dropped, idx) + payload, num_keys=2)
+        sxi, syi, szi, srgba = sorted_ops[2:]
+    sx = jax.lax.bitcast_convert_type(sxi, jnp.float32)
+    sy = jax.lax.bitcast_convert_type(syi, jnp.float32)
+    sz = jax.lax.bitcast_convert_type(szi, jnp.float32)
     new_count = keep.sum(dtype=jnp.int32)
     out_valid = idx < new_count
     new_xyz = jnp.where(out_valid[:, None], jnp.stack([sx, sy, sz], axis=-1), 0.0)

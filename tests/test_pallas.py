@@ -39,7 +39,10 @@ class TestWindowKnnKernel:
 
 
 class TestSegmentReduceKernel:
-    @pytest.mark.parametrize("count,nruns", [(3500, 300), (4096, 500), (100, 7), (0, 1)])
+    @pytest.mark.parametrize(
+        "count,nruns",
+        [(3500, 300), (4096, 500), (100, 7), (0, 1), (3000, 5), (2100, 1)],
+    )  # (3000,5)/(2100,1): runs far beyond the short-run scan window
     def test_matches_numpy_oracle(self, count, nruns):
         from cwipc_util_tpu.ops.pallas_segment_reduce import (
             B as SRB,
@@ -76,3 +79,72 @@ class TestSegmentReduceKernel:
             assert abs(out[3, s] - r[sel].sum()) < 1e-2
             assert int(out[6, s]) == sel.sum()
             assert int(out[7, s]) == np.bitwise_or.reduce(tile[sel])
+
+
+class TestBitonicSortKernel:
+    @pytest.mark.parametrize("n", [8192, 1 << 15])
+    def test_sorts_and_permutes(self, n):
+        from cwipc_util_tpu.ops.pallas_sort import sort3
+
+        rng = np.random.default_rng(n)
+        k = rng.integers(0, n // 8, n).astype(np.int32)  # heavy duplicates
+        k[rng.random(n) < 0.1] = np.iinfo(np.int32).max  # padding sentinels
+        a = rng.integers(-(2**31), 2**31, n).astype(np.int32)
+        b = rng.integers(-(2**31), 2**31, n).astype(np.int32)
+        ok, oa, ob = sort3(
+            jnp.asarray(k), jnp.asarray(a), jnp.asarray(b), interpret=True
+        )
+        ok, oa, ob = map(np.asarray, (ok, oa, ob))
+        assert (np.diff(ok) >= 0).all()
+        dt = [("k", "<i4"), ("a", "<i4"), ("b", "<i4")]
+        tin = np.sort(np.stack([k, a, b], 1).view(dt).ravel())
+        tout = np.sort(np.stack([ok, oa, ob], 1).view(dt).ravel())
+        assert (tin == tout).all()
+
+    def test_matches_lax_sort_on_voxel_runs(self):
+        from cwipc_util_tpu.ops.pallas_sort import sort3
+
+        n = 8192
+        rng = np.random.default_rng(7)
+        k = np.sort(rng.integers(0, 500, n)).astype(np.int32)
+        rng.shuffle(k)
+        a = np.arange(n, dtype=np.int32)
+        b = rng.integers(0, 1 << 30, n).astype(np.int32)
+        ok, oa, ob = sort3(
+            jnp.asarray(k), jnp.asarray(a), jnp.asarray(b), interpret=True
+        )
+        xk, xa, xb = jax.lax.sort(
+            (jnp.asarray(k), jnp.asarray(a), jnp.asarray(b)), num_keys=1
+        )
+        assert (np.asarray(ok) == np.asarray(xk)).all()
+        # per-key multisets of payload pairs match (sort3 is not stable)
+        ok_np, oa_np, ob_np = map(np.asarray, (ok, oa, ob))
+        xa_np, xb_np = np.asarray(xa), np.asarray(xb)
+        for key in np.unique(k):
+            sel = ok_np == key
+            got = set(zip(oa_np[sel].tolist(), ob_np[sel].tolist()))
+            want = set(zip(xa_np[sel].tolist(), xb_np[sel].tolist()))
+            assert got == want
+
+    def test_full_ladder_fallback(self, monkeypatch):
+        """_SHORT_RUN=0 disables the adaptive split; results must not change."""
+        from cwipc_util_tpu.ops import pallas_segment_reduce as sr
+
+        rng = np.random.default_rng(3)
+        keys = np.repeat(np.sort(rng.choice(1 << 29, 40, replace=False)).astype(np.int32), 60)
+        cap = 4 * sr.B
+        smk = np.full(cap, np.iinfo(np.int32).max, np.int32)
+        smk[: len(keys)] = keys
+        sfr = rng.integers(0, 1 << 30, cap).astype(np.int32)
+        srgba = rng.integers(-(2**31), 2**31, cap).astype(np.int32)
+        args = (jnp.asarray(smk), jnp.asarray(sfr), jnp.asarray(srgba), jnp.int32(len(keys)))
+        out_a, n_a = sr.segment_reduce_sorted(*args, out_capacity=2048)
+        monkeypatch.setattr(sr, "_SHORT_RUN", 0)
+        sr.segment_reduce_sorted._clear_cache()
+        out_b, n_b = sr.segment_reduce_sorted(*args, out_capacity=2048)
+        sr.segment_reduce_sorted._clear_cache()
+        assert int(n_a) == int(n_b)
+        # compare the valid region only (columns past nseg are
+        # uninitialized staging garbage)
+        n = int(n_a)
+        assert np.array_equal(np.asarray(out_a)[:, :n], np.asarray(out_b)[:, :n])
