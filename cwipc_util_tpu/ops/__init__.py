@@ -81,7 +81,12 @@ def cwipc_downsample(
         hi = jnp.max(jnp.where(valid[:, None], buf.xyz, -big), axis=0)
         extent_cells = float(jnp.max(hi - lo)) / cellsize
     exact = extent_cells >= 1023.0
-    out = voxelize.downsample(buf, jnp.float32(cellsize), exact_keys=exact)
+    # Scenes under 2^15 cells per axis (all realistic captures) use the
+    # cheaper merged-tiebreak exact sort; wider ones carry all three keys.
+    merged = exact and extent_cells < 32000.0
+    out = voxelize.downsample(
+        buf, jnp.float32(cellsize), exact_keys=exact, merged_exact=merged
+    )
     return _wrap(out, pc, cellsize=cellsize)
 
 

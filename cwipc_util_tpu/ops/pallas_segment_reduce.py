@@ -39,7 +39,8 @@ STAGE_CHUNKS = 10  # staging width = 127 leftover + up to B emitted, in 128s
 QUARTER = 256  # emission sub-tile: narrow one-hots cut staging traffic 3.3x
 Q_W = QUARTER + 128  # relative target range within a quarter
 STAGE_W = STAGE_CHUNKS * 128
-NCH = 16  # channel rows (10 used), sublane-aligned
+NCH = 16  # emission channel rows (10 used), sublane-aligned
+NSUM = 8  # rows that actually need the segmented sum scan (7 sums + pad)
 
 
 def _lane_iota2(n):
@@ -71,10 +72,11 @@ _SHORT_RUN = 0
 
 
 def _segmented_scan_add(ch, bcum, lo=1, hi=B):
-    """Segmented inclusive sums of ch [NCH, B] within runs defined by bcum,
+    """Segmented inclusive sums of ch [rows, B] within runs defined by bcum,
     for Hillis-Steele strides lo..hi."""
-    iota2 = jax.lax.broadcasted_iota(jnp.int32, (NCH, B), 1)
-    bcum2 = jnp.broadcast_to(bcum, (NCH, B))
+    rows = ch.shape[0]
+    iota2 = jax.lax.broadcasted_iota(jnp.int32, (rows, B), 1)
+    bcum2 = jnp.broadcast_to(bcum, (rows, B))
     d = lo
     while d < hi:
         shifted = pltpu.roll(ch, d, 1)
@@ -131,7 +133,7 @@ def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
     @pl.when(i == 0)
     def _init():
         stage[:, :] = jnp.zeros((NCH, STAGE_W), jnp.float32)
-        carry_sums[:, :] = jnp.zeros((NCH, 128), jnp.float32)
+        carry_sums[:, :] = jnp.zeros((NSUM, 128), jnp.float32)
         carry_or_key[0] = 0  # carry OR
         carry_or_key[1] = _SENTINEL  # previous key
         carry_or_key[2] = 0  # staging write pointer (columns)
@@ -155,11 +157,13 @@ def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
     key_hi = jnp.where(valid, ((smk >> 15) & 0x7FFF).astype(jnp.float32), 0.0)
     zero = jnp.zeros((1, B), jnp.float32)
     w = ones
+    # Only the 7 accumulating channels ride the segmented scan ([NSUM, B]);
+    # per-run VALUE rows (tile OR, key halves) are concatenated afterwards —
+    # scanning them too (and overwriting post-scan) cost ~2x the scan work.
     ch = jnp.concatenate(
-        [fx * w, fy * w, fz * w, r * w, g * w, b_ch * w, ones, zero,
-         key_lo, key_hi, zero, zero, zero, zero, zero, zero],
+        [fx * w, fy * w, fz * w, r * w, g * w, b_ch * w, ones, zero],
         axis=0,
-    )  # [NCH, B]
+    )  # [NSUM, B]
     tile = jnp.where(valid, (srgba >> 24) & 0xFF, 0)
 
     # run boundaries (first lane compares against the carried key)
@@ -180,13 +184,14 @@ def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
     tile = tile | jnp.where(is_cont_seed, carry_or_key[0], 0)
 
     ch, tile_or = _segmented_scans(ch, tile, bcum)
-    # rows 7-9 are per-run VALUES, not sums: overwrite them after the scan
-    # (the emission matmul picks exactly one column per run, so values pass
-    # through unchanged)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (NCH, B), 0)
-    ch = jnp.where(row_iota == 7, tile_or.astype(jnp.float32), ch)
-    ch = jnp.where(row_iota == 8, key_lo, ch)
-    ch = jnp.where(row_iota == 9, key_hi, ch)
+    # emission layout [NCH, B]: scanned sums (pad row 7 replaced by the
+    # tile OR), then the per-run VALUE rows (the emission matmul picks
+    # exactly one column per run, so values pass through unchanged)
+    ch16 = jnp.concatenate(
+        [ch[0:7], tile_or.astype(jnp.float32), key_lo, key_hi,
+         jnp.zeros((NCH - 10, B), jnp.float32)],
+        axis=0,
+    )  # [NCH, B]
 
     # ends: a run ends where the NEXT lane starts a new run; the block's
     # last lane carries over instead (the final block force-closes it)
@@ -210,9 +215,19 @@ def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
     wp = carry_or_key[2]
     lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, STAGE_W), 1)
     carry_target = jnp.where(emit_carry == 1, wp, -1)
+    # Rebuild the carried run's full emission column: 7 sums from the
+    # carry, then its tile OR and key halves from the scalar carries.
+    carry_col = jnp.concatenate(
+        [carry_sums[0:7, 0:1],
+         jnp.full((1, 1), carry_or_key[0], jnp.int32).astype(jnp.float32),
+         (jnp.full((1, 1), carry_key, jnp.int32) & 0x7FFF).astype(jnp.float32),
+         ((jnp.full((1, 1), carry_key, jnp.int32) >> 15) & 0x7FFF).astype(jnp.float32),
+         jnp.zeros((NCH - 10, 1), jnp.float32)],
+        axis=0,
+    )  # [NCH, 1]
     stage[:, :] = stage[:, :] + jnp.where(
         lane_w == carry_target, 1.0, 0.0
-    ) * carry_sums[:, 0:1]
+    ) * carry_col
 
     # Emission in QUARTER-point sub-tiles: each quarter's targets span at
     # most QUARTER+128 consecutive staging columns, so a narrow RELATIVE
@@ -225,7 +240,7 @@ def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
     for q in range(B // QUARTER):
         lo = q * QUARTER
         ends_q = ends[:, lo : lo + QUARTER]
-        ch_q = ch[:, lo : lo + QUARTER]
+        ch_q = ch16[:, lo : lo + QUARTER]
         erank_q = erank[:, lo : lo + QUARTER]
         # emitted before this quarter (global, incl. the carry emission)
         before_q = (ecum[0, lo] - ends[0, lo]) + emit_carry
@@ -272,7 +287,7 @@ def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
 
     # carry for the next block: the open run's partials = scanned values at
     # the last lane (unless it was force-closed / invalid)
-    last_cols = ch[:, B - 1 : B]  # [NCH, 1]
+    last_cols = ch[:, B - 1 : B]  # [NSUM, 1] (scanned sums)
     open_run = jnp.logical_not(is_last_block) & (smk[0, B - 1] != _SENTINEL)
     carry_sums[:, 0:1] = jnp.where(open_run, last_cols, 0.0)
     carry_or_key[0] = jnp.where(open_run, tile_or[0, B - 1], 0)
@@ -325,7 +340,7 @@ def segment_reduce_sorted(smk, sfr, srgba, count, out_capacity: int):
             ),
             scratch_shapes=[
                 pltpu.VMEM((NCH, STAGE_W), jnp.float32),
-                pltpu.VMEM((NCH, 128), jnp.float32),
+                pltpu.VMEM((NSUM, 128), jnp.float32),
                 pltpu.SMEM((3,), jnp.int32),
                 pltpu.SMEM((1,), jnp.int32),
                 pltpu.SemaphoreType.DMA,

@@ -124,12 +124,13 @@ def _reduce_runs_pallas(smk, sfr, srgba, count, ocap, vmin_safe, cell):
     return PointBuffer(xyz=out_xyz, rgba=out_rgba, count=out_count)
 
 
-@partial(jax.jit, static_argnames=("out_capacity", "exact_keys"))
+@partial(jax.jit, static_argnames=("out_capacity", "exact_keys", "merged_exact"))
 def downsample(
     buf: PointBuffer,
     cellsize: jax.Array,
     out_capacity: int | None = None,
     exact_keys: bool = False,
+    merged_exact: bool = False,
 ) -> PointBuffer:
     """Voxel-grid downsample at the given cellsize (f32 scalar, > 0).
 
@@ -140,8 +141,11 @@ def downsample(
     so the sort needs only that one key (measured ~3x cheaper than carrying
     the three exact coordinates as tiebreak keys on v5e).  Scenes wider than
     1024 cells per axis clamp at the fringe; pass ``exact_keys=True`` to
-    carry the exact (vx,vy,vz) keys for such scenes (the wrapper layer
-    chooses based on the cloud's bounding box).
+    carry the exact voxel-coordinate keys for such scenes (the wrapper
+    layer chooses based on the cloud's bounding box).  ``merged_exact``
+    (valid when every axis spans < 2^15 cells — the wrapper checks) packs
+    the rebased (vy, vz) into one tiebreak key: 3 sort keys instead of 4,
+    identical grouping and order (the rebase is a monotonic shift).
     """
     cap = buf.capacity
     ocap = cap if out_capacity is None else out_capacity
@@ -158,7 +162,22 @@ def downsample(
     mkey = morton3(vm[:, 0], vm[:, 1], vm[:, 2])
     mkey = jnp.where(valid, mkey, _SENTINEL)
 
-    if exact_keys:
+    if exact_keys and merged_exact:
+        # rebased coords are >= 0 and < 2^15 per axis here, so (vy, vz)
+        # pack into one int32 tiebreak key; ordering matches the unmerged
+        # form because the rebase shift is monotonic per axis.
+        kx = jnp.where(valid, vr[:, 0], _SENTINEL)
+        kyz = jnp.where(valid, (vr[:, 1] << 15) | vr[:, 2], _SENTINEL)
+        smk, skx, skyz, sx, sy, sz, srgba = jax.lax.sort(
+            (mkey, kx, kyz, buf.xyz[:, 0], buf.xyz[:, 1], buf.xyz[:, 2],
+             buf.rgba.astype(jnp.int32)),
+            num_keys=3,
+        )
+        new_seg = jnp.logical_or(
+            idx == 0,
+            (skx != jnp.roll(skx, 1)) | (skyz != jnp.roll(skyz, 1)),
+        )
+    elif exact_keys:
         kx = jnp.where(valid, v[:, 0], _SENTINEL)
         ky = jnp.where(valid, v[:, 1], _SENTINEL)
         kz = jnp.where(valid, v[:, 2], _SENTINEL)

@@ -272,3 +272,25 @@ class TestWideScene:
         got_keys = np.unique(np.floor(got.astype(np.float32) * inv).astype(np.int64), axis=0)
         assert got_keys.shape[0] == uniq.shape[0]
         assert (got_keys == uniq).all()
+
+
+def test_downsample_merged_exact_matches_full_exact():
+    """The merged (vy,vz) tiebreak key must reproduce the 4-key exact path
+    bit-for-bit on a wide scene (extent > 1023 cells, < 2^15)."""
+    import jax.numpy as jnp
+    from cwipc_util_tpu.core.buffers import PointBuffer
+    from cwipc_util_tpu.ops import voxelize
+
+    rng = np.random.default_rng(5)
+    cap = 8192
+    n = 7000
+    xyz = np.zeros((cap, 3), np.float32)
+    xyz[:n] = (rng.random((n, 3)) * 50.0 - 25.0).astype(np.float32)  # 5000 cells wide
+    rgba = rng.integers(0, 2**32, cap, dtype=np.uint64).astype(np.uint32)
+    buf = PointBuffer(xyz=jnp.asarray(xyz), rgba=jnp.asarray(rgba), count=jnp.int32(n))
+    a = voxelize.downsample(buf, jnp.float32(0.01), exact_keys=True, merged_exact=True)
+    b = voxelize.downsample(buf, jnp.float32(0.01), exact_keys=True, merged_exact=False)
+    assert int(a.count) == int(b.count)
+    m = int(a.count)
+    assert np.array_equal(np.asarray(a.xyz[:m]), np.asarray(b.xyz[:m]))
+    assert np.array_equal(np.asarray(a.rgba[:m]), np.asarray(b.rgba[:m]))

@@ -148,3 +148,30 @@ class TestBitonicSortKernel:
         # uninitialized staging garbage)
         n = int(n_a)
         assert np.array_equal(np.asarray(out_a)[:, :n], np.asarray(out_b)[:, :n])
+
+    def test_block_aligned_runs_emit_carry(self):
+        """Runs ending exactly at block boundaries exercise the carried-run
+        emission column (sums + tile OR + key halves rebuilt from carries)."""
+        from cwipc_util_tpu.ops.pallas_segment_reduce import B as SRB
+        from cwipc_util_tpu.ops.pallas_segment_reduce import segment_reduce_sorted
+
+        rng = np.random.default_rng(11)
+        nblocks = 4
+        keys = np.repeat(np.array([5, 9, 1000, 70000], np.int32), SRB)
+        cap = nblocks * SRB
+        sfr = rng.integers(0, 1 << 30, cap).astype(np.int32)
+        srgba = rng.integers(-(2**31), 2**31, cap).astype(np.int32)
+        out, nseg = segment_reduce_sorted(
+            jnp.asarray(keys), jnp.asarray(sfr), jnp.asarray(srgba),
+            jnp.int32(cap), out_capacity=2048,
+        )
+        out = np.asarray(out)
+        assert int(nseg) == 4
+        tile = ((srgba.astype(np.int64) >> 24) & 0xFF).astype(np.int64)
+        r = ((srgba >> 16) & 0xFF).astype(np.float64)
+        for s, key in enumerate([5, 9, 1000, 70000]):
+            sel = slice(s * SRB, (s + 1) * SRB)
+            assert int(out[8, s]) + int(out[9, s]) * 32768 == key
+            assert int(out[6, s]) == SRB
+            assert int(out[7, s]) == np.bitwise_or.reduce(tile[sel])
+            assert abs(out[3, s] - r[sel].sum()) < 0.5
