@@ -107,7 +107,8 @@ def _segmented_scans(ch, tile, bcum):
     log2(_SHORT_RUN) Hillis-Steele steps complete almost every block; the
     remaining steps run under a lax.cond only when some run in the block is
     longer than _SHORT_RUN (detected as a lane whose run already spans the
-    whole window).  Halves the dominant scan cost on typical data.
+    whole window).  Measured SLOWER end-to-end than the straight ladder
+    (see _SHORT_RUN above) — disabled by default, kept for documentation.
     """
     if not _SHORT_RUN:
         return (_segmented_scan_add(ch, bcum, 1, B),

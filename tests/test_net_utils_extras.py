@@ -1,0 +1,173 @@
+"""Coverage for the proxy TCP receiver, peek queue, vectors, logging, stats.
+
+These are the reference-parity corners not exercised by the pipeline tests:
+the legacy proxy packet protocol (reference: src/cwipc_proxy.cpp:158-254),
+the vectors.h quirks (vectors.h:25-47), the CWIPC_LOGGING subsystem
+(src/logging.cpp:48-138) and the statistics() print protocol.
+"""
+
+import socket
+import struct
+import time
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _point_bytes(pts):
+    """Pack [(x,y,z,r,g,b,tile)] into 16-byte external point records."""
+    out = b""
+    for x, y, z, r, g, b, tile in pts:
+        out += struct.pack("<fffBBBB", x, y, z, r, g, b, tile)
+    return out
+
+
+class TestProxySource:
+    def test_receive_ack_and_latest_wins(self):
+        from cwipc_util_tpu.net.proxy import CWIPC_POINT_PACKETHEADER_MAGIC
+        from cwipc_util_tpu.net.proxy import cwipc_proxy_source
+
+        port = _free_port()
+        src = cwipc_proxy_source("127.0.0.1", port)
+        try:
+            conn = socket.create_connection(("127.0.0.1", port), timeout=5)
+            for ts in (1111, 2222):  # second cloud replaces the first
+                payload = _point_bytes([(1.0, 2.0, 3.0, 10, 20, 30, ts % 5)])
+                hdr = struct.pack(
+                    "<IIQfI", CWIPC_POINT_PACKETHEADER_MAGIC, len(payload),
+                    ts, 0.05, 0,
+                )
+                conn.sendall(hdr + payload)
+                ack = conn.recv(8)
+                assert struct.unpack("<Q", ack)[0] == ts
+            deadline = time.time() + 5
+            while not src.available(wait=True) and time.time() < deadline:
+                pass
+            pc = src.get()
+            assert pc is not None
+            assert pc.timestamp() == 2222  # latest wins
+            assert pc.count() == 1
+            arr = pc.get_numpy_array()
+            assert np.isclose(arr["x"][0], 1.0)
+            assert arr["tile"][0] == 2222 % 5
+            pc.free()
+            conn.close()
+        finally:
+            src.stop()
+
+    def test_bad_magic_drops_connection(self):
+        from cwipc_util_tpu.net.proxy import cwipc_proxy_source
+
+        port = _free_port()
+        src = cwipc_proxy_source("127.0.0.1", port)
+        try:
+            conn = socket.create_connection(("127.0.0.1", port), timeout=5)
+            conn.sendall(struct.pack("<IIQfI", 0xDEADBEEF, 16, 1, 0.0, 0))
+            # server closes the connection; recv returns EOF
+            conn.settimeout(5)
+            assert conn.recv(8) == b""
+            conn.close()
+            assert not src.available()
+        finally:
+            src.stop()
+
+
+class TestPeekQueue:
+    def test_dont_get_leaves_item(self):
+        from cwipc_util_tpu.net.peek_queue import PeekQueue
+
+        q = PeekQueue(maxsize=2)
+        q.put("a")
+        assert q.dont_get() == "a"
+        assert q.get() == "a"  # still there
+
+    def test_dont_get_timeout(self):
+        from cwipc_util_tpu.net.peek_queue import PeekQueue
+
+        q = PeekQueue()
+        assert q.dont_get(timeout=0.05) is None
+
+
+class TestVectorsQuirks:
+    def test_len_vector_returns_squared_length(self):
+        from cwipc_util_tpu.utils.vectors import len_vector
+
+        assert len_vector((3.0, 4.0, 0.0)) == 25.0  # quirk: squared
+
+    def test_norm_vector_divides_by_squared_length(self):
+        from cwipc_util_tpu.utils.vectors import len_vector, norm_vector
+
+        v = norm_vector((2.0, 0.0, 0.0))
+        # result length is 1/|a|, not 1 (reference vectors.h:39-47)
+        assert v == (0.5, 0.0, 0.0)
+        assert len_vector(norm_vector((0.0, 0.0, 0.0))) == 0.0
+
+    def test_dot_and_cross(self):
+        from cwipc_util_tpu.utils.vectors import cross_vectors, dot_vectors
+
+        assert dot_vectors((1, 2, 3), (4, 5, 6)) == 32
+        assert cross_vectors((1, 0, 0), (0, 1, 0)) == (0, 0, 1)
+
+
+class TestLogging:
+    def test_callback_receives_messages(self):
+        from cwipc_util_tpu.utils import logging as cl
+
+        got = []
+        cl.cwipc_log_configure(3, lambda lvl, msg: got.append((lvl, msg)))
+        try:
+            cl.cwipc_log(2, "test", "hello")
+            assert got and got[-1][0] == 2
+            assert b"hello" in got[-1][1]
+        finally:
+            cl.cwipc_log_configure(0, None)
+
+    def test_level_filters(self):
+        from cwipc_util_tpu.utils import logging as cl
+
+        got = []
+        cl.cwipc_log_configure(1, lambda lvl, msg: got.append(lvl))
+        try:
+            cl.cwipc_log(4, "test", "debug message")  # above level: dropped
+            assert got == []
+            cl.cwipc_log(1, "test", "error message")
+            assert got == [1]
+        finally:
+            cl.cwipc_log_configure(0, None)
+
+    def test_capture_errors(self):
+        from cwipc_util_tpu.utils import logging as cl
+
+        with cl.capture_errors() as cap:
+            cl._cwipc_log_emit(1, "mod", "boom")
+        assert cap.error is not None and "boom" in cap.error
+
+
+class TestStats:
+    def test_print1stat_formats(self, capsys):
+        from cwipc_util_tpu.utils.stats import print1stat
+
+        print1stat("comp", "latency", [1.0, 2.0, 3.0])
+        out = capsys.readouterr().out
+        assert "count=3" in out and "average=2.000" in out
+        print1stat("comp", "empty", [])
+        assert "count=0" in capsys.readouterr().out
+
+    def test_timer_and_stats(self, capsys):
+        from cwipc_util_tpu.utils.stats import Stats, Timer
+
+        st = Stats("unit")
+        with Timer(st, "sleep"):
+            time.sleep(0.01)
+        st.add("frames", 5, isInt=True)
+        st.print()
+        out = capsys.readouterr().out
+        assert "sleep" in out and "frames" in out

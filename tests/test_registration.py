@@ -17,6 +17,7 @@ from cwipc_util_tpu.registration.analyze import (
 from cwipc_util_tpu.registration.cameraconfig import CameraConfig, default_cameraconfig
 from cwipc_util_tpu.registration.fine import (
     RegistrationComputer_ICP_Generalized,
+    RegistrationComputer_ICP_Point2Plane,
     RegistrationComputer_ICP_Point2Point,
 )
 from cwipc_util_tpu.registration.multicamera import (
@@ -104,7 +105,12 @@ class TestAnalyzer:
 
 class TestICP:
     @pytest.mark.parametrize(
-        "cls", [RegistrationComputer_ICP_Point2Point, RegistrationComputer_ICP_Generalized]
+        "cls",
+        [
+            RegistrationComputer_ICP_Point2Point,
+            RegistrationComputer_ICP_Point2Plane,
+            RegistrationComputer_ICP_Generalized,
+        ],
     )
     def test_recovers_small_transform(self, synth_pc, cls):
         true_T = _translation(0.01, 0.005, -0.008) @ _rotation_y(0.03)
@@ -264,3 +270,34 @@ class TestCoarseAruco:
         m = moved.get_numpy_matrix(onlyGeometry=True)
         center = m.mean(axis=0)
         assert np.linalg.norm(center) < 0.02, f"marker center off by {center}"
+
+
+class TestNormals:
+    def test_plane_normals_point_outward(self):
+        """Normals of a planar patch must be the plane normal, oriented away
+        from the centroid side (reference: o3d estimate_normals +
+        orient_normals semantics used by the point2plane aligners)."""
+        import jax.numpy as jnp
+
+        from cwipc_util_tpu.core.buffers import PointBuffer
+        from cwipc_util_tpu.registration.normals import estimate_normals
+
+        n_side = 32
+        g = np.linspace(0.0, 0.31, n_side, dtype=np.float32)
+        xx, yy = np.meshgrid(g, g)
+        cap = 2048
+        xyz = np.zeros((cap, 3), np.float32)
+        pts = np.stack([xx.ravel(), yy.ravel(), np.zeros(n_side * n_side, np.float32)], 1)
+        xyz[: len(pts)] = pts
+        buf = PointBuffer(
+            xyz=jnp.asarray(xyz),
+            rgba=jnp.zeros(cap, jnp.uint32),
+            count=jnp.int32(len(pts)),
+        )
+        normals = np.asarray(estimate_normals(buf, jnp.float32(0.05)))
+        nz = normals[: len(pts), 2]
+        interior = (pts[:, 0] > 0.05) & (pts[:, 0] < 0.26) & (pts[:, 1] > 0.05) & (pts[:, 1] < 0.26)
+        assert np.all(np.abs(nz[interior]) > 0.99), "interior normals not +/-z"
+        norms = np.linalg.norm(normals[: len(pts)][interior], axis=1)
+        assert np.allclose(norms, 1.0, atol=1e-3)
+        assert np.allclose(normals[len(pts):], 0.0)
