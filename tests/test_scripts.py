@@ -105,3 +105,67 @@ class TestNetworkPipelines:
             env_extra={"CWIPC_PARALLEL_STAGGER": "6"},
         )
         assert rv.returncode == 0, rv.stderr[-800:]
+
+    def test_copy_conversion(self, tmp_path):
+        """cwipc copy converts between formats via the FileWriter machinery."""
+        r = run_cwipc("grab", "--synthetic", "--npoints", "1000", "--count", "1",
+                      str(tmp_path))
+        assert r.returncode == 0, r.stderr
+        src = next(tmp_path.glob("*.ply"))
+        outdir = tmp_path / "converted"
+        outdir.mkdir()
+        r = run_cwipc("copy", "--cwipcdump", str(src), str(outdir))
+        assert r.returncode == 0, r.stderr
+        dumps = list(outdir.glob("*.cwipcdump"))
+        assert len(dumps) == 1 and dumps[0].stat().st_size > 32
+
+    def test_timing_csv(self, tmp_path):
+        """cwipc timing prints per-cloud timestamp/latency CSV."""
+        out = tmp_path / "t.csv"
+        r = run_cwipc("timing", "--synthetic", "--npoints", "1000", "--count", "3",
+                      "--output", str(out))
+        assert r.returncode == 0, r.stderr
+        lines = out.read_text().strip().splitlines()
+        assert len(lines) >= 4  # header + 3 clouds
+        assert "timestamp" in lines[0]
+
+    def test_find_transform_identity(self, tmp_path):
+        """cwipc find_transform on a file against itself prints ~identity."""
+        r = run_cwipc("grab", "--synthetic", "--npoints", "2000", "--count", "1",
+                      str(tmp_path))
+        assert r.returncode == 0, r.stderr
+        src = next(tmp_path.glob("*.ply"))
+        r = run_cwipc("find_transform",
+                      "--algorithm", "RegistrationComputer_ICP_Point2Point",
+                      str(src))
+        assert r.returncode == 0, r.stderr
+        toks = [t.strip("[],") for t in r.stdout.split()]
+        nums = [float(t) for t in toks if _is_float(t)]
+        assert len(nums) >= 16
+        m = nums[:16]
+        # diagonal ~1, off-diagonal ~0
+        for i in range(4):
+            for j in range(4):
+                want = 1.0 if i == j else 0.0
+                assert abs(m[i * 4 + j] - want) < 0.01
+
+    def test_create_analysis_test_and_aligner(self, tmp_path):
+        """create_analysis_test emits a perturbed multicam cloud that
+        test_aligner can load and improve."""
+        f = tmp_path / "scene.cwipcdump"
+        r = run_cwipc("create_analysis_test", "--ncamera", "2", "--noise", "0.001",
+                      "--translation", "0.01", "--rotation", "0.02", str(f))
+        assert r.returncode == 0, r.stderr
+        assert f.exists()
+        r = run_cwipc("test_aligner", "--algorithm", "MultiCameraOneToAllOthers",
+                      str(f), timeout=600)
+        assert r.returncode == 0, r.stderr
+        assert "error" not in r.stderr.lower() or r.returncode == 0
+
+
+def _is_float(tok):
+    try:
+        float(tok)
+        return True
+    except ValueError:
+        return False
