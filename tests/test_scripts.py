@@ -169,3 +169,34 @@ def _is_float(tok):
         return True
     except ValueError:
         return False
+
+
+class TestExamples:
+    """Every example script must run headless (the reference ships
+    python/examples/ as living documentation; ours mirror them 1:1)."""
+
+    @pytest.mark.parametrize(
+        "name,args",
+        [
+            ("example_generate", []),
+            ("example_downsample", []),
+            ("example_dump2ply", []),
+            ("example_ply2dump", []),
+            ("example_compress_decompress", []),
+            ("example_record", []),
+            ("example_viewsynthetic", ["--nodisplay"]),
+            ("example_viewfile", ["--nodisplay"]),
+            ("example_viewrecording", ["--nodisplay"]),
+            ("example_viewcamera", ["--nodisplay"]),
+        ],
+    )
+    def test_example_runs(self, name, args):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("XLA_FLAGS", None)
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "examples", f"{name}.py"), *args],
+            capture_output=True, text=True, timeout=240, env=env, cwd=REPO,
+        )
+        assert r.returncode == 0, (r.stdout[-300:], r.stderr[-500:])
