@@ -175,3 +175,73 @@ class TestNativeInterop:
         assert rv.returncode == 0, rv.stderr
         pc = cwipc.cwipc_read_debugdump(dump)
         assert pc.count() == 160000
+
+
+def test_native_proxy_receives_packet(native_lib):
+    """The native cwipc_proxy must accept our legacy packets and hand over
+    the newest cloud (latest-wins) with a timestamp ack
+    (reference protocol: src/cwipc_proxy.cpp:158-254)."""
+    import socket
+    import struct
+    import time
+
+    lib = native_lib
+    lib.cwipc_proxy.restype = ctypes.c_void_p
+    lib.cwipc_proxy.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_char_p), ctypes.c_uint64,
+    ]
+    lib.cwipc_source_get.restype = ctypes.c_void_p
+    lib.cwipc_source_get.argtypes = [ctypes.c_void_p]
+    lib.cwipc_source_available.restype = ctypes.c_int
+    lib.cwipc_source_available.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.cwipc_pointcloud_timestamp.restype = ctypes.c_uint64
+    lib.cwipc_pointcloud_timestamp.argtypes = [ctypes.c_void_p]
+    lib.cwipc_pointcloud_count.restype = ctypes.c_int
+    lib.cwipc_pointcloud_count.argtypes = [ctypes.c_void_p]
+    lib.cwipc_pointcloud_free.argtypes = [ctypes.c_void_p]
+    lib.cwipc_source_free.argtypes = [ctypes.c_void_p]
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    err = ctypes.c_char_p()
+    src = lib.cwipc_proxy(b"127.0.0.1", port, ctypes.byref(err), 0x20260129)
+    assert src, err.value
+    try:
+        conn = socket.create_connection(("127.0.0.1", port), timeout=10)
+        payload = struct.pack("<fffBBBB", 1.0, 2.0, 3.0, 10, 20, 30, 1)
+        hdr = struct.pack("<IIQfI", 0x20201016, len(payload), 4242, 0.05, 0)
+        conn.sendall(hdr + payload)
+        ack = conn.recv(8)
+        assert struct.unpack("<Q", ack)[0] == 4242
+        deadline = time.time() + 10
+        while not lib.cwipc_source_available(src, 1) and time.time() < deadline:
+            pass
+        pc = lib.cwipc_source_get(src)
+        assert pc
+        assert lib.cwipc_pointcloud_timestamp(pc) == 4242
+        assert lib.cwipc_pointcloud_count(pc) == 1
+        lib.cwipc_pointcloud_free(pc)
+        conn.close()
+    finally:
+        lib.cwipc_source_free(src)
+
+
+def test_timing_harness_runs():
+    """The accessor benchmark harness must run end-to-end on a small cloud
+    (reference: python/timing_tests.py)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(pathlib.Path(__file__).parent.parent)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, "-m", "cwipc_util_tpu.benchmarks.timing_tests", "2000"],
+        capture_output=True, text=True, timeout=240, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "get_points" in r.stdout or "get_numpy" in r.stdout
