@@ -66,24 +66,31 @@ def _window_knn_kernel(count_ref, xyz_hbm, md_ref, xyz_vmem, sem, *, window: int
         d2_list.append(jnp.where(ok, d2, _F32_MAX))
     d2 = jnp.stack(d2_list, axis=0)  # [2W, B]
 
-    # k smallest by iterative extraction (k sweeps of min+mask).  The row
-    # index is packed into the 6 low mantissa bits of the squared distance
-    # (bitcast of a non-negative f32 is order-preserving), so ONE
-    # min-reduce yields both the minimum and its first row, and the packed
-    # key is unique per column — the mask hits exactly one entry without a
-    # separate argmin pass.  Truncating 6 mantissa bits perturbs d2 by
+    # Exact k-smallest selection by 31-step bisection on packed keys.  The
+    # row index is packed into the 6 low mantissa bits of the squared
+    # distance (bitcast of a non-negative f32 is order-preserving), which
+    # makes every column's keys UNIQUE: the bisection converges on exactly
+    # the k-th smallest key, and `key <= T` selects exactly the k nearest
+    # (same set an iterative min-extraction picks, at ~2/3 the vector work
+    # and independent of k).  Truncating 6 mantissa bits perturbs d2 by
     # <= 2^-17 relative (~4e-6 on the distance), far below the outlier
     # statistics' sensitivity.
     row_iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
-    big_i32 = jnp.iinfo(jnp.int32).max
     key = (jax.lax.bitcast_convert_type(d2, jnp.int32) & ~63) | row_iota
-    total = jnp.zeros((BLOCK,), jnp.float32)
-    for _ in range(k):
-        kmin = jnp.min(key, axis=0)  # [B]
-        m = jax.lax.bitcast_convert_type(kmin & ~63, jnp.float32)
-        contrib = jnp.where(m < _F32_MAX / 2, jnp.sqrt(jnp.maximum(m, 0.0)), 0.0)
-        total = total + contrib
-        key = jnp.where(key == kmin[None, :], big_i32, key)
+    lo = jnp.zeros((BLOCK,), jnp.int32)
+    hi = jnp.full((BLOCK,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    for _ in range(31):
+        mid = lo + ((hi - lo) >> 1)
+        cnt = jnp.sum((key <= mid[None, :]).astype(jnp.int32), axis=0)
+        ge = cnt >= k
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + 1)
+    sel = key <= hi[None, :]
+    d2t = jax.lax.bitcast_convert_type(key & ~63, jnp.float32)
+    contrib = jnp.where(
+        sel & (d2t < _F32_MAX / 2), jnp.sqrt(jnp.maximum(d2t, 0.0)), 0.0
+    )
+    total = jnp.sum(contrib, axis=0)
 
     md = total / float(k)
     md = jnp.where(row_ids < count, md, 0.0)
