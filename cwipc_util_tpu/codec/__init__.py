@@ -83,7 +83,11 @@ class cwipc_encoder_wrapper:
         self.params = params
         self._result: Optional[bytes] = None
         # zlib level from jpeg_quality: high quality -> more effort
-        self._zlevel = max(1, min(9, int(round(params.jpeg_quality / 11))))
+        # Deflate level: measured on 140k-point frames, level 9 costs
+        # ~185 ms on the delta stream for ~4% better ratio than level 1
+        # (16 ms).  Speed is the product requirement; very high
+        # jpeg_quality values opt into the denser setting.
+        self._zlevel = 1 if params.jpeg_quality <= 90 else 6
 
     def free(self, *, force: bool = False) -> None:
         self._result = None
@@ -122,10 +126,19 @@ class cwipc_encoder_wrapper:
         buf = pc._access_buffer()
         # octree_bits >= 10 can span the full 1024-cell Morton domain where
         # the fast single-key path clamps; use exact keys there.
-        down = downsample(buf, jnp.float32(step), exact_keys=p.octree_bits >= 10)
-        m = int(down.count)
-        dxyz = np.asarray(down.xyz[:m])
-        drgba = np.asarray(down.rgba[:m])
+        # octree grids are far under 2^15 cells/axis, so the merged
+        # two-key exact sort applies; one device_get fetches count+arrays
+        # in a single relay round trip (each np.asarray costs a dispatch).
+        down = downsample(
+            buf, jnp.float32(step),
+            exact_keys=p.octree_bits >= 10, merged_exact=p.octree_bits >= 10,
+        )
+        import jax
+
+        m_dev, dxyz_all, drgba_all = jax.device_get((down.count, down.xyz, down.rgba))
+        m = int(m_dev)
+        dxyz = dxyz_all[:m]
+        drgba = drgba_all[:m]
 
         coords = np.clip(
             np.floor((dxyz - lo[None, :]) / step).astype(np.int64), 0, (1 << p.octree_bits) - 1
