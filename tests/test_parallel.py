@@ -42,3 +42,39 @@ class TestPointAxisSharding:
         import __graft_entry__ as graft
 
         graft.dryrun_multichip(len(jax.devices()))
+
+
+class TestCameraFusionSemantics:
+    def test_overlapping_cameras_merge_with_or_tiles(self, mesh):
+        """Points seen by several cameras must fuse into single points whose
+        tile byte ORs the camera masks (the reference's join+downsample
+        fusion semantics, cwipc_filters.cpp:89-172 tile OR)."""
+        import jax.numpy as jnp
+
+        from cwipc_util_tpu.parallel.fusion import make_fusion_step
+
+        d = len(jax.devices())
+        cap = 2048
+        n = 500
+        rng = np.random.default_rng(0)
+        pts = (rng.random((n, 3)) * 0.5).astype(np.float32)
+        xyz = np.zeros((d, cap, 3), np.float32)
+        rgba = np.zeros((d, cap), np.uint32)
+        counts = np.zeros((d,), np.int32)
+        for cam in range(d):
+            xyz[cam, :n] = pts  # every camera sees the same points
+            tile = np.uint32(1 << (cam % 8))
+            rgba[cam, :n] = (tile << 24) | 0x00808080
+            counts[cam] = n
+        step = make_fusion_step(mesh, k=4)
+        fused = step(
+            jnp.asarray(xyz), jnp.asarray(rgba), jnp.asarray(counts),
+            jnp.float32(0.01), jnp.float32(3.0),
+        )
+        m = int(fused.count)
+        assert 0 < m <= n  # merged, never duplicated
+        tiles = (np.asarray(fused.rgba[:m]) >> 24) & 0xFF
+        want = 0
+        for cam in range(d):
+            want |= 1 << (cam % 8)
+        assert (tiles == want).all(), f"tiles {np.unique(tiles)} != {want:#x}"
