@@ -200,3 +200,58 @@ class TestExamples:
             capture_output=True, text=True, timeout=240, env=env, cwd=REPO,
         )
         assert r.returncode == 0, (r.stdout[-300:], r.stderr[-500:])
+
+
+class TestRelayTopology:
+    def test_netserver_relay_three_process(self):
+        """3-process chain mirroring the reference CTest pipeline:
+        netserver --oneshot | view --netclient | forward --forward
+        (python/CMakeLists.txt relay topology)."""
+        ingest, serve = _free_port(), _free_port()
+        r = run_cwipc(
+            "parallel",
+            "netserver", "--oneshot", "--port", str(ingest),
+            "--serveport", str(serve),
+            "--",
+            "view", "--netclient", f"localhost:{serve}", "--nodisplay",
+            "--count", "5",
+            "--",
+            "forward", "--forward", f"localhost:{ingest}", "--synthetic",
+            "--npoints", "1000", "--count", "8", "--noencode",
+            timeout=300,
+        )
+        assert r.returncode == 0, (r.stdout[-400:], r.stderr[-600:])
+
+    def test_toproxy_to_python_proxy(self):
+        """cwipc toproxy pushes legacy packets into our proxy source."""
+        import threading
+
+        from cwipc_util_tpu.net.proxy import cwipc_proxy_source
+
+        port = _free_port()
+        src = cwipc_proxy_source("127.0.0.1", port)
+        got = []
+
+        def consume():
+            deadline = 60
+            import time
+
+            t0 = time.time()
+            while len(got) < 2 and time.time() - t0 < deadline:
+                if src.available(True):
+                    pc = src.get()
+                    if pc is not None:
+                        got.append(pc.count())
+                        pc.free()
+
+        t = threading.Thread(target=consume, daemon=True)
+        t.start()
+        r = run_cwipc(
+            "toproxy", "localhost", str(port), "--synthetic",
+            "--npoints", "1000", "--count", "3",
+            timeout=240,
+        )
+        t.join(timeout=60)
+        src.stop()
+        assert r.returncode == 0, r.stderr[-500:]
+        assert got and all(n > 0 for n in got)
