@@ -49,14 +49,18 @@ def downsample_outliers_tilefilter(
     # Fuse the outlier keep-mask with the tile selection: one compaction
     # pass instead of two (each costs a payload sort).  On TPU the window
     # kNN runs as the fused Pallas kernel (1.8ms vs 3.2ms for the XLA
-    # formulation at 262k points); the CPU test platform uses the XLA path
-    # (interpret-mode Pallas would be much slower).
-    if jax.devices()[0].platform == "cpu":
-        md = outliers._mean_knn_dist_window(down.xyz, down.count, k, window=window)
-    else:
-        from .pallas_window_knn import window_knn_mean_distance
+    # formulation at 262k points); CPU computations get the XLA path
+    # (interpret-mode Pallas would be much slower).  Dispatch keys on the
+    # LOWERING platform, not jax.devices()[0], so CPU-mesh computations in
+    # a TPU-hosted process select correctly.
+    from .pallas_window_knn import window_knn_mean_distance
 
-        md = window_knn_mean_distance(down.xyz, down.count, k, window=window)
+    md = jax.lax.platform_dependent(
+        down.xyz,
+        down.count,
+        cpu=partial(outliers._mean_knn_dist_window, k=k, window=window),
+        default=partial(window_knn_mean_distance, k=k, window=window),
+    )
     keep = outliers._keep_from_mean_dists(md, down.valid_mask(), mult)
     point_tile = (down.rgba >> 24) & 0xFF
     tile = jnp.asarray(tile, jnp.uint32)

@@ -315,14 +315,38 @@ def segment_reduce_sorted(smk, sfr, srgba, count, out_capacity: int):
 
     Inputs are the sorted arrays of the quantized downsample path
     (ops/voxelize.py): Morton keys with _SENTINEL padding, packed 10-bit
-    fracs, rgba as int32.
+    fracs, rgba as int32.  Capacities below the B=1024 grid block (small
+    clouds: per-tile ops, registration subsamples, codec tiles) are padded
+    with sentinel keys — the kernel already treats sentinel lanes as
+    invalid, so padding is free of semantic effect.
     """
+    cap = smk.shape[0]
+    pad = (-cap) % B
+    if pad:
+        smk = jnp.concatenate([smk, jnp.full((pad,), _SENTINEL, jnp.int32)])
+        sfr = jnp.concatenate([sfr, jnp.zeros((pad,), jnp.int32)])
+        srgba = jnp.concatenate([srgba, jnp.zeros((pad,), jnp.int32)])
+    # The chip path and the interpret path are selected per LOWERING
+    # platform (a TPU-hosted process running a CPU mesh must get the
+    # interpreted kernel on its CPU computations and the compiled one on
+    # TPU — a global jax.devices()[0] check picks wrongly for one of them).
+    return jax.lax.platform_dependent(
+        smk,
+        sfr,
+        srgba,
+        count,
+        cpu=partial(_segment_reduce_call, out_capacity=out_capacity, interpret=True),
+        default=partial(_segment_reduce_call, out_capacity=out_capacity, interpret=False),
+    )
+
+
+def _segment_reduce_call(smk, sfr, srgba, count, *, out_capacity: int, interpret: bool):
     cap = smk.shape[0]
     assert cap % B == 0
     grid = cap // B
-    out_cap = out_capacity + 256  # slack for the final partial-chunk flush
+    # slack for the final partial-chunk flush; rounds odd capacities up
+    out_cap = -(-out_capacity // 128) * 128 + 256
     assert out_cap % 128 == 0
-    interpret = jax.devices()[0].platform == "cpu"
     kernel = partial(_kernel, grid=grid)
     out, nseg = pl.pallas_call(
         kernel,
@@ -336,7 +360,7 @@ def segment_reduce_sorted(smk, sfr, srgba, count, out_capacity: int):
                 pl.BlockSpec((B,), lambda i, c: (i,), memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ),
             scratch_shapes=[

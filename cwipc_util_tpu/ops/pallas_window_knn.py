@@ -105,10 +105,26 @@ def window_knn_mean_distance(
     neighbors, as one fused Pallas kernel.  Drop-in for the XLA
     `_mean_knn_dist_window` (same semantics, same approximation)."""
     cap = xyz.shape[0]
-    assert cap % BLOCK == 0, f"capacity {cap} must be a multiple of {BLOCK}"
     assert window <= HALO, f"window {window} exceeds the kernel halo {HALO}"
+    # Small clouds: pad the point axis to the grid block (padding lanes sit
+    # beyond `count`, so the kernel masks them out of every distance).
+    pad = (-cap) % BLOCK
+    if pad:
+        xyz = jnp.concatenate([xyz, jnp.zeros((pad, 3), xyz.dtype)])
+    # interpret-vs-compiled is chosen per LOWERING platform so a TPU-hosted
+    # process running CPU-mesh computations gets the right kernel for each.
+    md = jax.lax.platform_dependent(
+        xyz,
+        count,
+        cpu=partial(_window_knn_call, k=k, window=window, interpret=True),
+        default=partial(_window_knn_call, k=k, window=window, interpret=False),
+    )
+    return md[:cap]
+
+
+def _window_knn_call(xyz, count, *, k: int, window: int, interpret: bool):
+    cap = xyz.shape[0]
     grid = cap // BLOCK
-    interpret = jax.devices()[0].platform == "cpu"  # tests run interpreted
     # pad coords to 8 rows (f32 sublane tiling) and HALO lanes on each side
     xyz_t = jnp.pad(xyz.T, ((0, 5), (HALO, HALO)))  # [8, HALO+cap+HALO]
     kernel = partial(_window_knn_kernel, window=window, k=min(k, 2 * window))
@@ -118,7 +134,7 @@ def window_knn_mean_distance(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((BLOCK,), lambda i, c: (i,), memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((8, BLOCK + 2 * HALO), jnp.float32),

@@ -93,7 +93,7 @@ def morton3(vx: jax.Array, vy: jax.Array, vz: jax.Array) -> jax.Array:
 
 
 
-def _reduce_runs_pallas(smk, sfr, srgba, count, ocap, vmin_safe, cell):
+def _reduce_runs_pallas(smk, sfr, srgba, count, vmin_safe, cell, *, ocap):
     """Fused Pallas reduction of the sorted voxel runs (TPU path)."""
     from .pallas_segment_reduce import segment_reduce_sorted
 
@@ -122,6 +122,83 @@ def _reduce_runs_pallas(smk, sfr, srgba, count, ocap, vmin_safe, cell):
         out_valid, pack_rgba(mean_rgb[0], mean_rgb[1], mean_rgb[2], out_tile), 0
     )
     return PointBuffer(xyz=out_xyz, rgba=out_rgba, count=out_count)
+
+
+def _reduce_segments_xla(new_seg, sx, sy, sz, srgba, count, *, ocap):
+    """XLA reduction of sorted runs: cumsum segment ids + batched segment_sum."""
+    cap = new_seg.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    srgba = srgba.astype(jnp.uint32)
+    seg = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+
+    # Number of distinct voxels among the valid points (valid points occupy
+    # slots [0, count) after the sort — invalid keys are all sentinel).
+    last = jnp.clip(count - 1, 0, cap - 1)
+    total = jnp.where(count > 0, seg[last] + 1, 0)
+
+    in_range = seg < ocap
+    w = jnp.logical_and(idx < count, in_range).astype(jnp.float32)
+    seg = jnp.where(in_range, seg, 0)  # weight 0 => no corruption
+
+    r = ((srgba >> 16) & 0xFF).astype(jnp.float32)
+    g = ((srgba >> 8) & 0xFF).astype(jnp.float32)
+    b = (srgba & 0xFF).astype(jnp.float32)
+    tile = (srgba >> 24) & 0xFF
+    bits = (
+        (tile[:, None] >> jnp.arange(8, dtype=jnp.uint32)[None, :]) & 1
+    ).astype(jnp.float32)
+
+    # Single batched segment-sum over all 15 channels.
+    channels = jnp.concatenate(
+        [
+            jnp.stack([sx, sy, sz, r, g, b, jnp.ones_like(sx)], axis=-1),
+            bits,
+        ],
+        axis=-1,
+    ) * w[:, None]
+    sums = jax.ops.segment_sum(
+        channels, seg, num_segments=ocap, indices_are_sorted=True
+    )
+
+    cnt = sums[:, 6]
+    denom = jnp.maximum(cnt, 1.0)[:, None]
+    mean = sums[:, 0:6] / denom
+    or_bits = sums[:, 7:15] > 0
+    out_tile = (
+        or_bits.astype(jnp.uint32) * (1 << jnp.arange(8, dtype=jnp.uint32))
+    ).sum(axis=-1, dtype=jnp.uint32)
+
+    out_count = jnp.minimum(total, ocap)
+    out_valid = jnp.arange(ocap, dtype=jnp.int32) < out_count
+    out_xyz = jnp.where(out_valid[:, None], mean[:, 0:3], 0.0)
+    # PCL averages color channels as floats and truncates on store
+    # (VoxelGrid centroid accumulation); match that.
+    mean_rgb = mean[:, 3:6].astype(jnp.uint32)
+    out_rgba = jnp.where(
+        out_valid,
+        pack_rgba(mean_rgb[:, 0], mean_rgb[:, 1], mean_rgb[:, 2], out_tile),
+        0,
+    )
+    return PointBuffer(xyz=out_xyz, rgba=out_rgba, count=out_count)
+
+
+def _reduce_runs_xla(smk, sfr, srgba, count, vmin_safe, cell, *, ocap):
+    """XLA reduction of the quantized-payload sorted runs (CPU path)."""
+    cap = smk.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    new_seg = jnp.logical_or(idx == 0, smk != jnp.roll(smk, 1))
+    # reconstruct sorted coordinates: (vmin + demorton(key) + frac) * cell
+    vx = _unpart1by2(smk) + vmin_safe[0]
+    vy = _unpart1by2(smk >> 1) + vmin_safe[1]
+    vz = _unpart1by2(smk >> 2) + vmin_safe[2]
+    # +0.5 LSB centers the truncated quantization
+    fx = (((sfr >> 20) & 1023).astype(jnp.float32) + 0.5) * (1.0 / 1024.0)
+    fy = (((sfr >> 10) & 1023).astype(jnp.float32) + 0.5) * (1.0 / 1024.0)
+    fz = ((sfr & 1023).astype(jnp.float32) + 0.5) * (1.0 / 1024.0)
+    sx = (vx.astype(jnp.float32) + fx) * cell
+    sy = (vy.astype(jnp.float32) + fy) * cell
+    sz = (vz.astype(jnp.float32) + fz) * cell
+    return _reduce_segments_xla(new_seg, sx, sy, sz, srgba, count, ocap=ocap)
 
 
 @partial(jax.jit, static_argnames=("out_capacity", "exact_keys", "merged_exact"))
@@ -177,6 +254,7 @@ def downsample(
             idx == 0,
             (skx != jnp.roll(skx, 1)) | (skyz != jnp.roll(skyz, 1)),
         )
+        return _reduce_segments_xla(new_seg, sx, sy, sz, srgba, buf.count, ocap=ocap)
     elif exact_keys:
         kx = jnp.where(valid, v[:, 0], _SENTINEL)
         ky = jnp.where(valid, v[:, 1], _SENTINEL)
@@ -192,6 +270,7 @@ def downsample(
             | (sky != jnp.roll(sky, 1))
             | (skz != jnp.roll(skz, 1)),
         )
+        return _reduce_segments_xla(new_seg, sx, sy, sz, srgba, buf.count, ocap=ocap)
     else:
         # Fast path: the absolute voxel coordinate is reconstructible from
         # the Morton key (+ vmin), so the sort payload only needs the
@@ -206,72 +285,23 @@ def downsample(
         )
         vmin_safe = jnp.where(vmin == _SENTINEL, 0, vmin)
         cell = jnp.asarray(cellsize, jnp.float32)
-        if jax.devices()[0].platform != "cpu" and not _FORCE_XLA_REDUCE:
-            # TPU: the fused Pallas segmented-reduce consumes the sorted
-            # runs in one pass (2.3ms at 1M vs ~4-5ms for the XLA
-            # boundary/cumsum/segment_sum pipeline).
-            return _reduce_runs_pallas(smk, sfr, srgba, buf.count, ocap, vmin_safe, cell)
-        new_seg = jnp.logical_or(idx == 0, smk != jnp.roll(smk, 1))
-        # reconstruct sorted coordinates: (vmin + demorton(key) + frac) * cell
-        vx = _unpart1by2(smk) + vmin_safe[0]
-        vy = _unpart1by2(smk >> 1) + vmin_safe[1]
-        vz = _unpart1by2(smk >> 2) + vmin_safe[2]
-        # +0.5 LSB centers the truncated quantization
-        fx = (((sfr >> 20) & 1023).astype(jnp.float32) + 0.5) * (1.0 / 1024.0)
-        fy = (((sfr >> 10) & 1023).astype(jnp.float32) + 0.5) * (1.0 / 1024.0)
-        fz = ((sfr & 1023).astype(jnp.float32) + 0.5) * (1.0 / 1024.0)
-        sx = (vx.astype(jnp.float32) + fx) * cell
-        sy = (vy.astype(jnp.float32) + fy) * cell
-        sz = (vz.astype(jnp.float32) + fz) * cell
-    srgba = srgba.astype(jnp.uint32)
-    seg = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
-
-    # Number of distinct voxels among the valid points (valid points occupy
-    # slots [0, count) after the sort — invalid keys are all sentinel).
-    last = jnp.clip(buf.count - 1, 0, cap - 1)
-    total = jnp.where(buf.count > 0, seg[last] + 1, 0)
-
-    in_range = seg < ocap
-    w = jnp.logical_and(idx < buf.count, in_range).astype(jnp.float32)
-    seg = jnp.where(in_range, seg, 0)  # weight 0 => no corruption
-
-    r = ((srgba >> 16) & 0xFF).astype(jnp.float32)
-    g = ((srgba >> 8) & 0xFF).astype(jnp.float32)
-    b = (srgba & 0xFF).astype(jnp.float32)
-    tile = (srgba >> 24) & 0xFF
-    bits = (
-        (tile[:, None] >> jnp.arange(8, dtype=jnp.uint32)[None, :]) & 1
-    ).astype(jnp.float32)
-
-    # Single batched segment-sum over all 15 channels.
-    channels = jnp.concatenate(
-        [
-            jnp.stack([sx, sy, sz, r, g, b, jnp.ones_like(sx)], axis=-1),
-            bits,
-        ],
-        axis=-1,
-    ) * w[:, None]
-    sums = jax.ops.segment_sum(
-        channels, seg, num_segments=ocap, indices_are_sorted=True
-    )
-
-    cnt = sums[:, 6]
-    denom = jnp.maximum(cnt, 1.0)[:, None]
-    mean = sums[:, 0:6] / denom
-    or_bits = sums[:, 7:15] > 0
-    out_tile = (
-        or_bits.astype(jnp.uint32) * (1 << jnp.arange(8, dtype=jnp.uint32))
-    ).sum(axis=-1, dtype=jnp.uint32)
-
-    out_count = jnp.minimum(total, ocap)
-    out_valid = jnp.arange(ocap, dtype=jnp.int32) < out_count
-    out_xyz = jnp.where(out_valid[:, None], mean[:, 0:3], 0.0)
-    # PCL averages color channels as floats and truncates on store
-    # (VoxelGrid centroid accumulation); match that.
-    mean_rgb = mean[:, 3:6].astype(jnp.uint32)
-    out_rgba = jnp.where(
-        out_valid,
-        pack_rgba(mean_rgb[:, 0], mean_rgb[:, 1], mean_rgb[:, 2], out_tile),
-        0,
-    )
-    return PointBuffer(xyz=out_xyz, rgba=out_rgba, count=out_count)
+        if _FORCE_XLA_REDUCE:
+            return _reduce_runs_xla(
+                smk, sfr, srgba, buf.count, vmin_safe, cell, ocap=ocap
+            )
+        # Per-LOWERING-platform dispatch: on TPU the fused Pallas
+        # segmented-reduce consumes the sorted runs in one pass (2.3ms at
+        # 1M vs ~4-5ms for the XLA boundary/cumsum/segment_sum pipeline);
+        # CPU computations get the XLA path.  Dispatching on
+        # jax.devices()[0] instead would pick the TPU kernel for CPU-mesh
+        # computations in a TPU-hosted process (the driver's dryrun).
+        return jax.lax.platform_dependent(
+            smk,
+            sfr,
+            srgba,
+            buf.count,
+            vmin_safe,
+            cell,
+            cpu=partial(_reduce_runs_xla, ocap=ocap),
+            default=partial(_reduce_runs_pallas, ocap=ocap),
+        )

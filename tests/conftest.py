@@ -1,21 +1,38 @@
-"""Test configuration: force CPU with 8 virtual devices.
+"""Test configuration: pin the suite to CPU with 8 virtual devices.
 
-Multi-chip sharding is validated on a virtual CPU mesh (no TPU pod in CI);
-the env vars must be set before JAX initializes.
+Multi-chip sharding is validated on a virtual CPU mesh (no TPU pod in CI).
+Two mechanisms, because env vars alone are NOT reliable — the axon TPU
+plugin ignores ``JAX_PLATFORMS``:
+
+1. env vars set before JAX initializes (work in ordinary environments),
+2. ``jax_default_device`` pinned to an explicit CPU device object (works
+   everywhere; routes all eager + uncommitted-jit work to the host CPU so
+   the suite never compiles against the real chip).
+
+TPU-only tests opt back in with the ``tpu`` marker and explicit device
+placement (see tests/test_tpu_smoke.py).
 """
 
 import os
 
-# Hard override: the host environment pre-sets JAX_PLATFORMS=axon (the real
-# TPU); tests must run on CPU with 8 virtual devices for the mesh tests.
-os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import pathlib
 
+import jax
 import pytest
+
+_cpus = jax.local_devices(backend="cpu")
+jax.config.update("jax_default_device", _cpus[0])
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: runs on the real TPU chip (skipped when absent)"
+    )
 
 FIXTURE_DIR = pathlib.Path(__file__).parent / "fixtures" / "input"
 

@@ -5,15 +5,19 @@ import numpy as np
 import pytest
 
 import cwipc_util_tpu as cwipc
-from cwipc_util_tpu.parallel.mesh import make_mesh
+from cwipc_util_tpu.parallel.mesh import cpu_devices, make_mesh
 from cwipc_util_tpu.parallel.pointaxis import sharded_downsample
 
 
 @pytest.fixture(scope="module")
 def mesh():
-    if len(jax.devices()) < 2:
-        pytest.skip("needs multiple (virtual) devices")
-    return make_mesh()
+    # Explicit CPU device objects: env vars (JAX_PLATFORMS) are ignored by
+    # some TPU plugins, so the virtual 8-device mesh must be pinned by
+    # device object, never by default platform.
+    cpus = cpu_devices(2)
+    if not cpus:
+        pytest.skip("needs multiple (virtual) CPU devices")
+    return make_mesh(devices=cpus)
 
 
 class TestPointAxisSharding:
@@ -41,7 +45,7 @@ class TestPointAxisSharding:
         """The full multi-camera fusion step (the dryrun_multichip path)."""
         import __graft_entry__ as graft
 
-        graft.dryrun_multichip(len(jax.devices()))
+        graft.dryrun_multichip(mesh.devices.size)
 
 
 class TestCameraFusionSemantics:
@@ -52,8 +56,9 @@ class TestCameraFusionSemantics:
         import jax.numpy as jnp
 
         from cwipc_util_tpu.parallel.fusion import make_fusion_step
+        from cwipc_util_tpu.parallel.mesh import camera_sharding
 
-        d = len(jax.devices())
+        d = mesh.devices.size
         cap = 2048
         n = 500
         rng = np.random.default_rng(0)
@@ -67,9 +72,10 @@ class TestCameraFusionSemantics:
             rgba[cam, :n] = (tile << 24) | 0x00808080
             counts[cam] = n
         step = make_fusion_step(mesh, k=4)
+        sh = camera_sharding(mesh)
         fused = step(
-            jnp.asarray(xyz), jnp.asarray(rgba), jnp.asarray(counts),
-            jnp.float32(0.01), jnp.float32(3.0),
+            jax.device_put(xyz, sh), jax.device_put(rgba, sh),
+            jax.device_put(counts, sh), 0.01, 3.0,
         )
         m = int(fused.count)
         assert 0 < m <= n  # merged, never duplicated
