@@ -1,0 +1,125 @@
+"""TPU-marked regression subset: the Pallas paths on the real chip.
+
+The main suite is pinned to CPU (tests/conftest.py); this module opts back
+in with explicit device placement and exercises exactly the paths that only
+exist on the chip — the Pallas segment-reduce and window-kNN kernels — at
+the small capacities that crashed in round 1 (VERDICT.md weak #1).
+
+Run with ``pytest tests/test_tpu_smoke.py -m tpu``; the whole module skips
+when no TPU is attached.  Compiles are cached persistently (the same cache
+bench.py uses) so reruns are seconds, not minutes.
+"""
+
+import os
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module")
+def tpu():
+    tpus = [d for d in jax.devices() if d.platform != "cpu"]
+    if not tpus:
+        pytest.skip("no TPU attached")
+    return tpus[0]
+
+
+def _random_cloud(n, seed=0, tile=1):
+    import cwipc_util_tpu as cwipc
+
+    rng = np.random.default_rng(seed)
+    pts = [
+        (float(x), float(y), float(z), 128, 64, 32, tile)
+        for x, y, z in rng.random((n, 3))
+    ]
+    return cwipc.cwipc_from_points(pts, 0)
+
+
+def _voxel_set(pc, cellsize):
+    m = pc.get_numpy_matrix(onlyGeometry=True).astype(np.float32)
+    keys = np.floor(m / np.float32(cellsize)).astype(np.int64)
+    return {tuple(k) for k in keys}
+
+
+@pytest.mark.parametrize("n", [50, 300, 1500])
+def test_small_cloud_downsample_tpu_matches_cpu(tpu, n):
+    """Round-1 P0 regression: cap < 1024 crashed the Pallas segment-reduce.
+
+    The TPU result must be the same voxel set as the CPU (XLA) result.
+    """
+    import cwipc_util_tpu as cwipc
+    from cwipc_util_tpu.core.buffers import PointBuffer
+    from cwipc_util_tpu.ops.voxelize import downsample
+
+    pc = _random_cloud(n)
+    buf = pc._access_buffer()
+    cellsize = jnp.float32(0.1)
+
+    cpu_out = downsample(buf, cellsize)  # default device is CPU in tests
+
+    tbuf = PointBuffer(
+        xyz=jax.device_put(buf.xyz, tpu),
+        rgba=jax.device_put(buf.rgba, tpu),
+        count=jax.device_put(buf.count, tpu),
+    )
+    tpu_out = downsample(tbuf, jax.device_put(cellsize, tpu))
+
+    nc, nt = int(cpu_out.count), int(tpu_out.count)
+    assert nc == nt
+    ks_cpu = {
+        tuple(k)
+        for k in np.floor(np.asarray(cpu_out.xyz[:nc]) * 10.0).astype(np.int64)
+    }
+    ks_tpu = {
+        tuple(k)
+        for k in np.floor(np.asarray(tpu_out.xyz[:nt]) * 10.0).astype(np.int64)
+    }
+    assert ks_cpu == ks_tpu
+    # tile OR must survive the chip path
+    tiles = (np.asarray(tpu_out.rgba[:nt]) >> 24) & 0xFF
+    assert (tiles == 1).all()
+
+
+def test_small_cloud_fused_chain_tpu(tpu):
+    """The fused chain (downsample+outliers+tilefilter) on a 300-pt cloud:
+    exercises the window-kNN Pallas kernel below its 2048 block."""
+    from cwipc_util_tpu.core.buffers import PointBuffer
+    from cwipc_util_tpu.ops.chain import downsample_outliers_tilefilter
+
+    pc = _random_cloud(300)
+    buf = pc._access_buffer()
+    tbuf = PointBuffer(
+        xyz=jax.device_put(buf.xyz, tpu),
+        rgba=jax.device_put(buf.rgba, tpu),
+        count=jax.device_put(buf.count, tpu),
+    )
+    out = downsample_outliers_tilefilter(
+        tbuf,
+        jax.device_put(jnp.float32(0.05), tpu),
+        k=4,
+        mult=jnp.float32(3.0),
+        tile=jnp.uint32(0),
+    )
+    n = int(out.count)
+    assert 0 < n <= 300
+    assert bool(jnp.isfinite(out.xyz[:n]).all())
+
+
+def test_public_downsample_small_cloud_on_tpu_default(tpu):
+    """The public wrapper path on the chip (the exact VERDICT repro)."""
+    import cwipc_util_tpu as cwipc
+
+    pc = _random_cloud(300)
+    with jax.default_device(tpu):
+        out = cwipc.cwipc_downsample(pc, 0.1)
+        assert 0 < out.count() <= 300
