@@ -70,6 +70,39 @@ def _prefix_sum(x):
 # documents the experiment (tests cover both settings).
 _SHORT_RUN = 0
 
+# Emission-matmul decomposition.  The one-hot placement matmul computes
+# pure 1.0*value selections (each staging column receives at most one run),
+# so any decomposition that represents the f32 VALUE operand exactly is
+# EXACT here.  A manual bf16x3 split (hand-rolled: Mosaic's dot lowering
+# only supports DEFAULT and HIGHEST) carries 3x8=24 mantissa bits >= f32's
+# 24 — exact for the 15-bit key channels and the value sums — at 3 MXU
+# passes versus HIGHEST's 6 (and the one-hot side is exactly bf16, so it
+# needs no split at all).  Set to 0 to use Precision.HIGHEST instead
+# (A/B hook for the parity tests).
+_EMIT_BF16_SPLITS = 3
+
+
+def _split_dot_onehot(ch_q, onehot_q):
+    """Exact [NCH, Q] @ one-hot [Q, W] via bf16-split MXU passes."""
+    if not _EMIT_BF16_SPLITS:
+        return jax.lax.dot_general(
+            ch_q, onehot_q.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    oh = onehot_q if onehot_q.dtype == jnp.bfloat16 else onehot_q.astype(jnp.bfloat16)
+    acc = jnp.zeros((ch_q.shape[0], onehot_q.shape[1]), jnp.float32)
+    rem = ch_q
+    for _ in range(_EMIT_BF16_SPLITS):
+        part = rem.astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            part, oh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rem = rem - part.astype(jnp.float32)
+    return acc
+
 
 def _segmented_scan_add(ch, bcum, lo=1, hi=B):
     """Segmented inclusive sums of ch [rows, B] within runs defined by bcum,
@@ -247,15 +280,13 @@ def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
         before_q = (ecum[0, lo] - ends[0, lo]) + emit_carry
         # erank already includes the carry shift; before_q does too
         rel_target = jnp.where(ends_q == 1, erank_q - before_q, -1)
-        onehot_q = (col_iota_q == rel_target.reshape(QUARTER, 1)).astype(jnp.float32)
-        # HIGHEST precision: the default bf16 MXU decomposition corrupts
-        # the 15-bit key channels (measured); extra MXU passes are ~free
-        # since placement is materialization-bound.
-        placed = jax.lax.dot_general(
-            ch_q, onehot_q, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [NCH, Q_W]
+        # materialize the one-hot directly in bf16 (half the vreg traffic
+        # of f32; 0/1 are exact in bf16)
+        onehot_q = (col_iota_q == rel_target.reshape(QUARTER, 1)).astype(jnp.bfloat16)
+        # Raised precision: the default single-pass bf16 MXU decomposition
+        # corrupts the 15-bit key channels (measured).  The bf16x3 split is
+        # exact and halves the MXU passes vs HIGHEST (see _EMIT_BF16_SPLITS).
+        placed = _split_dot_onehot(ch_q, onehot_q)  # [NCH, Q_W]
         padded = jnp.concatenate(
             [placed, jnp.zeros((NCH, STAGE_W - Q_W), jnp.float32)], axis=1
         )

@@ -66,26 +66,41 @@ def _window_knn_kernel(count_ref, xyz_hbm, md_ref, xyz_vmem, sem, *, window: int
         d2_list.append(jnp.where(ok, d2, _F32_MAX))
     d2 = jnp.stack(d2_list, axis=0)  # [2W, B]
 
-    # Exact k-smallest selection by 31-step bisection on packed keys.  The
-    # row index is packed into the 6 low mantissa bits of the squared
-    # distance (bitcast of a non-negative f32 is order-preserving), which
-    # makes every column's keys UNIQUE: the bisection converges on exactly
-    # the k-th smallest key, and `key <= T` selects exactly the k nearest
-    # (same set an iterative min-extraction picks, at ~2/3 the vector work
-    # and independent of k).  Truncating 6 mantissa bits perturbs d2 by
-    # <= 2^-17 relative (~4e-6 on the distance), far below the outlier
-    # statistics' sensitivity.
+    # Exact k-smallest selection on packed keys.  The row index is packed
+    # into the 6 low mantissa bits of the squared distance (bitcast of a
+    # non-negative f32 is order-preserving), which makes every column's
+    # keys UNIQUE, so both selection strategies below pick exactly k.
+    # Truncating 6 mantissa bits perturbs d2 by <= 2^-17 relative (~4e-6 on
+    # the distance), far below the outlier statistics' sensitivity.
     row_iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
     key = (jax.lax.bitcast_convert_type(d2, jnp.int32) & ~63) | row_iota
-    lo = jnp.zeros((BLOCK,), jnp.int32)
-    hi = jnp.full((BLOCK,), jnp.iinfo(jnp.int32).max, jnp.int32)
-    for _ in range(31):
-        mid = lo + ((hi - lo) >> 1)
-        cnt = jnp.sum((key <= mid[None, :]).astype(jnp.int32), axis=0)
-        ge = cnt >= k
-        hi = jnp.where(ge, mid, hi)
-        lo = jnp.where(ge, lo, mid + 1)
-    sel = key <= hi[None, :]
+    drop = d2.shape[0] - k
+    if drop <= 6:
+        # k close to the candidate count (e.g. the production chain's
+        # k=30 of 32): sum-everything-minus-the-(2W-k)-largest.  Each
+        # extraction is one max-reduce + one masked update — measured far
+        # cheaper than the 31-step count-bisection when drop is small.
+        # Invalid candidates carry F32_MAX keys, so they are dropped first
+        # (identical semantics to k-smallest selection with 0-contribution
+        # for missing neighbors).
+        sel = jnp.ones(key.shape, jnp.bool_)
+        kk = key
+        for _ in range(drop):
+            m = jnp.max(kk, axis=0)
+            hit = kk == m[None, :]
+            sel = sel & ~hit
+            kk = jnp.where(hit, jnp.iinfo(jnp.int32).min, kk)
+    else:
+        # general k: count-bisection for the k-th smallest key
+        lo = jnp.zeros((BLOCK,), jnp.int32)
+        hi = jnp.full((BLOCK,), jnp.iinfo(jnp.int32).max, jnp.int32)
+        for _ in range(31):
+            mid = lo + ((hi - lo) >> 1)
+            cnt = jnp.sum((key <= mid[None, :]).astype(jnp.int32), axis=0)
+            ge = cnt >= k
+            hi = jnp.where(ge, mid, hi)
+            lo = jnp.where(ge, lo, mid + 1)
+        sel = key <= hi[None, :]
     d2t = jax.lax.bitcast_convert_type(key & ~63, jnp.float32)
     contrib = jnp.where(
         sel & (d2t < _F32_MAX / 2), jnp.sqrt(jnp.maximum(d2t, 0.0)), 0.0
