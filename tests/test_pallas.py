@@ -126,8 +126,9 @@ class TestBitonicSortKernel:
             want = set(zip(xa_np[sel].tolist(), xb_np[sel].tolist()))
             assert got == want
 
-    def test_full_ladder_fallback(self, monkeypatch):
-        """_SHORT_RUN=0 disables the adaptive split; results must not change."""
+    def test_highest_precision_fallback(self, monkeypatch):
+        """_EMIT_BF16_SPLITS=0 selects Precision.HIGHEST emission matmuls;
+        results must be bit-identical to the bf16x3 split (both exact)."""
         from cwipc_util_tpu.ops import pallas_segment_reduce as sr
 
         rng = np.random.default_rng(3)
@@ -139,7 +140,7 @@ class TestBitonicSortKernel:
         srgba = rng.integers(-(2**31), 2**31, cap).astype(np.int32)
         args = (jnp.asarray(smk), jnp.asarray(sfr), jnp.asarray(srgba), jnp.int32(len(keys)))
         out_a, n_a = sr.segment_reduce_sorted(*args, out_capacity=2048)
-        monkeypatch.setattr(sr, "_SHORT_RUN", 0)
+        monkeypatch.setattr(sr, "_EMIT_BF16_SPLITS", 0)
         sr.segment_reduce_sorted._clear_cache()
         out_b, n_b = sr.segment_reduce_sorted(*args, out_capacity=2048)
         sr.segment_reduce_sorted._clear_cache()
