@@ -20,8 +20,8 @@ with ONE pass over the sorted data, built around the MXU:
 * per-run VALUES (the two 15-bit Morton-key halves) are masked to the
   run's FIRST lane before the matmul, so each column receives them exactly
   once — exact in f32;
-* the tile OR rides as 8 bit-sum channels (sum > 0 <=> OR), recombined by
-  the host-side wrapper;
+* the tile OR rides as 4 packed base-2048 digit-pair channels (digit sum
+  > 0 <=> OR), recombined by the host-side wrapper;
 * the staging buffer is a RING: completed columns (strictly before the
   open run's column) flush to HBM in 128-column chunks at dynamically
   computed, provably 128-aligned offsets, and flushed columns are zeroed
@@ -55,8 +55,14 @@ STAGE_CHUNKS = 10  # ring width: 127 leftover + up to B new columns, in 128s
 QUARTER = 256  # emission sub-tile: narrow membership one-hots
 Q_W = QUARTER + 128  # relative target range within a quarter
 STAGE_W = STAGE_CHUNKS * 128
-NCH = 24  # channel rows: 7 sums + pad + 2 keys + 8 tile bits + pad
-NBITS = 8  # tile bit-sum rows (rows 10..17)
+NCH = 16  # channel rows: 7 sums + 4 packed tile-bit pairs + 2 keys + pad
+# The 8 tile bits ride as 4 base-2048 digit PAIRS (bit j + 2048*bit j+4):
+# per-run digit sums are <= B=1024 < 2048, so both digits decode exactly
+# from the f32 sum (max 1024 + 2048*1024 = 2^21 < 2^24) — 4 rows instead
+# of 8 keeps NCH at 16 (two f32 sublane tiles instead of three, cutting
+# staging, roll, and matmul traffic by a third).
+NBITPAIRS = 4
+_BIT_BASE = 2048.0
 
 # Number of bf16 splits for the emission matmuls (see module docstring).
 # 0 selects Precision.HIGHEST instead (A/B hook for the parity tests).
@@ -131,14 +137,17 @@ def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
     key_lo = (smk & 0x7FFF).astype(jnp.float32) * bf_f
     key_hi = ((smk >> 15) & 0x7FFF).astype(jnp.float32) * bf_f
     tile = jnp.where(valid, (srgba >> 24) & 0xFF, 0)
-    bits = [((tile >> j) & 1).astype(jnp.float32) for j in range(NBITS)]
-    zero = jnp.zeros((1, B), jnp.float32)
+    bitpairs = [
+        (((tile >> j) & 1) + ((tile >> (j + NBITPAIRS)) & 1) * 2048
+         ).astype(jnp.float32)
+        for j in range(NBITPAIRS)
+    ]
     ch = jnp.concatenate(
         [fx * ones, fy * ones, fz * ones, r * ones, g * ones, b_ch * ones,
-         ones, zero, key_lo, key_hi] + bits
-        + [jnp.zeros((NCH - 10 - NBITS, B), jnp.float32)],
+         ones] + bitpairs + [key_lo, key_hi]
+        + [jnp.zeros((NCH - 9 - NBITPAIRS, B), jnp.float32)],
         axis=0,
-    )  # [NCH, B]
+    )  # [NCH, B]: 0-6 sums, 7-10 bit pairs, 11-12 keys, 13-15 pad
 
     # inclusive boundary count via the MXU (v2's roll-ladder prefix sum
     # measured ~0.7 ms/1M on its own)
@@ -285,12 +294,19 @@ def _segment_reduce_call(smk, sfr, srgba, count, *, out_capacity: int, interpret
     )(jnp.asarray(count, jnp.int32).reshape(1), smk, sfr, srgba)
     out = out[:, :out_capacity]
     # public contract (v2-compatible 16 rows): row 7 = tile OR, recombined
-    # from the 8 bit-sum rows (a bit was present in the run iff its sum > 0)
-    weights = (1 << jnp.arange(NBITS, dtype=jnp.int32)).astype(jnp.float32)
-    tile_or = ((out[10 : 10 + NBITS] > 0).astype(jnp.float32)
-               * weights[:, None]).sum(axis=0)
+    # from the 4 packed digit-pair rows (a bit was present iff its base-2048
+    # digit sum > 0); rows 8/9 = the key halves (kernel rows 11/12)
+    pairs = out[7 : 7 + NBITPAIRS]  # [4, cap]
+    hi_digit = jnp.floor(pairs * (1.0 / _BIT_BASE))
+    lo_digit = pairs - hi_digit * _BIT_BASE
+    weights_lo = (1 << jnp.arange(NBITPAIRS, dtype=jnp.int32)).astype(jnp.float32)
+    weights_hi = weights_lo * float(1 << NBITPAIRS)
+    tile_or = (
+        (lo_digit > 0).astype(jnp.float32) * weights_lo[:, None]
+        + (hi_digit > 0).astype(jnp.float32) * weights_hi[:, None]
+    ).sum(axis=0)
     out16 = jnp.concatenate(
-        [out[0:7], tile_or[None, :], out[8:10],
+        [out[0:7], tile_or[None, :], out[11:13],
          jnp.zeros((6, out.shape[1]), jnp.float32)],
         axis=0,
     )
