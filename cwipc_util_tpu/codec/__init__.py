@@ -26,6 +26,7 @@ from __future__ import annotations
 import struct
 import zlib
 from dataclasses import dataclass
+from functools import partial
 from typing import List, Optional
 
 import numpy as np
@@ -37,6 +38,103 @@ from ..core.pointcloud import cwipc_pointcloud_wrapper
 MAGIC = b"CTC1"
 _HDR_FMT = "<4sBBHIQ4fIII"
 _HDR_SIZE = struct.calcsize(_HDR_FMT)
+
+# header flag bits
+# delta element width code: 0=u32 (legacy streams have flags==0), 1=u8,
+# 2=u16, 3=u64
+_FLAG_WIDTH_MASK = 0x03
+_WIDTH_DTYPES = {0: np.uint32, 1: np.uint8, 2: np.uint16, 3: np.uint64}
+_FLAG_WIDE_KEYS = 0x04  # 45-bit Morton keys (octree_bits > 10)
+
+
+def _spread1by4_64(x: np.ndarray) -> np.ndarray:
+    """Spread the low 21 bits of int64 x with two zero bits between each."""
+    x = x.astype(np.int64) & 0x1FFFFF
+    x = (x | (x << 32)) & 0x1F00000000FFFF
+    x = (x | (x << 16)) & 0x1F0000FF0000FF
+    x = (x | (x << 8)) & 0x100F00F00F00F00F
+    x = (x | (x << 4)) & 0x10C30C30C30C30C3
+    x = (x | (x << 2)) & 0x1249249249249249
+    return x
+
+
+def _compact1by4_64(x: np.ndarray) -> np.ndarray:
+    """Inverse of _spread1by4_64."""
+    x = x.astype(np.int64) & 0x1249249249249249
+    x = (x | (x >> 2)) & 0x10C30C30C30C30C3
+    x = (x | (x >> 4)) & 0x100F00F00F00F00F
+    x = (x | (x >> 8)) & 0x1F0000FF0000FF
+    x = (x | (x >> 16)) & 0x1F00000000FFFF
+    x = (x | (x >> 32)) & 0x1FFFFF
+    return x
+
+
+_ENCODE_DEVICE = None
+
+
+def _encode_device(xyz, rgba, count, *, octree_bits, exp_factor, voxelsize, tilemask):
+    """Lazily-jitted wrapper (keeps the decoder importable without touching
+    JAX; jax.jit caches per static-arg combination)."""
+    global _ENCODE_DEVICE
+    if _ENCODE_DEVICE is None:
+        import jax
+
+        _ENCODE_DEVICE = jax.jit(
+            _encode_device_impl,
+            static_argnames=("octree_bits", "exp_factor", "voxelsize", "tilemask"),
+        )
+    return _ENCODE_DEVICE(
+        xyz, rgba, count, octree_bits=octree_bits, exp_factor=exp_factor,
+        voxelsize=voxelsize, tilemask=tilemask,
+    )
+
+
+def _encode_device_impl(xyz, rgba, count, *, octree_bits, exp_factor, voxelsize, tilemask):
+    """The whole geometry stage as ONE device program (one dispatch, one
+    readback): bounding box -> quantization step -> voxel-merge downsample
+    (emits centroids already in Morton order) -> rebased Morton keys ->
+    first-order deltas.  The v1 encoder did bbox on a host copy, the
+    downsample on device, then re-quantized AND re-sorted on the host —
+    three relay round trips plus an argsort per frame.
+
+    The key identity that removes the host re-sort: the downsample's output
+    order is by floor(xyz/step) rebased to the occupied minimum cell, and
+    the minimum occupied cell survives downsampling (its centroid stays
+    inside it), so recomputing floor(centroid/step) - min reproduces the
+    internal keys exactly and the delta stream is non-negative by
+    construction.
+    """
+    import jax.numpy as jnp
+
+    from ..core.buffers import PointBuffer
+    from ..ops import compaction
+    from ..ops.voxelize import downsample, morton3
+
+    buf = PointBuffer(xyz=xyz, rgba=rgba, count=count)
+    if tilemask:
+        tile = (rgba >> 24) & jnp.uint32(0xFF)
+        keep = (tile & jnp.uint32(tilemask)) != 0
+        buf = compaction.compact(buf, keep & buf.valid_mask())
+    valid = buf.valid_mask()
+    big = jnp.float32(3.0e38)
+    lo = jnp.min(jnp.where(valid[:, None], buf.xyz, big), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], buf.xyz, -big), axis=0)
+    extent = jnp.maximum(jnp.max(hi - lo) * max(exp_factor, 1.0), 1e-6)
+    step = extent / (1 << octree_bits)
+    if voxelsize > 0:
+        step = jnp.maximum(step, jnp.float32(voxelsize))
+
+    exact = octree_bits >= 10
+    down = downsample(buf, step, exact_keys=exact, merged_exact=exact)
+    dvalid = down.valid_mask()
+    sentinel = jnp.iinfo(jnp.int32).max
+    v = jnp.floor(down.xyz / step).astype(jnp.int32)
+    vmin = jnp.min(jnp.where(dvalid[:, None], v, sentinel), axis=0)
+    vmin = jnp.where(vmin == sentinel, 0, vmin)
+    vr = jnp.clip(v - vmin[None, :], 0, (1 << min(octree_bits, 10)) - 1)
+    mkey = jnp.where(dvalid, morton3(vr[:, 0], vr[:, 1], vr[:, 2]), 0)
+    deltas = jnp.concatenate([mkey[:1], jnp.diff(mkey)])
+    return down.count, deltas, down.rgba, step, vmin
 
 
 @dataclass
@@ -93,67 +191,121 @@ class cwipc_encoder_wrapper:
         self._result = None
 
     def feed(self, pc: cwipc_pointcloud_wrapper) -> None:
-        import jax.numpy as jnp
+        p = self.params
+        if p.octree_bits > 10:
+            # beyond the 30-bit Morton domain: correct 45-bit host path
+            # (the v1 encoder silently aliased coordinates above 1024 cells)
+            self._feed_wide(pc)
+            return
 
-        from ..ops.voxelize import downsample
+        # The whole geometry stage is one fused device program followed by
+        # ONE readback (v1 paid three relay round trips per frame).
+        import jax
 
+        buf = pc._access_buffer()
+        m_dev, deltas_all, drgba_all, step_dev, vmin_dev = jax.device_get(
+            _encode_device(
+                buf.xyz, buf.rgba, buf.count,
+                octree_bits=p.octree_bits,
+                exp_factor=float(max(p.exp_factor, 1.0)),
+                voxelsize=float(p.voxelsize),
+                tilemask=int(p.tilenumber),
+            )
+        )
+        m = int(m_dev)
+        step = float(step_dev)
+        origin = vmin_dev.astype(np.float64) * step
+        if m == 0:
+            self._result = struct.pack(
+                _HDR_FMT, MAGIC, p.octree_bits, 0, 0, 0, pc.timestamp(),
+                pc.cellsize(), 0.0, 0.0, 0.0, 0, 0, 0,
+            )
+            return
+        deltas = deltas_all[:m].astype(np.uint32)
+        drgba = drgba_all[:m]
+        self._result = self._pack(
+            p, m, pc.timestamp(), step, origin, deltas, drgba, wide=False
+        )
+
+    def _feed_wide(self, pc: cwipc_pointcloud_wrapper) -> None:
+        """octree_bits in (10, 15]: 45-bit Morton on the host (int64)."""
         p = self.params
         if p.tilenumber != 0:
             from ..registration.util import cwipc_tilefilter_masked
 
             pc = cwipc_tilefilter_masked(pc, p.tilenumber)
-
         arr = pc.get_numpy_array()
         n = arr.shape[0]
         if n == 0:
-            hdr = struct.pack(
+            self._result = struct.pack(
                 _HDR_FMT, MAGIC, p.octree_bits, 0, 0, 0, pc.timestamp(),
                 pc.cellsize(), 0.0, 0.0, 0.0, 0, 0, 0,
             )
-            self._result = hdr
             return
-
-        xyz = np.stack([arr["x"], arr["y"], arr["z"]], axis=-1)
+        xyz = np.stack([arr["x"], arr["y"], arr["z"]], axis=-1).astype(np.float64)
         lo = xyz.min(axis=0)
-        extent = float((xyz.max(axis=0) - lo).max()) * max(p.exp_factor, 1.0)
-        extent = max(extent, 1e-6)
+        extent = max(float((xyz.max(axis=0) - lo).max()) * max(p.exp_factor, 1.0), 1e-6)
         step = extent / (1 << p.octree_bits)
         if p.voxelsize > 0:
             step = max(step, p.voxelsize)
-
-        # Quantize+merge on device: downsample at `step` emits voxel
-        # centroids in Morton order.
-        buf = pc._access_buffer()
-        # octree_bits >= 10 can span the full 1024-cell Morton domain where
-        # the fast single-key path clamps; use exact keys there.
-        # octree grids are far under 2^15 cells/axis, so the merged
-        # two-key exact sort applies; one device_get fetches count+arrays
-        # in a single relay round trip (each np.asarray costs a dispatch).
-        down = downsample(
-            buf, jnp.float32(step),
-            exact_keys=p.octree_bits >= 10, merged_exact=p.octree_bits >= 10,
-        )
-        import jax
-
-        m_dev, dxyz_all, drgba_all = jax.device_get((down.count, down.xyz, down.rgba))
-        m = int(m_dev)
-        dxyz = dxyz_all[:m]
-        drgba = drgba_all[:m]
-
         coords = np.clip(
-            np.floor((dxyz - lo[None, :]) / step).astype(np.int64), 0, (1 << p.octree_bits) - 1
-        ).astype(np.uint32)
-        morton = (
-            (_spread1by2(coords[:, 2]) << 2)
-            | (_spread1by2(coords[:, 1]) << 1)
-            | _spread1by2(coords[:, 0])
+            np.floor((xyz - lo[None, :]) / step).astype(np.int64),
+            0, (1 << p.octree_bits) - 1,
         )
+        morton = (
+            (_spread1by4_64(coords[:, 2]) << 2)
+            | (_spread1by4_64(coords[:, 1]) << 1)
+            | _spread1by4_64(coords[:, 0])
+        )
+        # merge duplicate voxels: mean color, OR'd tiles
         order = np.argsort(morton, kind="stable")
         morton = morton[order]
-        drgba = drgba[order]
+        rgba = np.zeros(n, np.uint32)
+        rgba = (
+            (arr["tile"].astype(np.uint32) << 24)
+            | (arr["r"].astype(np.uint32) << 16)
+            | (arr["g"].astype(np.uint32) << 8)
+            | arr["b"].astype(np.uint32)
+        )[order]
+        new = np.empty(n, bool)
+        new[0] = True
+        np.not_equal(morton[1:], morton[:-1], out=new[1:])
+        seg = np.cumsum(new) - 1
+        m = int(seg[-1]) + 1
+        counts = np.bincount(seg, minlength=m)
+        mr = np.bincount(seg, ((rgba >> 16) & 0xFF).astype(np.float64), m) / counts
+        mg = np.bincount(seg, ((rgba >> 8) & 0xFF).astype(np.float64), m) / counts
+        mb = np.bincount(seg, (rgba & 0xFF).astype(np.float64), m) / counts
+        tile_or = np.zeros(m, np.uint32)
+        np.bitwise_or.at(tile_or, seg, (rgba >> 24) & 0xFF)
+        drgba = (
+            (tile_or << 24)
+            | (mr.astype(np.uint32) << 16)
+            | (mg.astype(np.uint32) << 8)
+            | mb.astype(np.uint32)
+        )
+        ukeys = morton[new]
+        deltas = np.diff(ukeys, prepend=np.int64(0)).astype(np.uint64)
+        self._result = self._pack(
+            p, m, pc.timestamp(), step, lo, deltas, drgba, wide=True
+        )
 
-        deltas = np.diff(morton, prepend=np.uint32(0)).astype(np.uint32)
-        pos_blob = zlib.compress(deltas.tobytes(), self._zlevel)
+    def _pack(self, p, m, timestamp, step, origin, deltas, drgba, *, wide):
+        """Entropy stage: adaptive-width delta stream + color/tile zlib."""
+        # Sorted-curve deltas are small; narrowing the element width before
+        # deflate roughly halves the entropy-coder input (its cost is
+        # linear in bytes) AND improves the ratio.
+        dmax = int(deltas.max()) if m else 0
+        if dmax < 0x100:
+            width, darr = 1, deltas.astype(np.uint8)
+        elif dmax < 0x10000:
+            width, darr = 2, deltas.astype(np.uint16)
+        elif dmax < 2**32:
+            width, darr = 0, deltas.astype(np.uint32)
+        else:
+            width, darr = 3, deltas.astype(np.uint64)
+        flags = width | (_FLAG_WIDE_KEYS if wide else 0)
+        pos_blob = zlib.compress(darr.tobytes(), self._zlevel)
         rgb = np.empty((m, 3), np.uint8)
         rgb[:, 0] = (drgba >> 16) & 0xFF
         rgb[:, 1] = (drgba >> 8) & 0xFF
@@ -161,13 +313,12 @@ class cwipc_encoder_wrapper:
         col_blob = zlib.compress(rgb.tobytes(), self._zlevel)
         tiles = ((drgba >> 24) & 0xFF).astype(np.uint8)
         tile_blob = zlib.compress(tiles.tobytes(), self._zlevel)
-
         hdr = struct.pack(
-            _HDR_FMT, MAGIC, p.octree_bits, 0, 0, m, pc.timestamp(),
-            float(step), float(lo[0]), float(lo[1]), float(lo[2]),
+            _HDR_FMT, MAGIC, p.octree_bits, flags, 0, m, timestamp,
+            float(step), float(origin[0]), float(origin[1]), float(origin[2]),
             len(pos_blob), len(col_blob), len(tile_blob),
         )
-        self._result = hdr + pos_blob + col_blob + tile_blob
+        return hdr + pos_blob + col_blob + tile_blob
 
     def available(self, wait: bool = False) -> bool:
         return self._result is not None
@@ -220,7 +371,7 @@ class cwipc_decoder_wrapper:
     def feed(self, data: bytes) -> None:
         if len(data) < _HDR_SIZE:
             raise CwipcError("cwipc_decoder: packet too short")
-        (magic, octree_bits, _flags, _res, n, timestamp, step, ox, oy, oz,
+        (magic, octree_bits, flags, _res, n, timestamp, step, ox, oy, oz,
          lpos, lcol, ltile) = struct.unpack(_HDR_FMT, data[:_HDR_SIZE])
         if magic != MAGIC:
             raise CwipcError("cwipc_decoder: bad magic")
@@ -237,18 +388,25 @@ class cwipc_decoder_wrapper:
         col_blob = data[off : off + lcol]; off += lcol
         tile_blob = data[off : off + ltile]; off += ltile
 
+        dtype = _WIDTH_DTYPES[flags & _FLAG_WIDTH_MASK]
         try:
-            deltas = np.frombuffer(zlib.decompress(pos_blob), np.uint32)
+            deltas = np.frombuffer(zlib.decompress(pos_blob), dtype)
             col_raw = zlib.decompress(col_blob)
             tile_raw = zlib.decompress(tile_blob)
         except zlib.error as e:
             raise CwipcError(f"cwipc_decoder: corrupt stream: {e}") from e
         if deltas.shape[0] != n or len(col_raw) != n * 3 or len(tile_raw) != n:
             raise CwipcError("cwipc_decoder: inconsistent stream sizes")
-        morton = np.cumsum(deltas, dtype=np.uint32)
-        cx = _compact1by2(morton)
-        cy = _compact1by2(morton >> 1)
-        cz = _compact1by2(morton >> 2)
+        if flags & _FLAG_WIDE_KEYS:
+            morton = np.cumsum(deltas.astype(np.int64), dtype=np.int64)
+            cx = _compact1by4_64(morton)
+            cy = _compact1by4_64(morton >> 1)
+            cz = _compact1by4_64(morton >> 2)
+        else:
+            morton = np.cumsum(deltas.astype(np.uint32), dtype=np.uint32)
+            cx = _compact1by2(morton)
+            cy = _compact1by2(morton >> 1)
+            cz = _compact1by2(morton >> 2)
         origin = np.array([ox, oy, oz], np.float32)
         xyz = (np.stack([cx, cy, cz], axis=-1).astype(np.float32) + 0.5) * step + origin
 

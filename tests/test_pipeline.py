@@ -83,6 +83,46 @@ class TestCodec:
         assert out.count() == 0
         assert out.timestamp() == 7
 
+    def test_wide_keys_roundtrip(self, small_pc):
+        """octree_bits > 10 uses 45-bit Morton keys; geometry must hold the
+        fine-step error bound (the v1 encoder aliased coordinates above
+        1024 cells/axis, folding distant points together)."""
+        enc = codec.cwipc_new_encoder(params=codec.cwipc_encoder_params(octree_bits=12))
+        enc.feed(small_pc)
+        data = enc.get_bytes()
+        dec = codec.cwipc_new_decoder()
+        dec.feed(data)
+        out = dec.get()
+        a = small_pc.get_numpy_matrix(onlyGeometry=True)
+        b = out.get_numpy_matrix(onlyGeometry=True)
+        step = (a.max(axis=0) - a.min(axis=0)).max() / (1 << 12)
+        d = np.sqrt(((b[:200, None, :] - a[None, :, :]) ** 2).sum(-1)).min(axis=1)
+        assert (d <= step).all()
+
+    def test_encode_is_one_device_roundtrip(self, small_pc, monkeypatch):
+        """The fused encode program must cost exactly ONE device readback
+        per frame (the 30 fps budget: the v1 path paid three)."""
+        import jax
+
+        enc = codec.cwipc_new_encoder(params=codec.cwipc_encoder_params(octree_bits=9))
+        enc.feed(small_pc)  # warm the jit cache
+        calls = []
+        real = jax.device_get
+        monkeypatch.setattr(jax, "device_get", lambda *a, **k: (calls.append(1), real(*a, **k))[1])
+        enc.feed(small_pc)
+        assert len(calls) == 1
+        assert enc.get_bytes()
+
+    def test_decoder_rejects_legacy_and_new_widths(self, small_pc):
+        """Adaptive delta widths round-trip at every octree_bits scale."""
+        for bits in (4, 9, 12):
+            enc = codec.cwipc_new_encoder(params=codec.cwipc_encoder_params(octree_bits=bits))
+            enc.feed(small_pc)
+            dec = codec.cwipc_new_decoder()
+            dec.feed(enc.get_bytes())
+            out = dec.get()
+            assert out is not None and out.count() > 0
+
 
 class TestPlayback:
     def _make_dir(self, tmp_path, small_pc, ext):

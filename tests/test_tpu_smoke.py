@@ -115,6 +115,34 @@ def test_small_cloud_fused_chain_tpu(tpu):
     assert bool(jnp.isfinite(out.xyz[:n]).all())
 
 
+def test_codec_encode_latency_budget(tpu):
+    """Regression guard for the 30 fps streaming budget: a 160k-pt frame
+    encodes in <= 150 ms even through the axon relay (whose fixed ~33 ms
+    dispatch + ~50 ms readback transfer dominate; the chip-adjacent cost —
+    device compute + host entropy — measured ~18 ms, under the 33 ms
+    frame budget; see BASELINE.md codec table)."""
+    import time
+
+    import cwipc_util_tpu as cwipc
+    from cwipc_util_tpu.codec import cwipc_encoder_params, cwipc_new_encoder
+
+    with jax.default_device(tpu):
+        gen = cwipc.cwipc_synthetic(0, 160000)
+        gen.start()
+        pc = gen.get()
+        gen.stop()
+        enc = cwipc_new_encoder(params=cwipc_encoder_params(octree_bits=9))
+        enc.feed(pc)  # warm compile
+        enc.get_bytes()
+        best = min(
+            (lambda t0: (enc.feed(pc), enc.get_bytes(), time.perf_counter() - t0)[-1])(
+                time.perf_counter()
+            )
+            for _ in range(3)
+        )
+        assert best <= 0.150, f"encode took {best*1e3:.1f} ms"
+
+
 def test_public_downsample_small_cloud_on_tpu_default(tpu):
     """The public wrapper path on the chip (the exact VERDICT repro)."""
     import cwipc_util_tpu as cwipc
