@@ -32,6 +32,28 @@ class OrbitCamera:
         self.azimuth = azimuth
         self.elevation = elevation
         self.fov_deg = fov_deg
+        self._mouse_x = 0.0
+        self._mouse_y = 0.0
+
+    # Mouse-orbit protocol, matching the reference viewer's feel
+    # (reference: src/cwipc_window.cpp:303-328 — left-drag dx/100 orbits,
+    # right-drag dy/100 raises/lowers the eye, scroll dy/10 zooms).
+    # Pure methods so the orbit math is testable without a window.
+    def on_mouse_move(self, x: float, y: float, left: bool, right: bool) -> None:
+        dx = x - self._mouse_x
+        dy = y - self._mouse_y
+        if left:
+            self.azimuth += dx / 100.0
+            self.elevation = float(
+                np.clip(self.elevation + dy / 100.0, -1.55, 1.55)
+            )
+        if right:
+            self.center = self.center + np.array([0.0, dy / 100.0, 0.0])
+        self._mouse_x = x
+        self._mouse_y = y
+
+    def on_mouse_scroll(self, deltay: float) -> None:
+        self.distance = max(0.1, self.distance + deltay / 10.0)
 
     def view_matrix(self) -> np.ndarray:
         ca, sa = math.cos(self.azimuth), math.sin(self.azimuth)

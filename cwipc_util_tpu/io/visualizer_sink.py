@@ -47,6 +47,41 @@ class cwipc_window_sink:
         self._gui = _try_cv2_gui()
         self._last_image: Optional[np.ndarray] = None
         self._skeletons: list = []
+        self.render_skeleton = True
+        self.point_size = 1
+        self._mouse_left = False
+        self._mouse_right = False
+        if self._gui:
+            import cv2
+
+            cv2.namedWindow(self.title)
+            cv2.setMouseCallback(self.title, self._on_mouse)
+
+    def _on_mouse(self, event, x, y, flags, param) -> None:
+        """cv2 mouse hook -> reference orbit semantics: left-drag rotates,
+        right-drag moves the viewpoint up/down, wheel zooms
+        (reference: src/cwipc_window.cpp:303-328)."""
+        import cv2
+
+        if event == cv2.EVENT_LBUTTONDOWN:
+            self._mouse_left = True
+            self.camera._mouse_x, self.camera._mouse_y = float(x), float(y)
+        elif event == cv2.EVENT_LBUTTONUP:
+            self._mouse_left = False
+        elif event == cv2.EVENT_RBUTTONDOWN:
+            self._mouse_right = True
+            self.camera._mouse_x, self.camera._mouse_y = float(x), float(y)
+        elif event == cv2.EVENT_RBUTTONUP:
+            self._mouse_right = False
+        elif event == cv2.EVENT_MOUSEMOVE:
+            if self._mouse_left or self._mouse_right:
+                self.camera.on_mouse_move(
+                    float(x), float(y), self._mouse_left, self._mouse_right
+                )
+                self._render()
+        elif event == cv2.EVENT_MOUSEWHEEL:
+            self.camera.on_mouse_scroll(1.0 if flags < 0 else -1.0)
+            self._render()
 
     def free(self, *, force: bool = False) -> None:
         if self._gui:
@@ -88,8 +123,9 @@ class cwipc_window_sink:
             self.width,
             self.height,
             self.camera,
+            point_size=self.point_size,
         )
-        if self._skeletons:
+        if self._skeletons and self.render_skeleton:
             from .render import fuse_skeletons, render_skeleton_overlay
 
             joints = fuse_skeletons(self._skeletons)

@@ -22,12 +22,19 @@ def main() -> int:
     parser = ArgumentParser(description="View pointcloud streams")
     parser.add_argument("--nodisplay", action="store_true", help="Run without a display window (count clouds only)")
     parser.add_argument("--latencies", metavar="FILE", help="Write per-cloud latency CSV to FILE")
+    parser.add_argument("--rgb", action="store_true", help="Show RGB auxiliary images in a second window")
+    parser.add_argument("--rgb_full", action="store_true", help="With --rgb: one window per camera")
+    parser.add_argument("--rgb_cw", action="store_true", help="With --rgb: concatenate images horizontally")
+    parser.add_argument("--rgb_ccw", action="store_true", help="With --rgb: concatenate images horizontally")
     args = parser.parse_args()
     beginOfRun(args)
 
     source_factory = activesource_factory_from_args(args)
     source = source_factory()
-    visualizer = Visualizer(verbose=args.verbose > 0, nodisplay=args.nodisplay)
+    if args.rgb and hasattr(source, "request_metadata"):
+        source.request_metadata("rgb")
+    visualizer = Visualizer(verbose=args.verbose > 0, nodisplay=args.nodisplay, args=args)
+    visualizer.set_source(source)
     server = SourceServer(source, visualizer, args)
 
     source_thread = threading.Thread(target=server.run, name="cwipc_view.source", daemon=True)
