@@ -15,9 +15,12 @@
 #include <atomic>
 #include <chrono>
 #include <cmath>
+#include <condition_variable>
 #include <cstdio>
 #include <cstring>
+#include <deque>
 #include <fstream>
+#include <limits>
 #include <map>
 #include <mutex>
 #include <sstream>
@@ -132,6 +135,11 @@ extern "C" void cwipc_metadata_add(cwipc_metadata *md, const char *name,
     item.data.assign((const uint8_t *)data, (const uint8_t *)data + size);
     md->items.push_back(std::move(item));
 }
+extern "C" void cwipc_metadata__move(cwipc_metadata *src, cwipc_metadata *dest) {
+    if (!src || !dest || src == dest) return;
+    for (auto &item : src->items) dest->items.push_back(std::move(item));
+    src->items.clear();
+}
 
 /* ------------------------------------------------------------------ */
 /* point cloud object                                                   */
@@ -169,6 +177,13 @@ extern "C" cwipc_pointcloud *cwipc_from_points(struct cwipc_point *points,
 }
 
 extern "C" void cwipc_pointcloud_free(cwipc_pointcloud *pc) { delete pc; }
+extern "C" cwipc_pointcloud *cwipc_pointcloud__shallowcopy(cwipc_pointcloud *pc) {
+    auto *rv = new cwipc_pointcloud();
+    rv->points = pc->points;
+    rv->timestamp = pc->timestamp;
+    rv->cellsize = pc->cellsize;
+    return rv;
+}
 extern "C" uint64_t cwipc_pointcloud_timestamp(cwipc_pointcloud *pc) { return pc->timestamp; }
 extern "C" float cwipc_pointcloud_cellsize(cwipc_pointcloud *pc) { return pc->cellsize; }
 extern "C" void cwipc_pointcloud__set_timestamp(cwipc_pointcloud *pc, uint64_t ts) { pc->timestamp = ts; }
@@ -766,7 +781,24 @@ struct SyntheticSource : public cwipc_source {
                 pc->points.push_back(p);
             }
         }
+        /* Test hook (reference: src/cwipc_synthetic.cpp:134-139): attach the
+         * generation angle as metadata when requested. */
+        if (is_metadata_requested("test-angle")) {
+            cwipc_metadata *md = cwipc_pointcloud_access_metadata(pc);
+            cwipc_metadata_add(md, "test-angle", "", &angle, sizeof(angle));
+        }
         return pc;
+    }
+    /* Test hook (reference: src/cwipc_synthetic.cpp:169-179). */
+    bool auxiliary_operation(const std::string &op, const void *inbuf,
+                             size_t insize, void *outbuf,
+                             size_t outsize) override {
+        if (op != "test-setangle") return false;
+        if (inbuf == nullptr || insize != sizeof(float)) return false;
+        if (outbuf == nullptr || outsize != sizeof(float)) return false;
+        angle = *(const float *)inbuf;
+        *(float *)outbuf = angle;
+        return true;
     }
     int maxtile() override { return 3; }
     bool get_tileinfo(int tilenum, struct cwipc_tileinfo *info) override {
@@ -799,6 +831,214 @@ extern "C" int cwipc_source_maxtile(cwipc_source *src) { return src->maxtile(); 
 extern "C" int cwipc_source_get_tileinfo(cwipc_source *src, int tilenum,
                                          struct cwipc_tileinfo *tileinfo) {
     return src->get_tileinfo(tilenum, tileinfo);
+}
+
+/* ------------------------------------------------------------------ */
+/* activesource flat ABI (reference: api.h:807-921)                    */
+/* ------------------------------------------------------------------ */
+
+extern "C" int cwipc_activesource_start(cwipc_activesource *src) {
+    return src->start();
+}
+extern "C" void cwipc_activesource_stop(cwipc_activesource *src) { src->stop(); }
+extern "C" int cwipc_activesource_reload_config(cwipc_activesource *src,
+                                                const char *configFile) {
+    return src->reload_config(configFile);
+}
+extern "C" size_t cwipc_activesource_get_config(cwipc_activesource *src,
+                                                char *buffer, size_t size) {
+    return src->get_config(buffer, size);
+}
+extern "C" int cwipc_activesource_seek(cwipc_activesource *src,
+                                       uint64_t timestamp) {
+    return src->seek(timestamp);
+}
+extern "C" int cwipc_activesource_maxtile(cwipc_activesource *src) {
+    return src->maxtile();
+}
+extern "C" int cwipc_activesource_get_tileinfo(cwipc_activesource *src,
+                                               int tilenum,
+                                               struct cwipc_tileinfo *tileinfo) {
+    return src->get_tileinfo(tilenum, tileinfo);
+}
+extern "C" void cwipc_activesource_request_metadata(cwipc_activesource *src,
+                                                    const char *name) {
+    src->request_metadata(name ? name : "");
+}
+extern "C" int cwipc_activesource_is_metadata_requested(cwipc_activesource *src,
+                                                        const char *name) {
+    return src->is_metadata_requested(name ? name : "");
+}
+extern "C" int cwipc_activesource_auxiliary_operation(
+    cwipc_activesource *src, const char *op, const void *inbuf, size_t insize,
+    void *outbuf, size_t outsize) {
+    return src->auxiliary_operation(op ? op : "", inbuf, insize, outbuf,
+                                    outsize);
+}
+
+/* ------------------------------------------------------------------ */
+/* sink / software window (reference: api.h:452-507, src/cwipc_window.cpp) */
+/* ------------------------------------------------------------------ */
+
+struct cwipc_sink {
+    virtual ~cwipc_sink() = default;
+    virtual bool feed(cwipc_pointcloud *pc, bool clear) = 0;
+    virtual bool caption(const char *caption) = 0;
+    virtual char interact(const char *prompt, const char *responses,
+                          int32_t millis) = 0;
+    virtual void inject_key(char) {}
+};
+
+namespace {
+
+/* Headless software viewer: same orbit-camera splat projection as the
+ * Python viewer (cwipc_util_tpu/io/render.py), z-buffered into an RGB
+ * framebuffer.  Interaction keys come from an injected queue (tests, apps)
+ * — the reference's GLFW window (src/cwipc_window.cpp:263-328) needs a
+ * display; this sink implements the identical contract without one. */
+struct WindowSink : public cwipc_sink {
+    std::string title;
+    std::vector<cwipc_point> points;
+    int width = 640, height = 480;
+    float azimuth = 0.0f, elevation = 0.2f, distance = 3.0f;
+    float center[3] = {0.0f, 1.0f, 0.0f};
+    std::vector<uint8_t> framebuffer;  /* RGB8, row-major */
+    std::deque<char> key_queue;
+    std::mutex mtx;
+    std::condition_variable cv;
+
+    explicit WindowSink(const char *title_) : title(title_ ? title_ : "") {
+        framebuffer.assign((size_t)width * height * 3, 0);
+    }
+
+    bool feed(cwipc_pointcloud *pc, bool clear) override {
+        if (!pc) return false;
+        {
+            std::lock_guard<std::mutex> lock(mtx);
+            if (clear) points.clear();
+            points.insert(points.end(), pc->points.begin(), pc->points.end());
+        }
+        render();
+        const char *snap = getenv("CWIPC_WINDOW_SNAPSHOT");
+        if (snap && *snap) write_ppm(snap);
+        return true;
+    }
+
+    bool caption(const char *c) override {
+        title = c ? c : "";
+        return true;
+    }
+
+    char interact(const char *prompt, const char *responses,
+                  int32_t millis) override {
+        (void)prompt;
+        std::unique_lock<std::mutex> lock(mtx);
+        auto deadline = std::chrono::steady_clock::now() +
+                        std::chrono::milliseconds(millis < 0 ? 3600000 : millis);
+        for (;;) {
+            while (!key_queue.empty()) {
+                char c = key_queue.front();
+                key_queue.pop_front();
+                if (!responses || strchr(responses, c)) return c;
+            }
+            if (millis == 0) return '\0';
+            if (cv.wait_until(lock, deadline) == std::cv_status::timeout) {
+                while (!key_queue.empty()) {
+                    char c = key_queue.front();
+                    key_queue.pop_front();
+                    if (!responses || strchr(responses, c)) return c;
+                }
+                return '\0';
+            }
+        }
+    }
+
+    void inject_key(char key) override {
+        std::lock_guard<std::mutex> lock(mtx);
+        key_queue.push_back(key);
+        cv.notify_all();
+    }
+
+    void render() {
+        std::lock_guard<std::mutex> lock(mtx);
+        framebuffer.assign((size_t)width * height * 3, 0);
+        std::vector<float> zbuf((size_t)width * height,
+                                std::numeric_limits<float>::infinity());
+        float sa = sinf(azimuth), ca = cosf(azimuth);
+        float se = sinf(elevation), ce = cosf(elevation);
+        float eye[3] = {center[0] + distance * sa * ce,
+                        center[1] + distance * se,
+                        center[2] + distance * ca * ce};
+        /* look-at basis */
+        float fwd[3] = {center[0] - eye[0], center[1] - eye[1],
+                        center[2] - eye[2]};
+        float fl = sqrtf(fwd[0] * fwd[0] + fwd[1] * fwd[1] + fwd[2] * fwd[2]);
+        if (fl < 1e-9f) fl = 1e-9f;
+        for (float &v : fwd) v /= fl;
+        float right[3] = {fwd[1] * 0 - fwd[2] * 1 * 0, 0, 0};
+        /* right = fwd x up, up = (0,1,0) */
+        right[0] = fwd[2];
+        right[1] = 0;
+        right[2] = -fwd[0];
+        float rl = sqrtf(right[0] * right[0] + right[2] * right[2]);
+        if (rl < 1e-9f) { right[0] = 1; right[2] = 0; rl = 1; }
+        right[0] /= rl;
+        right[2] /= rl;
+        float up[3] = {right[1] * fwd[2] - right[2] * fwd[1],
+                       right[2] * fwd[0] - right[0] * fwd[2],
+                       right[0] * fwd[1] - right[1] * fwd[0]};
+        float f = 0.5f * height / tanf(30.0f * 3.14159265f / 180.0f);
+        for (const auto &p : points) {
+            float d[3] = {p.x - eye[0], p.y - eye[1], p.z - eye[2]};
+            float cz = d[0] * fwd[0] + d[1] * fwd[1] + d[2] * fwd[2];
+            if (cz <= 1e-6f) continue;
+            float cx = d[0] * right[0] + d[1] * right[1] + d[2] * right[2];
+            float cy = d[0] * up[0] + d[1] * up[1] + d[2] * up[2];
+            int px = (int)(width / 2 + f * cx / cz);
+            int py = (int)(height / 2 - f * cy / cz);
+            if (px < 0 || px >= width || py < 0 || py >= height) continue;
+            size_t idx = (size_t)py * width + px;
+            if (cz < zbuf[idx]) {
+                zbuf[idx] = cz;
+                framebuffer[idx * 3 + 0] = p.r;
+                framebuffer[idx * 3 + 1] = p.g;
+                framebuffer[idx * 3 + 2] = p.b;
+            }
+        }
+    }
+
+    void write_ppm(const char *path) {
+        std::lock_guard<std::mutex> lock(mtx);
+        FILE *fp = fopen(path, "wb");
+        if (!fp) return;
+        fprintf(fp, "P6\n%d %d\n255\n", width, height);
+        fwrite(framebuffer.data(), 1, framebuffer.size(), fp);
+        fclose(fp);
+    }
+};
+
+}  // namespace
+
+extern "C" cwipc_sink *cwipc_window(const char *title, char **errorMessage,
+                                    uint64_t apiVersion) {
+    if (!check_api_version("cwipc_window", apiVersion, errorMessage))
+        return nullptr;
+    return new WindowSink(title);
+}
+extern "C" void cwipc_sink_free(cwipc_sink *sink) { delete sink; }
+extern "C" int cwipc_sink_feed(cwipc_sink *sink, cwipc_pointcloud *pc,
+                               int clear) {
+    return sink->feed(pc, clear != 0);
+}
+extern "C" int cwipc_sink_caption(cwipc_sink *sink, const char *caption) {
+    return sink->caption(caption);
+}
+extern "C" char cwipc_sink_interact(cwipc_sink *sink, const char *prompt,
+                                    const char *responses, int32_t millis) {
+    return sink->interact(prompt, responses, millis);
+}
+extern "C" void _cwipc_window_inject_key(cwipc_sink *sink, char key) {
+    sink->inject_key(key);
 }
 
 /* ------------------------------------------------------------------ */

@@ -76,9 +76,14 @@ enum cwipc_log_level {
 
 typedef void (*cwipc_log_callback_t)(int level, const char *message);
 
-/* Opaque handles. */
-typedef struct cwipc_pointcloud cwipc_pointcloud;
+/* Opaque handles.  Every native source implements the full activesource
+ * surface (reference distinguishes cwipc_source/cwipc_activesource as C++
+ * classes; at the flat ABI level the activesource functions accept any
+ * source and degrade gracefully). */
 typedef struct cwipc_source cwipc_source;
+typedef struct cwipc_pointcloud cwipc_pointcloud;
+typedef cwipc_source cwipc_activesource;
+typedef struct cwipc_sink cwipc_sink;
 typedef struct cwipc_metadata cwipc_metadata;
 
 /* ---- point cloud object ---------------------------------------------- */
@@ -100,6 +105,11 @@ int cwipc_pointcloud_copy_uncompressed(cwipc_pointcloud *pc,
 size_t cwipc_pointcloud_copy_packet(cwipc_pointcloud *pc, uint8_t *packet,
                                     size_t size);
 cwipc_metadata *cwipc_pointcloud_access_metadata(cwipc_pointcloud *pc);
+/* Copy sharing the underlying point storage (reference: api.h:730).  Our
+ * object model is value-based, so this is a metadata-free copy with the
+ * same timestamp/cellsize — the ownership semantics callers rely on
+ * (independent free of both handles) hold. */
+cwipc_pointcloud *cwipc_pointcloud__shallowcopy(cwipc_pointcloud *pc);
 
 /* ---- serialization ----------------------------------------------------- */
 
@@ -139,6 +149,47 @@ int cwipc_source_maxtile(cwipc_source *src);
 int cwipc_source_get_tileinfo(cwipc_source *src, int tilenum,
                               struct cwipc_tileinfo *tileinfo);
 
+/* ---- activesource surface (reference: api.h:807-921) --------------------
+ * Accept any cwipc_source; passive sources return false/0 where the
+ * capability is absent. */
+
+int cwipc_activesource_start(cwipc_activesource *src);
+void cwipc_activesource_stop(cwipc_activesource *src);
+int cwipc_activesource_reload_config(cwipc_activesource *src,
+                                     const char *configFile);
+size_t cwipc_activesource_get_config(cwipc_activesource *src, char *buffer,
+                                     size_t size);
+int cwipc_activesource_seek(cwipc_activesource *src, uint64_t timestamp);
+int cwipc_activesource_maxtile(cwipc_activesource *src);
+int cwipc_activesource_get_tileinfo(cwipc_activesource *src, int tilenum,
+                                    struct cwipc_tileinfo *tileinfo);
+void cwipc_activesource_request_metadata(cwipc_activesource *src,
+                                         const char *name);
+int cwipc_activesource_is_metadata_requested(cwipc_activesource *src,
+                                             const char *name);
+int cwipc_activesource_auxiliary_operation(cwipc_activesource *src,
+                                           const char *op, const void *inbuf,
+                                           size_t insize, void *outbuf,
+                                           size_t outsize);
+
+/* ---- sink / window (reference: api.h:452-507, 930-1050) ------------------
+ * cwipc_window is a software (headless-capable) viewer sink: it accumulates
+ * fed clouds, renders them with the same orbit-splat projection as the
+ * Python viewer into an offscreen RGB framebuffer, and implements the
+ * interact() key protocol.  Keys come from an injectable queue so native
+ * apps and tests can drive interaction without a display; set
+ * CWIPC_WINDOW_SNAPSHOT=<path.ppm> to dump the framebuffer on each feed. */
+
+void cwipc_sink_free(cwipc_sink *sink);
+int cwipc_sink_feed(cwipc_sink *sink, cwipc_pointcloud *pc, int clear);
+int cwipc_sink_caption(cwipc_sink *sink, const char *caption);
+char cwipc_sink_interact(cwipc_sink *sink, const char *prompt,
+                         const char *responses, int32_t millis);
+cwipc_sink *cwipc_window(const char *title, char **errorMessage,
+                         uint64_t apiVersion);
+/* Test/driver hook: enqueue a key for the next interact() call. */
+void _cwipc_window_inject_key(cwipc_sink *sink, char key);
+
 /* ---- capturer plugin registry ------------------------------------------- */
 
 typedef int (*cwipc_capturer_count_fn)(void);
@@ -158,6 +209,8 @@ size_t cwipc_metadata_size(cwipc_metadata *md, int idx);
 const void *cwipc_metadata_pointer(cwipc_metadata *md, int idx);
 void cwipc_metadata_add(cwipc_metadata *md, const char *name,
                         const char *description, const void *data, size_t size);
+/* Move all items from src to dest (reference: api.h:970). */
+void cwipc_metadata__move(cwipc_metadata *src, cwipc_metadata *dest);
 
 /* ---- proxy TCP receiver (reference: src/cwipc_proxy.cpp) ----------------
  * Binds host:port, accepts one sender at a time, receives 24-byte-header

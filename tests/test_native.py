@@ -245,3 +245,196 @@ def test_timing_harness_runs():
     )
     assert r.returncode == 0, r.stderr[-500:]
     assert "get_points" in r.stdout or "get_numpy" in r.stdout
+
+
+# ---------------------------------------------------------------------------
+# Full extern "C" surface parity (reference: include/cwipc_util/api.h:598-1143
+# plus internal/capturers.hpp:515) — function-for-function symbol check.
+# ---------------------------------------------------------------------------
+
+REFERENCE_ABI_SYMBOLS = [
+    # logging / diagnostics
+    "_cwipc_log_emit", "cwipc_log_configure", "cwipc_dangling_allocations",
+    "cwipc_get_version",
+    # point cloud object
+    "cwipc_from_points", "cwipc_from_packet", "cwipc_pointcloud_free",
+    "cwipc_pointcloud_timestamp", "cwipc_pointcloud_cellsize",
+    "cwipc_pointcloud__set_cellsize", "cwipc_pointcloud__set_timestamp",
+    "cwipc_pointcloud_count", "cwipc_pointcloud_get_uncompressed_size",
+    "cwipc_pointcloud_copy_uncompressed", "cwipc_pointcloud_copy_packet",
+    "cwipc_pointcloud_access_metadata", "cwipc_pointcloud__shallowcopy",
+    # serialization
+    "cwipc_read", "cwipc_write", "cwipc_write_ext",
+    "cwipc_read_debugdump", "cwipc_write_debugdump",
+    # operators
+    "cwipc_downsample", "cwipc_remove_outliers", "cwipc_tilefilter",
+    "cwipc_tilemap", "cwipc_crop", "cwipc_colormap", "cwipc_join",
+    # sources
+    "cwipc_synthetic", "cwipc_capturer", "cwipc_proxy",
+    "cwipc_source_free", "cwipc_source_get", "cwipc_source_available",
+    "cwipc_source_eof",
+    # activesource
+    "cwipc_activesource_start", "cwipc_activesource_stop",
+    "cwipc_activesource_reload_config", "cwipc_activesource_get_config",
+    "cwipc_activesource_seek", "cwipc_activesource_maxtile",
+    "cwipc_activesource_get_tileinfo", "cwipc_activesource_request_metadata",
+    "cwipc_activesource_is_metadata_requested",
+    "cwipc_activesource_auxiliary_operation",
+    # sink / window
+    "cwipc_sink_free", "cwipc_sink_feed", "cwipc_sink_caption",
+    "cwipc_sink_interact", "cwipc_window",
+    # metadata
+    "cwipc_metadata_count", "cwipc_metadata_name",
+    "cwipc_metadata_description", "cwipc_metadata_size",
+    "cwipc_metadata_pointer", "cwipc_metadata__move",
+    # capturer plugin registry
+    "_cwipc_register_capturer",
+]
+
+
+def test_abi_symbol_parity(native_lib):
+    """Every extern "C" function of the reference ABI resolves in our .so."""
+    missing = []
+    for name in REFERENCE_ABI_SYMBOLS:
+        try:
+            getattr(native_lib, name)
+        except AttributeError:
+            missing.append(name)
+    assert not missing, f"ABI symbols missing: {missing}"
+
+
+def _bind_activesource(lib):
+    lib.cwipc_synthetic.restype = ctypes.c_void_p
+    lib.cwipc_synthetic.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_char_p), ctypes.c_uint64,
+    ]
+    lib.cwipc_activesource_start.argtypes = [ctypes.c_void_p]
+    lib.cwipc_activesource_stop.argtypes = [ctypes.c_void_p]
+    lib.cwipc_activesource_request_metadata.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.cwipc_activesource_is_metadata_requested.restype = ctypes.c_int
+    lib.cwipc_activesource_is_metadata_requested.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.cwipc_activesource_auxiliary_operation.restype = ctypes.c_int
+    lib.cwipc_activesource_auxiliary_operation.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_size_t,
+    ]
+    lib.cwipc_activesource_seek.restype = ctypes.c_int
+    lib.cwipc_activesource_seek.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.cwipc_activesource_maxtile.restype = ctypes.c_int
+    lib.cwipc_activesource_maxtile.argtypes = [ctypes.c_void_p]
+    lib.cwipc_source_get.restype = ctypes.c_void_p
+    lib.cwipc_source_get.argtypes = [ctypes.c_void_p]
+    lib.cwipc_source_free.argtypes = [ctypes.c_void_p]
+    lib.cwipc_pointcloud_access_metadata.restype = ctypes.c_void_p
+    lib.cwipc_pointcloud_access_metadata.argtypes = [ctypes.c_void_p]
+    lib.cwipc_metadata_count.restype = ctypes.c_int
+    lib.cwipc_metadata_count.argtypes = [ctypes.c_void_p]
+    lib.cwipc_metadata_name.restype = ctypes.c_char_p
+    lib.cwipc_metadata_name.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.cwipc_metadata_size.restype = ctypes.c_size_t
+    lib.cwipc_metadata_size.argtypes = [ctypes.c_void_p, ctypes.c_int]
+
+
+def test_activesource_metadata_and_aux_op(native_lib):
+    """The synthetic source's test hooks work through the activesource ABI
+    (reference: src/cwipc_synthetic.cpp:134-139 test-angle metadata,
+    :169-179 test-setangle aux op; test model test_cwipc_util.py:342-389)."""
+    lib = native_lib
+    _bind_activesource(lib)
+    src = lib.cwipc_synthetic(0, 1000, None, 0x20260129)
+    assert src
+    try:
+        assert lib.cwipc_activesource_maxtile(src) == 3
+        assert not lib.cwipc_activesource_is_metadata_requested(src, b"test-angle")
+        lib.cwipc_activesource_request_metadata(src, b"test-angle")
+        assert lib.cwipc_activesource_is_metadata_requested(src, b"test-angle")
+        assert lib.cwipc_activesource_start(src)
+        pc = lib.cwipc_source_get(src)
+        assert pc
+        md = lib.cwipc_pointcloud_access_metadata(pc)
+        names = [lib.cwipc_metadata_name(md, i) for i in range(lib.cwipc_metadata_count(md))]
+        assert b"test-angle" in names
+        idx = names.index(b"test-angle")
+        assert lib.cwipc_metadata_size(md, idx) == 4
+        lib.cwipc_pointcloud_free(pc)
+
+        inval = ctypes.c_float(1.5)
+        outval = ctypes.c_float(0.0)
+        ok = lib.cwipc_activesource_auxiliary_operation(
+            src, b"test-setangle", ctypes.byref(inval), 4, ctypes.byref(outval), 4)
+        assert ok
+        assert abs(outval.value - 1.5) < 1e-6
+        # unknown op and bad sizes must fail
+        assert not lib.cwipc_activesource_auxiliary_operation(
+            src, b"no-such-op", ctypes.byref(inval), 4, ctypes.byref(outval), 4)
+        assert not lib.cwipc_activesource_auxiliary_operation(
+            src, b"test-setangle", ctypes.byref(inval), 2, ctypes.byref(outval), 4)
+        # synthetic cannot seek or reload
+        assert not lib.cwipc_activesource_seek(src, 1234)
+        lib.cwipc_activesource_stop(src)
+    finally:
+        lib.cwipc_source_free(src)
+
+
+def _bind_sink(lib):
+    lib.cwipc_window.restype = ctypes.c_void_p
+    lib.cwipc_window.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_uint64,
+    ]
+    lib.cwipc_sink_free.argtypes = [ctypes.c_void_p]
+    lib.cwipc_sink_feed.restype = ctypes.c_int
+    lib.cwipc_sink_feed.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+    lib.cwipc_sink_caption.restype = ctypes.c_int
+    lib.cwipc_sink_caption.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.cwipc_sink_interact.restype = ctypes.c_char
+    lib.cwipc_sink_interact.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
+    ]
+    lib._cwipc_window_inject_key.argtypes = [ctypes.c_void_p, ctypes.c_char]
+
+
+def test_window_sink_protocol(native_lib, tmp_path):
+    """cwipc_window implements the full sink contract headlessly: feed renders
+    into the framebuffer, caption succeeds, interact honors the responses
+    filter and timeout (reference: api.h:452-507)."""
+    lib = native_lib
+    _bind_activesource(lib)
+    _bind_sink(lib)
+    snap = tmp_path / "frame.ppm"
+    os.environ["CWIPC_WINDOW_SNAPSHOT"] = str(snap)
+    try:
+        sink = lib.cwipc_window(b"test-window", None, 0x20260129)
+        assert sink
+        src = lib.cwipc_synthetic(0, 1000, None, 0x20260129)
+        lib.cwipc_activesource_start(src)
+        pc = lib.cwipc_source_get(src)
+        assert lib.cwipc_sink_feed(sink, pc, 1)
+        lib.cwipc_pointcloud_free(pc)
+        lib.cwipc_source_free(src)
+        assert lib.cwipc_sink_caption(sink, b"new caption")
+        # no key queued + no wait -> NUL
+        assert lib.cwipc_sink_interact(sink, b"prompt", b"qc", 0) == b"\x00"
+        # queued key matching the responses filter is returned
+        lib._cwipc_window_inject_key(sink, b"q")
+        assert lib.cwipc_sink_interact(sink, b"prompt", b"qc", 100) == b"q"
+        # non-matching key is swallowed, times out with NUL
+        lib._cwipc_window_inject_key(sink, b"x")
+        assert lib.cwipc_sink_interact(sink, b"prompt", b"qc", 50) == b"\x00"
+        lib.cwipc_sink_free(sink)
+        data = snap.read_bytes()
+        assert data.startswith(b"P6")
+        assert any(b for b in data[20:])  # rendered something
+    finally:
+        os.environ.pop("CWIPC_WINDOW_SNAPSHOT", None)
+
+
+def test_viewsynthetic_app():
+    """The native cwipc_viewsynthetic app runs headlessly (reference:
+    apps/cwipc_viewsynthetic/cwipc_viewsynthetic.cpp)."""
+    app = NATIVE_DIR / "build" / "cwipc_viewsynthetic"
+    if not app.exists():
+        subprocess.run(["make", "-C", str(NATIVE_DIR)], capture_output=True)
+    r = subprocess.run([str(app), "0", "1000", "2"], capture_output=True,
+                       text=True, timeout=60)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "displayed 2 frames" in r.stdout
