@@ -1,0 +1,160 @@
+"""DASH binding tests against the fake SIGNALS stub libraries.
+
+The real SIGNALS SMD packager/player are external commercial components;
+these tests build tiny loopback .so files exporting the same entry points
+(cwipc_util_tpu/native/fake_signals.c) and drive the full binding layer:
+stream registration, push, discovery, frame pumping, quality switching and
+the error paths (reference behavior: python/cwipc/net/sink_lldpkg.py,
+python/cwipc/net/source_lldplay.py)."""
+
+import pathlib
+import subprocess
+import time
+
+import pytest
+
+from cwipc_util_tpu.core.errors import CwipcError
+
+NATIVE_DIR = pathlib.Path(__file__).parent.parent / "cwipc_util_tpu" / "native"
+
+
+@pytest.fixture()
+def fake_signals(monkeypatch):
+    """Build the fake SIGNALS libs, point SIGNALS_SMD_PATH at them, and
+    reset the module-level DLL caches around each test."""
+    import cwipc_util_tpu.net.sink_lldpkg as sink_mod
+    import cwipc_util_tpu.net.source_lldplay as src_mod
+
+    build = NATIVE_DIR / "build"
+    if not (build / "liblldash_packager.so").exists():
+        rv = subprocess.run(
+            ["make", "-C", str(NATIVE_DIR), "fakesignals"],
+            capture_output=True, text=True,
+        )
+        if rv.returncode != 0:
+            pytest.skip(f"fake SIGNALS build failed: {rv.stderr[-500:]}")
+    monkeypatch.setenv("SIGNALS_SMD_PATH", str(build))
+    monkeypatch.setattr(sink_mod, "_lldpkg_dll_reference", None)
+    monkeypatch.setattr(src_mod, "_lldplay_dll_reference", None)
+    yield build
+    sink_mod._lldpkg_dll_reference = None
+    src_mod._lldplay_dll_reference = None
+
+
+def test_lldpkg_requires_signals(monkeypatch, tmp_path):
+    """Without SIGNALS installed the factory raises a clear CwipcError."""
+    import cwipc_util_tpu.net.sink_lldpkg as sink_mod
+
+    monkeypatch.setenv("SIGNALS_SMD_PATH", str(tmp_path / "nonexistent"))
+    monkeypatch.setattr(sink_mod, "_lldpkg_dll_reference", None)
+    with pytest.raises(CwipcError, match="lldash_packager"):
+        sink_mod.cwipc_sink_lldpkg("http://example.invalid/stream/")
+
+
+def test_lldplay_requires_signals(monkeypatch, tmp_path):
+    import cwipc_util_tpu.net.source_lldplay as src_mod
+
+    monkeypatch.setenv("SIGNALS_SMD_PATH", str(tmp_path / "nonexistent"))
+    monkeypatch.setattr(src_mod, "_lldplay_dll_reference", None)
+    with pytest.raises(CwipcError, match="lldash_play"):
+        src_mod.cwipc_multisource_lldplay("http://example.invalid/stream/").start()
+
+
+def test_lldpkg_push(fake_signals, tmp_path):
+    """Packager sink: add_stream/start/feed write frames per stream."""
+    from cwipc_util_tpu.net.sink_lldpkg import cwipc_sink_lldpkg
+
+    url = str(tmp_path / "ingest")
+    sink = cwipc_sink_lldpkg(url)
+    sink.set_fourcc("cwi1")
+    s0 = sink.add_stream(tilenum=1, tiledesc={"normal": {"x": 0, "y": 0, "z": 1}, "cameraMask": 1})
+    s1 = sink.add_stream(tilenum=2, tiledesc={"normal": {"x": 0, "y": 0, "z": -1}, "cameraMask": 2})
+    assert (s0, s1) == (0, 1)
+    sink.start()
+    assert sink.feed(b"frame-zero", s0)
+    assert sink.feed(b"frame-one", s1)
+    assert sink.feed(b"frame-two", s0)
+    sink.stop()
+    sink.statistics()
+    ingest = tmp_path / "ingest"
+    assert (ingest / "streams.txt").read_text().strip() == "2"
+    assert (ingest / "s0_00000000.frame").read_bytes() == b"frame-zero"
+    assert (ingest / "s0_00000001.frame").read_bytes() == b"frame-two"
+    assert (ingest / "s1_00000000.frame").read_bytes() == b"frame-one"
+    # feed after stop fails cleanly
+    assert not sink.feed(b"late", s0)
+
+
+def test_lldplay_bad_url(fake_signals, tmp_path):
+    """Playing a URL nothing was published at raises."""
+    from cwipc_util_tpu.net.source_lldplay import cwipc_multisource_lldplay
+
+    src = cwipc_multisource_lldplay(str(tmp_path / "nothing-here"))
+    with pytest.raises(CwipcError, match="cannot play"):
+        src.start()
+
+
+def test_lldash_loopback_with_quality_switch(fake_signals, tmp_path):
+    """Full loop: packager pushes tiled streams, player discovers them,
+    pumps frames into per-tile views, and quality selection reaches the DLL."""
+    from cwipc_util_tpu.net.sink_lldpkg import cwipc_sink_lldpkg
+    from cwipc_util_tpu.net.source_lldplay import cwipc_multisource_lldplay
+
+    url = str(tmp_path / "cdn")
+    sink = cwipc_sink_lldpkg(url)
+    sink.set_fourcc("cwi1")
+    for tile in (1, 2, 3):
+        sink.add_stream(tilenum=tile)
+    sink.start()
+    payloads = {i: [f"t{i}f{j}".encode() for j in range(3)] for i in range(3)}
+    for i, frames in payloads.items():
+        for frame in frames:
+            assert sink.feed(frame, i)
+    sink.stop()
+
+    src = cwipc_multisource_lldplay(url)
+    assert src.start()
+    assert src.get_tile_count() == 3
+    assert len(src.get_description()) == 3
+    got = {i: [] for i in range(3)}
+    deadline = time.time() + 10
+    while time.time() < deadline and any(len(v) < 3 for v in got.values()):
+        for i in range(3):
+            view = src.get_tile_source(i)
+            if view.available(wait=False):
+                data = view.get()
+                if data:
+                    got[i].append(data)
+        time.sleep(0.01)
+    src.select_tile_quality(1, 2)
+    src.stop()
+    src.statistics()
+    assert got == payloads
+    # quality switch side-effect recorded by the fake DLL
+    assert (tmp_path / "cdn" / "quality_t1.txt").read_text().strip() == "2"
+
+
+def test_lldplay_single_stream_view(fake_signals, tmp_path):
+    """The non-tiled factory adapts tile 0 of the multisource."""
+    from cwipc_util_tpu.net.sink_lldpkg import cwipc_sink_lldpkg
+    from cwipc_util_tpu.net.source_lldplay import cwipc_source_lldplay
+
+    url = str(tmp_path / "single")
+    sink = cwipc_sink_lldpkg(url)
+    sink.set_fourcc("cwi0")
+    sink.add_stream(tilenum=0)
+    sink.start()
+    assert sink.feed(b"only-frame", 0)
+    sink.stop()
+
+    src = cwipc_source_lldplay(url)
+    assert src.start()
+    src.set_fourcc("cwi0")
+    deadline = time.time() + 10
+    data = None
+    while time.time() < deadline and data is None:
+        if src.available(wait=True):
+            data = src.get()
+    src.stop()
+    assert data == b"only-frame"
+    assert src.eof()
