@@ -77,7 +77,13 @@ def _playback_factory(config: Dict[str, Any]):
             fps=config.get("fps"),
         )
     cameras = config.get("camera", config.get("cameras", []))
-    filenames = [cam["filename"] for cam in cameras if "filename" in cam]
+    base = config.get("_config_dir", "")
+    filenames = [
+        os.path.join(base, cam["filename"]) if base and not os.path.isabs(cam["filename"])
+        else cam["filename"]
+        for cam in cameras
+        if "filename" in cam
+    ]
     if not filenames:
         raise CwipcError("playback capturer: no directory or camera filenames in config")
     return cwipc_playback(filenames, loop=bool(config.get("loop", False)), fps=config.get("fps"))
@@ -134,6 +140,8 @@ def cwipc_capturer(conffile: Optional[str] = None):
                     config = json.load(fp)
                 except json.JSONDecodeError as e:
                     raise CwipcError(f"cwipc_capturer: invalid JSON in {conffile}: {e}") from e
+            # per-camera relative filenames resolve against the config's dir
+            config.setdefault("_config_dir", os.path.dirname(os.path.abspath(conffile)))
         else:
             raise CwipcError(
                 f"cwipc_capturer: config must be 'auto', inline JSON or a .json file: {conffile}"

@@ -157,6 +157,11 @@ class CameraConfig:
         (reference: cameraconfig.py:149-161)."""
         if "=" not in assignment:
             raise CwipcError(f"cameraconfig: expected key=value: {assignment}")
+        # sync live (possibly unsaved) transforms into _data first, so the
+        # trailing refresh does not revert them to the last-saved matrices
+        for i, t in enumerate(self.transforms):
+            if i < len(self._data.get("camera", [])):
+                self._data["camera"][i]["trafo"] = t.to_json()
         path, value = assignment.split("=", 1)
         try:
             parsed: Any = json.loads(value)

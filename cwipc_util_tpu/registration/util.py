@@ -276,3 +276,18 @@ class BaseMulticamAlgorithm(MulticamAlgorithm):
 
     def get_pc_for_camnum(self, camnum: int) -> cwipc_pointcloud_wrapper:
         return self.get_pc_for_tilemask(self.tilemask_for_camera_index(camnum))
+
+
+def show_pointcloud(title: str, pc: cwipc_pointcloud_wrapper, timeout_ms: int = 5000) -> None:
+    """Show a pointcloud in a viewer window until a key is pressed (or the
+    timeout elapses in headless runs) — the interactive inspection helper
+    used by registration flows (reference: registration/util.py:231-283,
+    o3d show window; ours uses the software viewer sink)."""
+    from ..io.visualizer_sink import cwipc_window_sink
+
+    window = cwipc_window_sink(title)
+    try:
+        window.feed(pc, True)
+        window.interact("Press any key to close", None, timeout_ms)
+    finally:
+        window.free(force=True)
