@@ -101,8 +101,8 @@ def stage_sort(nops):
     def body(seed, key, p1, p2):
         k = key + seed
         ops = (k, p1, p2)[:nops]
-        out = jax.lax.sort(ops, num_keys=1)
-        return sum(o[0].astype(jnp.float32) for o in (out if nops > 1 else (out,)))
+        out = jax.lax.sort(ops, num_keys=1)  # always a tuple of arrays
+        return sum(o[0].astype(jnp.float32) for o in out)
 
     return timeit(body, args_fn, f"sort {nops}-op 1M")
 

@@ -66,7 +66,14 @@ _BIT_BASE = 2048.0
 
 # Number of bf16 splits for the emission matmuls (see module docstring).
 # 0 selects Precision.HIGHEST instead (A/B hook for the parity tests).
-_EMIT_BF16_SPLITS = 3
+# TWO splits (16 mantissa bits) are exact here: the widest channel values
+# are the 15-bit key halves, the 12-bit tile digit pairs and the 11-bit
+# centered fracs ((q+0.5)/1024) — every input is reproduced exactly by
+# bf16_hi + bf16_lo, and all column sums stay < 2^24 so the f32
+# accumulation is exact too.  (3 splits would cover arbitrary f32; no
+# channel needs that width, and the third split was 1/3 of the emission
+# MXU passes.)
+_EMIT_BF16_SPLITS = 2
 
 
 def _split_dot(ch_q, member_q):
