@@ -37,9 +37,11 @@ def compact(buf: PointBuffer, keep: jax.Array) -> PointBuffer:
     ``keep`` is a bool[capacity] mask; it is automatically restricted to the
     valid region of the buffer.
 
-    Implemented as a stable sort on (dropped-flag, original index) carrying
-    the point payload — measured ~3.5x faster than the cumsum+scatter
-    formulation on v5e (XLA lowers unsorted scatters poorly).  The two keys
+    TPU computations run the MXU ring-compaction Pallas kernel
+    (ops/pallas_compact.py, ~2x the sort formulation); CPU computations use
+    a stable sort on (dropped-flag, original index) carrying the point
+    payload — measured ~3.5x faster than the cumsum+scatter formulation
+    (XLA lowers unsorted scatters poorly).  In the sort form the two keys
     pack into ONE int32 — the index is unique, so the combined key yields
     the identical total order, and a 1-key/5-operand sort is measurably
     cheaper than 2-key/6-operand (extra KEYS cost far more than payloads
@@ -48,27 +50,42 @@ def compact(buf: PointBuffer, keep: jax.Array) -> PointBuffer:
     """
     cap = buf.capacity
     keep = jnp.logical_and(keep, buf.valid_mask())
-    idx = jnp.arange(cap, dtype=jnp.int32)
-    dropped = (~keep).astype(jnp.int32)
-    payload = (
-        jax.lax.bitcast_convert_type(buf.xyz[:, 0], jnp.int32),
-        jax.lax.bitcast_convert_type(buf.xyz[:, 1], jnp.int32),
-        jax.lax.bitcast_convert_type(buf.xyz[:, 2], jnp.int32),
-        buf.rgba.astype(jnp.int32),
+
+    def _compact_sort(xyz, rgba, keep, count):
+        idx = jnp.arange(cap, dtype=jnp.int32)
+        dropped = (~keep).astype(jnp.int32)
+        payload = (
+            jax.lax.bitcast_convert_type(xyz[:, 0], jnp.int32),
+            jax.lax.bitcast_convert_type(xyz[:, 1], jnp.int32),
+            jax.lax.bitcast_convert_type(xyz[:, 2], jnp.int32),
+            rgba.astype(jnp.int32),
+        )
+        if cap <= (1 << 30):
+            sorted_ops = jax.lax.sort((dropped * cap + idx,) + payload, num_keys=1)
+            sxi, syi, szi, srgba = sorted_ops[1:]
+        else:
+            sorted_ops = jax.lax.sort((dropped, idx) + payload, num_keys=2)
+            sxi, syi, szi, srgba = sorted_ops[2:]
+        sx = jax.lax.bitcast_convert_type(sxi, jnp.float32)
+        sy = jax.lax.bitcast_convert_type(syi, jnp.float32)
+        sz = jax.lax.bitcast_convert_type(szi, jnp.float32)
+        return jnp.stack([sx, sy, sz], axis=-1), srgba.astype(jnp.uint32)
+
+    def _compact_ring(xyz, rgba, keep, count):
+        from .pallas_compact import compact_pallas
+
+        new_xyz, new_rgba, _ = compact_pallas(xyz, rgba, keep, count)
+        return new_xyz, new_rgba
+
+    sxyz, srgba = jax.lax.platform_dependent(
+        buf.xyz, buf.rgba, keep, buf.count,
+        cpu=_compact_sort,
+        default=_compact_ring,
     )
-    if cap <= (1 << 30):
-        sorted_ops = jax.lax.sort((dropped * cap + idx,) + payload, num_keys=1)
-        sxi, syi, szi, srgba = sorted_ops[1:]
-    else:
-        sorted_ops = jax.lax.sort((dropped, idx) + payload, num_keys=2)
-        sxi, syi, szi, srgba = sorted_ops[2:]
-    sx = jax.lax.bitcast_convert_type(sxi, jnp.float32)
-    sy = jax.lax.bitcast_convert_type(syi, jnp.float32)
-    sz = jax.lax.bitcast_convert_type(szi, jnp.float32)
     new_count = keep.sum(dtype=jnp.int32)
-    out_valid = idx < new_count
-    new_xyz = jnp.where(out_valid[:, None], jnp.stack([sx, sy, sz], axis=-1), 0.0)
-    new_rgba = jnp.where(out_valid, srgba.astype(jnp.uint32), 0)
+    out_valid = jnp.arange(cap, dtype=jnp.int32) < new_count
+    new_xyz = jnp.where(out_valid[:, None], sxyz, 0.0)
+    new_rgba = jnp.where(out_valid, srgba, 0)
     return PointBuffer(xyz=new_xyz, rgba=new_rgba, count=new_count)
 
 

@@ -109,9 +109,14 @@ def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
     def _init():
         stage[:, :] = jnp.zeros((NCH, STAGE_W), jnp.float32)
         # constant inclusive-prefix matrix: tri[r, c] = 1 iff r <= c, so
-        # (flags [1,B]) @ tri = inclusive prefix count, exact in bf16/f32
-        r_io = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
-        c_io = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+        # (flags [1,Q]) @ tri = inclusive prefix count, exact in bf16/f32.
+        # The prefix runs PER QUARTER ([1,256]@[256,256] = 4 MXU passes x4)
+        # instead of per block ([1,B]@[B,B] = 64 passes): an M=1 operand
+        # uses one of the MXU's 128 rows, so pass count is the entire cost
+        # — the strip-down probe measured the full-block form at 0.54 ms
+        # of the kernel's 1.67 ms.  Quarter totals chain through a scalar.
+        r_io = jax.lax.broadcasted_iota(jnp.int32, (QUARTER, QUARTER), 0)
+        c_io = jax.lax.broadcasted_iota(jnp.int32, (QUARTER, QUARTER), 1)
         tri[:, :] = (r_io <= c_io).astype(jnp.bfloat16)
         carry[0] = _SENTINEL
         carry[1] = -1
@@ -156,51 +161,84 @@ def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
         axis=0,
     )  # [NCH, B]: 0-6 sums, 7-10 bit pairs, 11-12 keys, 13-15 pad
 
-    # inclusive boundary count via the MXU (v2's roll-ladder prefix sum
-    # measured ~0.7 ms/1M on its own)
-    bcum_f = jax.lax.dot_general(
-        bf_f.astype(jnp.bfloat16), tri[:, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [1, B], exact integers
-    bcum = bcum_f.astype(jnp.int32)
-
     wp_open = carry[1]  # absolute column of the open run (-1 = none yet)
-    # lane b's run lives at absolute column wp_open + bcum[b]; lanes before
-    # the first boundary (bcum 0) continue the open run.  Invalid lanes
-    # land on the open column with all-zero values (harmless).
+    # lane b's run lives at absolute column wp_open + (boundaries at or
+    # before b); lanes before the first boundary continue the open run.
+    # Invalid lanes land on the open column with all-zero values (harmless).
+    #
+    # All four quarter prefixes are computed FIRST, as independent matmuls
+    # (4 MXU passes each), and only then are the scalar quarter bases
+    # chained — interleaving scalar reads between the matmuls serializes
+    # the pipeline (measured 2.2 ms vs 1.67 for even the 64-pass full-block
+    # prefix).
+    nq = B // QUARTER
+    pres = [
+        jax.lax.dot_general(
+            bf_f[:, q * QUARTER : (q + 1) * QUARTER].astype(jnp.bfloat16),
+            tri[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # [1, QUARTER], exact integers
+        for q in range(nq)
+    ]
+    tbs = [jnp.int32(0)]
+    for q in range(nq - 1):
+        tbs.append(tbs[-1] + pres[q][0, QUARTER - 1])
+
     col_iota_q = jax.lax.broadcasted_iota(jnp.int32, (QUARTER, Q_W), 1)
-    for q in range(B // QUARTER):
-        lo = q * QUARTER
-        bcum_q = bcum[:, lo : lo + QUARTER]
-        ch_q = ch[:, lo : lo + QUARTER]
-        base = bcum[0, lo]  # this quarter's first lane's run
-        rel = bcum_q - base  # in [0, QUARTER]
-        member_q = (col_iota_q == rel.reshape(QUARTER, 1)).astype(jnp.bfloat16)
+    for q in range(nq):
+        ch_q = ch[:, q * QUARTER : (q + 1) * QUARTER]
+        # lane l of quarter q lands at absolute column
+        # wp_open + tbs[q] + pre_q[l]; the membership one-hot targets
+        # pre_q directly (in [0, QUARTER] <= Q_W-1) and the quarter base
+        # rides in the roll offset — no per-quarter scalar extraction on
+        # the matmul's critical path.
+        member_q = (col_iota_q == pres[q].reshape(QUARTER, 1)).astype(jnp.bfloat16)
         placed = _split_dot(ch_q, member_q)  # [NCH, Q_W]
         padded = jnp.concatenate(
             [placed, jnp.zeros((NCH, STAGE_W - Q_W), jnp.float32)], axis=1
         )
         # ring placement of the quarter at its absolute column
-        offset_q = (wp_open + base) % STAGE_W
+        offset_q = (wp_open + tbs[q]) % STAGE_W
         stage[:, :] = stage[:, :] + pltpu.roll(padded, offset_q, 1)
 
     # columns strictly below the new open column are complete -> flush
-    wp_new = wp_open + bcum[0, B - 1]
+    wp_new = wp_open + tbs[nq - 1] + pres[nq - 1][0, QUARTER - 1]
     closed_chunks = jnp.maximum(wp_new, 0) // 128
     base_chunk = carry[2]
     nflush = closed_chunks - base_chunk
     max_chunks = out_ref.shape[1] // 128
-    for f in range(STAGE_CHUNKS):
-        @pl.when((f < nflush) & (base_chunk + f < max_chunks))
-        def _flush(f=f):
-            src_col = ((base_chunk + f) % STAGE_CHUNKS) * 128
-            dst = out_ref.at[:, pl.ds(pl.multiple_of((base_chunk + f) * 128, 128), 128)]
-            dma = pltpu.make_async_copy(
-                stage.at[:, pl.ds(pl.multiple_of(src_col, 128), 128)], dst, sem
-            )
-            dma.start()
-            dma.wait()
+
+    def _flush_chunk(c):
+        # clamped, idempotent: repeating a chunk re-writes identical data,
+        # so the common path needs NO per-chunk branches (conditional
+        # regions in a sequential-grid kernel body stall the pipeline —
+        # the 10-way conditional flush measured ~0.27 ms of the kernel)
+        c = jnp.minimum(c, max_chunks - 1)
+        src_col = (c % STAGE_CHUNKS) * 128
+        dst = out_ref.at[:, pl.ds(pl.multiple_of(c * 128, 128), 128)]
+        dma = pltpu.make_async_copy(
+            stage.at[:, pl.ds(pl.multiple_of(src_col, 128), 128)], dst, sem
+        )
+        dma.start()
+        dma.wait()
+
+    # Typical blocks close 0-2 chunks (~218 runs/block on the bench cloud):
+    # one branch with two clamped flushes covers them; a second, rarely
+    # taken branch catches blocks that closed more (up to B/128 = 8).
+    # Chunks at/past max_chunks are output overflow: never written (the
+    # clamp below keeps repeats within the already-closed range).
+    @pl.when((nflush > 0) & (base_chunk < max_chunks))
+    def _flush_common():
+        last = jnp.minimum(base_chunk + nflush - 1, max_chunks - 1)
+        _flush_chunk(jnp.minimum(base_chunk, last))
+        _flush_chunk(jnp.minimum(base_chunk + 1, last))
+
+    @pl.when((nflush > 2) & (base_chunk + 2 < max_chunks))
+    def _flush_catchup():
+        last = jnp.minimum(base_chunk + nflush - 1, max_chunks - 1)
+        for f in range(2, STAGE_CHUNKS):
+            _flush_chunk(jnp.minimum(base_chunk + f, last))
 
     # zero the flushed ring columns so the next wrap accumulates cleanly
     lane_s = jax.lax.broadcasted_iota(jnp.int32, (NCH, STAGE_W), 1)
@@ -216,13 +254,7 @@ def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
     @pl.when(is_last_block & (base_chunk + nflush < max_chunks))
     def _finalize_flush():
         # the final partial chunk: columns closed_chunks*128 .. wp_new
-        src_col = ((base_chunk + nflush) % STAGE_CHUNKS) * 128
-        dst = out_ref.at[:, pl.ds(pl.multiple_of((base_chunk + nflush) * 128, 128), 128)]
-        dma = pltpu.make_async_copy(
-            stage.at[:, pl.ds(pl.multiple_of(src_col, 128), 128)], dst, sem
-        )
-        dma.start()
-        dma.wait()
+        _flush_chunk(base_chunk + nflush)
 
     @pl.when(is_last_block)
     def _finalize_count():
@@ -288,7 +320,7 @@ def _segment_reduce_call(smk, sfr, srgba, count, *, out_capacity: int, interpret
             ),
             scratch_shapes=[
                 pltpu.VMEM((NCH, STAGE_W), jnp.float32),
-                pltpu.VMEM((B, B), jnp.bfloat16),
+                pltpu.VMEM((QUARTER, QUARTER), jnp.bfloat16),
                 pltpu.SMEM((3,), jnp.int32),
                 pltpu.SemaphoreType.DMA,
             ],

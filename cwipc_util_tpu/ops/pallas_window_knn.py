@@ -4,13 +4,17 @@ The window-kNN outlier stage (ops/outliers.py `window` method) in XLA
 materializes a [2W, CAP] distance matrix in HBM and sorts it.  This kernel
 fuses the whole stage block-wise in VMEM:
 
-* each grid step DMAs one row block plus a 128-lane-aligned halo from HBM
-  (coordinates live as a [3, cap] transposed layout so the lane dimension
-  is the point axis — Mosaic requires 128-aligned slice shapes),
+* the cloud is split into two halves that ride in sublane rows 0-2 and 4-6
+  of one [8, lanes] f32 tile, so every VPU op processes TWO point blocks —
+  an f32 tile has 8 sublanes and xyz only needs 3, so the unpacked form
+  wasted 5/8 of each distance op.  The halves' halos carry the REAL seam
+  neighbors (the other half's edge points), so results are identical to
+  the unsplit order;
+* each grid step DMAs one row block plus a 128-lane-aligned halo from HBM,
 * the 2W shifted squared distances live as register/VMEM values,
-* the k smallest are selected by iterative min-extraction (k VPU sweeps
-  over a [2W, B] tile — cheaper than a sort for k<=2W),
-* one [B] result row is written back.
+* the k smallest are selected on packed (distance | lane) keys — either by
+  dropping the (2W-k) largest (k close to 2W) or by count-bisection,
+* one [2, BLOCK] result row pair is written back.
 
 HBM traffic is one read of xyz plus one write of md — the minimum possible
 — versus read+write of the [2W, CAP] matrix (~2W/3 x more) for the XLA
@@ -33,9 +37,12 @@ BLOCK = 2048
 HALO = 64  # half of the 128-lane alignment unit, >= max supported window
 
 
-def _window_knn_kernel(count_ref, xyz_hbm, md_ref, xyz_vmem, sem, *, window: int, k: int):
-    # xyz_hbm is [8, HALO + cap + HALO] (zero-padded; rows 3..7 are
-    # zero so they add nothing to the distances), so the slice
+def _window_knn_kernel(count_ref, xyz_hbm, md_ref, xyz_vmem, sem,
+                       *, window: int, k: int, half: int):
+    # xyz_hbm is [8, HALO + half + HALO]: rows 0-2 hold the first half of
+    # the cloud, rows 4-6 the second half, each flanked by the true
+    # neighboring points across the half boundary (zeros at the cloud
+    # ends).  Rows 3 and 7 are zero.  The slice
     # [block_start, block_start + BLOCK + 2*HALO) is always in bounds,
     # 128-aligned, and the block's point 0 sits at lane HALO.
     i = pl.program_id(0)
@@ -50,21 +57,30 @@ def _window_knn_kernel(count_ref, xyz_hbm, md_ref, xyz_vmem, sem, *, window: int
     dma.start()
     dma.wait()
 
-    base = xyz_vmem[:, pl.ds(HALO, BLOCK)]  # [3, B]
-    row_ids = block_start + jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)[0]
+    base = xyz_vmem[:, pl.ds(HALO, BLOCK)]  # [8, B]: two halves stacked
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+    ids_a = block_start + iota  # global ids, first half
+    ids_b = half + block_start + iota  # global ids, second half
 
-    # 2W shifted squared distances, stacked [2W, B].
-    d2_list = []
+    # 2W shifted squared distances for BOTH halves per VPU pass.
+    d2a_list, d2b_list = [], []
     for w in range(-window, window + 1):
         if w == 0:
             continue
         nb = xyz_vmem[:, pl.ds(HALO + w, BLOCK)]
         diff = base - nb
-        d2 = jnp.sum(diff * diff, axis=0)  # [B]
-        nb_global = row_ids + w
-        ok = (nb_global >= 0) & (nb_global < count)
-        d2_list.append(jnp.where(ok, d2, _F32_MAX))
-    d2 = jnp.stack(d2_list, axis=0)  # [2W, B]
+        dd = diff * diff  # [8, B]
+        d2a = dd[0:1] + dd[1:2] + dd[2:3]  # [1, B]
+        d2b = dd[4:5] + dd[5:6] + dd[6:7]
+        ok_a = (ids_a + w >= 0) & (ids_a + w < count)
+        ok_b = (ids_b + w >= 0) & (ids_b + w < count)
+        d2a_list.append(jnp.where(ok_a, d2a, _F32_MAX))
+        d2b_list.append(jnp.where(ok_b, d2b, _F32_MAX))
+    # candidates for 2*BLOCK points: halves side by side in the lanes
+    d2 = jnp.concatenate(
+        [jnp.concatenate(d2a_list, axis=0), jnp.concatenate(d2b_list, axis=0)],
+        axis=1,
+    )  # [2W, 2B]
 
     # Exact k-smallest selection on packed keys.  The row index is packed
     # into the 6 low mantissa bits of the squared distance (bitcast of a
@@ -92,8 +108,8 @@ def _window_knn_kernel(count_ref, xyz_hbm, md_ref, xyz_vmem, sem, *, window: int
             kk = jnp.where(hit, jnp.iinfo(jnp.int32).min, kk)
     else:
         # general k: count-bisection for the k-th smallest key
-        lo = jnp.zeros((BLOCK,), jnp.int32)
-        hi = jnp.full((BLOCK,), jnp.iinfo(jnp.int32).max, jnp.int32)
+        lo = jnp.zeros((2 * BLOCK,), jnp.int32)
+        hi = jnp.full((2 * BLOCK,), jnp.iinfo(jnp.int32).max, jnp.int32)
         for _ in range(31):
             mid = lo + ((hi - lo) >> 1)
             cnt = jnp.sum((key <= mid[None, :]).astype(jnp.int32), axis=0)
@@ -105,11 +121,12 @@ def _window_knn_kernel(count_ref, xyz_hbm, md_ref, xyz_vmem, sem, *, window: int
     contrib = jnp.where(
         sel & (d2t < _F32_MAX / 2), jnp.sqrt(jnp.maximum(d2t, 0.0)), 0.0
     )
-    total = jnp.sum(contrib, axis=0)
+    total = jnp.sum(contrib, axis=0, keepdims=True)  # [1, 2B]
 
     md = total / float(k)
-    md = jnp.where(row_ids < count, md, 0.0)
-    md_ref[:] = md
+    md_a = jnp.where(ids_a < count, md[:, :BLOCK], 0.0)
+    md_b = jnp.where(ids_b < count, md[:, BLOCK:], 0.0)
+    md_ref[:, :] = jnp.concatenate([md_a, md_b], axis=0)
 
 
 @partial(jax.jit, static_argnames=("k", "window"))
@@ -121,9 +138,9 @@ def window_knn_mean_distance(
     `_mean_knn_dist_window` (same semantics, same approximation)."""
     cap = xyz.shape[0]
     assert window <= HALO, f"window {window} exceeds the kernel halo {HALO}"
-    # Small clouds: pad the point axis to the grid block (padding lanes sit
+    # Small clouds: pad the point axis to two grid blocks (padding lanes sit
     # beyond `count`, so the kernel masks them out of every distance).
-    pad = (-cap) % BLOCK
+    pad = (-cap) % (2 * BLOCK)
     if pad:
         xyz = jnp.concatenate([xyz, jnp.zeros((pad, 3), xyz.dtype)])
     # interpret-vs-compiled is chosen per LOWERING platform so a TPU-hosted
@@ -139,10 +156,17 @@ def window_knn_mean_distance(
 
 def _window_knn_call(xyz, count, *, k: int, window: int, interpret: bool):
     cap = xyz.shape[0]
-    grid = cap // BLOCK
-    # pad coords to 8 rows (f32 sublane tiling) and HALO lanes on each side
-    xyz_t = jnp.pad(xyz.T, ((0, 5), (HALO, HALO)))  # [8, HALO+cap+HALO]
-    kernel = partial(_window_knn_kernel, window=window, k=min(k, 2 * window))
+    half = cap // 2
+    grid = half // BLOCK
+    xyz_t = xyz.T  # [3, cap]
+    zero3 = jnp.zeros((3, HALO), jnp.float32)
+    zero1 = jnp.zeros((1, HALO + half + HALO), jnp.float32)
+    # first half with the second half's first HALO points as right halo;
+    # second half with the first half's last HALO points as left halo
+    row_a = jnp.concatenate([zero3, xyz_t[:, :half], xyz_t[:, half : half + HALO]], axis=1)
+    row_b = jnp.concatenate([xyz_t[:, half - HALO : half], xyz_t[:, half:], zero3], axis=1)
+    packed = jnp.concatenate([row_a, zero1, row_b, zero1], axis=0)  # [8, H+half+H]
+    kernel = partial(_window_knn_kernel, window=window, k=min(k, 2 * window), half=half)
     md = pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -150,12 +174,12 @@ def _window_knn_call(xyz, count, *, k: int, window: int, interpret: bool):
             num_scalar_prefetch=1,
             grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((BLOCK,), lambda i, c: (i,), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((2, BLOCK), lambda i, c: (0, i), memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((8, BLOCK + 2 * HALO), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((cap,), jnp.float32),
-    )(jnp.asarray(count, jnp.int32).reshape(1), xyz_t)
-    return md
+        out_shape=jax.ShapeDtypeStruct((2, half), jnp.float32),
+    )(jnp.asarray(count, jnp.int32).reshape(1), packed)
+    return jnp.concatenate([md[0], md[1]])

@@ -176,3 +176,52 @@ class TestBitonicSortKernel:
             assert int(out[6, s]) == SRB
             assert int(out[7, s]) == np.bitwise_or.reduce(tile[sel])
             assert abs(out[3, s] - r[sel].sum()) < 0.5
+
+
+class TestCompactKernel:
+    @pytest.mark.parametrize("count,frac", [(5000, 0.8), (2048, 1.0), (300, 0.3), (4096, 0.0)])
+    def test_matches_sort_compaction(self, count, frac):
+        """The MXU ring compactor must reproduce the sort-based compaction
+        bit-exactly (order-preserving subset, zeroed tail, same count)."""
+        from cwipc_util_tpu.ops.pallas_compact import compact_pallas
+
+        cap = 1 << 13
+        rng = np.random.default_rng(count)
+        xyz = rng.standard_normal((cap, 3)).astype(np.float32)
+        rgba = rng.integers(0, 1 << 32, cap, dtype=np.uint32)
+        keep = rng.random(cap) < frac
+        keep[count:] = False
+
+        new_xyz, new_rgba, nkept = jax.jit(compact_pallas)(
+            jnp.asarray(xyz), jnp.asarray(rgba), jnp.asarray(keep),
+            jnp.int32(count),
+        )
+        exp_xyz = xyz[keep]
+        exp_rgba = rgba[keep]
+        n = int(nkept)
+        assert n == keep.sum()
+        np.testing.assert_array_equal(np.asarray(new_xyz)[:n], exp_xyz)
+        np.testing.assert_array_equal(np.asarray(new_rgba)[:n], exp_rgba)
+        assert not np.asarray(new_xyz)[n:].any()
+
+    def test_nonfinite_payload_roundtrip(self):
+        """Bitcast 16-bit-half transport must survive inf/nan/-0.0 payloads."""
+        from cwipc_util_tpu.ops.pallas_compact import compact_pallas
+
+        cap = 1 << 10
+        xyz = np.zeros((cap, 3), np.float32)
+        xyz[0] = [np.inf, -np.inf, np.nan]
+        xyz[1] = [-0.0, 1e-42, 3.4e38]  # subnormal + near-max
+        rgba = np.arange(cap, dtype=np.uint32)
+        keep = np.zeros(cap, bool)
+        keep[:4] = True
+        new_xyz, new_rgba, nkept = jax.jit(compact_pallas)(
+            jnp.asarray(xyz), jnp.asarray(rgba), jnp.asarray(keep),
+            jnp.int32(cap),
+        )
+        got = np.asarray(new_xyz)
+        assert int(nkept) == 4
+        np.testing.assert_array_equal(
+            got[:2].view(np.uint32), xyz[:2].view(np.uint32)
+        )
+        np.testing.assert_array_equal(np.asarray(new_rgba)[:4], rgba[:4])
