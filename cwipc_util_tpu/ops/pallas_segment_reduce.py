@@ -185,6 +185,11 @@ def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
     for q in range(nq - 1):
         tbs.append(tbs[-1] + pres[q][0, QUARTER - 1])
 
+    # The membership one-hot needs the prefix on the SUBLANE axis: the
+    # [1,Q]->[Q,1] reshape is a lane->sublane relayout that the strip-down
+    # probe put at ~0.24 ms/1M total — but batching all four into one
+    # [nq,Q]->[Q,nq] transpose measured WORSE (1.43 vs 1.37 ms), so the
+    # per-quarter reshape stays.
     col_iota_q = jax.lax.broadcasted_iota(jnp.int32, (QUARTER, Q_W), 1)
     for q in range(nq):
         ch_q = ch[:, q * QUARTER : (q + 1) * QUARTER]

@@ -438,3 +438,29 @@ def test_viewsynthetic_app():
                        text=True, timeout=60)
     assert r.returncode == 0, r.stderr[-500:]
     assert "displayed 2 frames" in r.stdout
+
+
+def test_pcl2dump_app(tmp_path):
+    """cwipc_pcl2dump reads a .ply with its own (PCL-analog) reader and
+    converts via the public ABI (reference: apps/cwipc_pcl2dump)."""
+    build = NATIVE_DIR / "build"
+    gen = subprocess.run([str(build / "cwipc_generate"), "1", str(tmp_path)],
+                         capture_output=True, text=True, timeout=60)
+    assert gen.returncode == 0, gen.stderr[-300:]
+    ply = gen.stdout.strip().splitlines()[-1]
+    dump = str(tmp_path / "out.cwipcdump")
+    r = subprocess.run([str(build / "cwipc_pcl2dump"), ply, dump],
+                       capture_output=True, text=True, timeout=60)
+    assert r.returncode == 0, r.stderr[-300:]
+    assert "160000 points" in r.stderr
+    # the dump must read back identically through the Python layer
+    import cwipc_util_tpu as cwipc
+
+    pc = cwipc.cwipc_read_debugdump(dump)
+    assert pc.count() == 160000
+    pc.free()
+    # "-" performance mode skips the save
+    r = subprocess.run([str(build / "cwipc_pcl2dump"), ply, "-"],
+                       capture_output=True, text=True, timeout=60)
+    assert r.returncode == 0
+    assert "Skipping save" in r.stderr
