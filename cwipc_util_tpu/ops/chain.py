@@ -52,24 +52,33 @@ def downsample_outliers_tilefilter(
     at 262k points, k=30) because k=30-of-32 selection is two max-drops
     instead of a 31-step bisection.
     """
-    down = voxelize.downsample(buf, cellsize, out_capacity=out_capacity)
+    # The whole post-sort pipeline stays CHANNEL-MAJOR: the segment reduce
+    # produces coordinate rows, the window-kNN and ring-compaction kernels
+    # consume rows — the [N,3] form is materialized exactly once, at the
+    # output (the row-major intermediate cost two 262k relayouts per frame).
+    ocap = buf.capacity if out_capacity is None else out_capacity
+    x, y, z, rgba, cnt = voxelize.downsample_cm(buf, cellsize, ocap)
     # Fuse the outlier keep-mask with the tile selection: one compaction
-    # pass instead of two (each costs a payload sort).  On TPU the window
-    # kNN runs as the fused Pallas kernel (1.8ms vs 3.2ms for the XLA
-    # formulation at 262k points); CPU computations get the XLA path
-    # (interpret-mode Pallas would be much slower).  Dispatch keys on the
-    # LOWERING platform, not jax.devices()[0], so CPU-mesh computations in
-    # a TPU-hosted process select correctly.
-    from .pallas_window_knn import window_knn_mean_distance
+    # pass instead of two.  On TPU the window kNN runs as the fused Pallas
+    # kernel; CPU computations get the XLA path (interpret-mode Pallas
+    # would be much slower).  Dispatch keys on the LOWERING platform, not
+    # jax.devices()[0], so CPU-mesh computations in a TPU-hosted process
+    # select correctly.
+    from .pallas_window_knn import window_knn_mean_distance_cm
+
+    def _md_xla(x, y, z, cnt):
+        return outliers._mean_knn_dist_window(
+            jnp.stack([x, y, z], axis=-1), cnt, k=k, window=window
+        )
 
     md = jax.lax.platform_dependent(
-        down.xyz,
-        down.count,
-        cpu=partial(outliers._mean_knn_dist_window, k=k, window=window),
-        default=partial(window_knn_mean_distance, k=k, window=window),
+        x, y, z, cnt,
+        cpu=_md_xla,
+        default=partial(window_knn_mean_distance_cm, k=k, window=window),
     )
-    keep = outliers._keep_from_mean_dists(md, down.valid_mask(), mult)
-    point_tile = (down.rgba >> 24) & 0xFF
+    valid = jnp.arange(ocap, dtype=jnp.int32) < cnt
+    keep = outliers._keep_from_mean_dists(md, valid, mult)
+    point_tile = (rgba >> 24) & 0xFF
     tile = jnp.asarray(tile, jnp.uint32)
     keep = keep & ((tile == 0) | (point_tile == tile))
-    return compaction.compact(down, keep)
+    return compaction.compact_cm(x, y, z, rgba, keep, cnt)

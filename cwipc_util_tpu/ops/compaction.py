@@ -89,6 +89,52 @@ def compact(buf: PointBuffer, keep: jax.Array) -> PointBuffer:
     return PointBuffer(xyz=new_xyz, rgba=new_rgba, count=new_count)
 
 
+def compact_cm(x, y, z, rgba, keep, count) -> PointBuffer:
+    """Channel-major compaction (coordinate rows in): the fused chain's
+    form — the [N,3] output is materialized exactly once, here."""
+    cap = x.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    keep = jnp.logical_and(keep, idx < count)
+
+    def _sort_cm(x, y, z, rgba, keep, count):
+        dropped = (~keep).astype(jnp.int32)
+        payload = (
+            jax.lax.bitcast_convert_type(x, jnp.int32),
+            jax.lax.bitcast_convert_type(y, jnp.int32),
+            jax.lax.bitcast_convert_type(z, jnp.int32),
+            rgba.astype(jnp.int32),
+        )
+        if cap <= (1 << 30):
+            sorted_ops = jax.lax.sort((dropped * cap + idx,) + payload, num_keys=1)
+            sxi, syi, szi, srgba = sorted_ops[1:]
+        else:
+            sorted_ops = jax.lax.sort((dropped, idx) + payload, num_keys=2)
+            sxi, syi, szi, srgba = sorted_ops[2:]
+        return (
+            jax.lax.bitcast_convert_type(sxi, jnp.float32),
+            jax.lax.bitcast_convert_type(syi, jnp.float32),
+            jax.lax.bitcast_convert_type(szi, jnp.float32),
+            srgba.astype(jnp.uint32),
+        )
+
+    def _ring_cm(x, y, z, rgba, keep, count):
+        from .pallas_compact import compact_pallas_cm
+
+        cx, cy, cz, crgba, _ = compact_pallas_cm(x, y, z, rgba, keep, count)
+        return cx, cy, cz, crgba
+
+    cx, cy, cz, crgba = jax.lax.platform_dependent(
+        x, y, z, rgba, keep, count, cpu=_sort_cm, default=_ring_cm
+    )
+    new_count = keep.sum(dtype=jnp.int32)
+    out_valid = idx < new_count
+    new_xyz = jnp.where(
+        out_valid[:, None], jnp.stack([cx, cy, cz], axis=-1), 0.0
+    )
+    new_rgba = jnp.where(out_valid, crgba, 0)
+    return PointBuffer(xyz=new_xyz, rgba=new_rgba, count=new_count)
+
+
 @jax.jit
 def tilefilter(buf: PointBuffer, tile: jax.Array) -> PointBuffer:
     """Select points with tile == tile, or all points when tile == 0."""

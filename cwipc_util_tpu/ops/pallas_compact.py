@@ -169,23 +169,23 @@ def _kernel(count_ref, xi_ref, yi_ref, zi_ref, rgba_ref, keep_ref,
 
 
 @partial(jax.jit, static_argnames=())
-def compact_pallas(xyz, rgba, keep, count):
-    """Order-preserving compaction of kept points (TPU MXU-ring kernel).
+def compact_pallas_cm(x, y, z, rgba, keep, count):
+    """Channel-major compaction: coordinate rows in, rows out.
 
-    Returns (xyz', rgba' (uint32), kept_count).  Capacity is preserved;
-    slots past the kept count are zero.
+    Returns (x', y', z', rgba' (uint32), kept_count).  Capacity is
+    preserved; slots past the kept count are zero.
     """
-    cap = xyz.shape[0]
+    cap = x.shape[0]
     pad = (-cap) % B
-    xi = jax.lax.bitcast_convert_type(xyz[:, 0], jnp.int32)
-    yi = jax.lax.bitcast_convert_type(xyz[:, 1], jnp.int32)
-    zi = jax.lax.bitcast_convert_type(xyz[:, 2], jnp.int32)
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    yi = jax.lax.bitcast_convert_type(y, jnp.int32)
+    zi = jax.lax.bitcast_convert_type(z, jnp.int32)
     rgbai = rgba.astype(jnp.int32)
     keepi = keep.astype(jnp.int32)
     if pad:
-        z = jnp.zeros((pad,), jnp.int32)
+        zp = jnp.zeros((pad,), jnp.int32)
         xi, yi, zi, rgbai, keepi = (
-            jnp.concatenate([a, z]) for a in (xi, yi, zi, rgbai, keepi)
+            jnp.concatenate([a, zp]) for a in (xi, yi, zi, rgbai, keepi)
         )
     out, nkept = jax.lax.platform_dependent(
         xi, yi, zi, rgbai, keepi, count,
@@ -196,11 +196,24 @@ def compact_pallas(xyz, rgba, keep, count):
         return (hi.astype(jnp.int32) << 16) | lo.astype(jnp.int32)
 
     out = out[:, :cap]
-    x = jax.lax.bitcast_convert_type(recomb(out[0], out[1]), jnp.float32)
-    y = jax.lax.bitcast_convert_type(recomb(out[2], out[3]), jnp.float32)
-    z = jax.lax.bitcast_convert_type(recomb(out[4], out[5]), jnp.float32)
+    cx = jax.lax.bitcast_convert_type(recomb(out[0], out[1]), jnp.float32)
+    cy = jax.lax.bitcast_convert_type(recomb(out[2], out[3]), jnp.float32)
+    cz = jax.lax.bitcast_convert_type(recomb(out[4], out[5]), jnp.float32)
     new_rgba = recomb(out[6], out[7]).astype(jnp.uint32)
-    return jnp.stack([x, y, z], axis=-1), new_rgba, nkept
+    return cx, cy, cz, new_rgba, nkept
+
+
+@partial(jax.jit, static_argnames=())
+def compact_pallas(xyz, rgba, keep, count):
+    """Order-preserving compaction of kept points (TPU MXU-ring kernel).
+
+    Returns (xyz', rgba' (uint32), kept_count).  Capacity is preserved;
+    slots past the kept count are zero.
+    """
+    cx, cy, cz, new_rgba, nkept = compact_pallas_cm(
+        xyz[:, 0], xyz[:, 1], xyz[:, 2], rgba, keep, count
+    )
+    return jnp.stack([cx, cy, cz], axis=-1), new_rgba, nkept
 
 
 def _compact_call(xi, yi, zi, rgbai, keepi, count, *, out_capacity: int,

@@ -136,17 +136,36 @@ def window_knn_mean_distance(
     """Per-point mean distance to the k nearest among the +/-window Morton
     neighbors, as one fused Pallas kernel.  Drop-in for the XLA
     `_mean_knn_dist_window` (same semantics, same approximation)."""
-    cap = xyz.shape[0]
+    return window_knn_mean_distance_cm(
+        xyz[:, 0], xyz[:, 1], xyz[:, 2], count, k, window
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "window"))
+def window_knn_mean_distance_cm(
+    x: jax.Array, y: jax.Array, z: jax.Array, count: jax.Array, k: int,
+    window: int = 32,
+) -> jax.Array:
+    """Channel-major entry: coordinate ROWS instead of an [N,3] matrix.
+    The fused chain keeps the whole post-sort pipeline channel-major (the
+    segment reduce produces rows) — the row-major entry's xyz.T was a
+    262k-point relayout the chain paid twice."""
+    cap = x.shape[0]
     assert window <= HALO, f"window {window} exceeds the kernel halo {HALO}"
     # Small clouds: pad the point axis to two grid blocks (padding lanes sit
     # beyond `count`, so the kernel masks them out of every distance).
     pad = (-cap) % (2 * BLOCK)
     if pad:
-        xyz = jnp.concatenate([xyz, jnp.zeros((pad, 3), xyz.dtype)])
+        zpad = jnp.zeros((pad,), x.dtype)
+        x = jnp.concatenate([x, zpad])
+        y = jnp.concatenate([y, zpad])
+        z = jnp.concatenate([z, zpad])
     # interpret-vs-compiled is chosen per LOWERING platform so a TPU-hosted
     # process running CPU-mesh computations gets the right kernel for each.
     md = jax.lax.platform_dependent(
-        xyz,
+        x,
+        y,
+        z,
         count,
         cpu=partial(_window_knn_call, k=k, window=window, interpret=True),
         default=partial(_window_knn_call, k=k, window=window, interpret=False),
@@ -154,11 +173,11 @@ def window_knn_mean_distance(
     return md[:cap]
 
 
-def _window_knn_call(xyz, count, *, k: int, window: int, interpret: bool):
-    cap = xyz.shape[0]
+def _window_knn_call(x, y, z, count, *, k: int, window: int, interpret: bool):
+    cap = x.shape[0]
     half = cap // 2
     grid = half // BLOCK
-    xyz_t = xyz.T  # [3, cap]
+    xyz_t = jnp.stack([x, y, z])  # [3, cap]: three row copies, no transpose
     zero3 = jnp.zeros((3, HALO), jnp.float32)
     zero1 = jnp.zeros((1, HALO + half + HALO), jnp.float32)
     # first half with the second half's first HALO points as right halo;

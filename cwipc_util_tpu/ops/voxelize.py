@@ -93,8 +93,13 @@ def morton3(vx: jax.Array, vy: jax.Array, vz: jax.Array) -> jax.Array:
 
 
 
-def _reduce_runs_pallas(smk, sfr, srgba, count, vmin_safe, cell, *, ocap):
-    """Fused Pallas reduction of the sorted voxel runs (TPU path)."""
+def _reduce_runs_pallas_cm(smk, sfr, srgba, count, vmin_safe, cell, *, ocap):
+    """Fused Pallas reduction of the sorted voxel runs (TPU path).
+
+    Returns CHANNEL-MAJOR rows (x, y, z, rgba, count): the kernel output is
+    channel-major already, and the downstream window-kNN/compaction kernels
+    consume rows — materializing [N,3] here and transposing back in the kNN
+    wrapper costs two 262k-point relayouts for nothing."""
     from .pallas_segment_reduce import segment_reduce_sorted
 
     out16, nseg = segment_reduce_sorted(smk, sfr, srgba, count, out_capacity=ocap)
@@ -104,24 +109,30 @@ def _reduce_runs_pallas(smk, sfr, srgba, count, vmin_safe, cell, *, ocap):
     vx = _unpart1by2(key) + vmin_safe[0]
     vy = _unpart1by2(key >> 1) + vmin_safe[1]
     vz = _unpart1by2(key >> 2) + vmin_safe[2]
-    mean_xyz = jnp.stack(
-        [
-            (vx.astype(jnp.float32) + out16[0] / denom) * cell,
-            (vy.astype(jnp.float32) + out16[1] / denom) * cell,
-            (vz.astype(jnp.float32) + out16[2] / denom) * cell,
-        ],
-        axis=-1,
-    )
+    mx = (vx.astype(jnp.float32) + out16[0] / denom) * cell
+    my = (vy.astype(jnp.float32) + out16[1] / denom) * cell
+    mz = (vz.astype(jnp.float32) + out16[2] / denom) * cell
     mean_rgb = (out16[3:6] / denom[None, :]).astype(jnp.uint32)
     out_tile = out16[7].astype(jnp.uint32)
 
     out_count = jnp.minimum(nseg, ocap)
     out_valid = jnp.arange(ocap, dtype=jnp.int32) < out_count
-    out_xyz = jnp.where(out_valid[:, None], mean_xyz, 0.0)
+    mx = jnp.where(out_valid, mx, 0.0)
+    my = jnp.where(out_valid, my, 0.0)
+    mz = jnp.where(out_valid, mz, 0.0)
     out_rgba = jnp.where(
         out_valid, pack_rgba(mean_rgb[0], mean_rgb[1], mean_rgb[2], out_tile), 0
     )
-    return PointBuffer(xyz=out_xyz, rgba=out_rgba, count=out_count)
+    return mx, my, mz, out_rgba, out_count
+
+
+def _reduce_runs_pallas(smk, sfr, srgba, count, vmin_safe, cell, *, ocap):
+    mx, my, mz, rgba, out_count = _reduce_runs_pallas_cm(
+        smk, sfr, srgba, count, vmin_safe, cell, ocap=ocap
+    )
+    return PointBuffer(
+        xyz=jnp.stack([mx, my, mz], axis=-1), rgba=rgba, count=out_count
+    )
 
 
 def _reduce_segments_xla(new_seg, sx, sy, sz, srgba, count, *, ocap):
@@ -180,6 +191,12 @@ def _reduce_segments_xla(new_seg, sx, sy, sz, srgba, count, *, ocap):
         0,
     )
     return PointBuffer(xyz=out_xyz, rgba=out_rgba, count=out_count)
+
+
+def _reduce_runs_xla_cm(smk, sfr, srgba, count, vmin_safe, cell, *, ocap):
+    """Channel-major wrapper of the XLA run reduction (CPU path)."""
+    pb = _reduce_runs_xla(smk, sfr, srgba, count, vmin_safe, cell, ocap=ocap)
+    return pb.xyz[:, 0], pb.xyz[:, 1], pb.xyz[:, 2], pb.rgba, pb.count
 
 
 def _reduce_runs_xla(smk, sfr, srgba, count, vmin_safe, cell, *, ocap):
@@ -272,36 +289,67 @@ def downsample(
         )
         return _reduce_segments_xla(new_seg, sx, sy, sz, srgba, buf.count, ocap=ocap)
     else:
-        # Fast path: the absolute voxel coordinate is reconstructible from
-        # the Morton key (+ vmin), so the sort payload only needs the
-        # IN-VOXEL offset — quantized to 10 bits per axis and packed into a
-        # single int32 (error <= cellsize/1024, far below fp32 noise at
-        # realistic scales).  3 sort operands instead of 5.
-        frac = buf.xyz * inv - v.astype(jnp.float32)
-        q = jnp.clip((frac * 1024.0).astype(jnp.int32), 0, 1023)
-        fracs = (q[:, 0] << 20) | (q[:, 1] << 10) | q[:, 2]
-        smk, sfr, srgba = jax.lax.sort(
-            (mkey, fracs, buf.rgba.astype(jnp.int32)), num_keys=1
+        mx, my, mz, rgba, cnt = _downsample_fast_cm(
+            buf, cellsize, ocap, idx, valid, inv, v, vmin, mkey
         )
-        vmin_safe = jnp.where(vmin == _SENTINEL, 0, vmin)
-        cell = jnp.asarray(cellsize, jnp.float32)
-        if _FORCE_XLA_REDUCE:
-            return _reduce_runs_xla(
-                smk, sfr, srgba, buf.count, vmin_safe, cell, ocap=ocap
-            )
-        # Per-LOWERING-platform dispatch: on TPU the fused Pallas
-        # segmented-reduce consumes the sorted runs in one pass (2.3ms at
-        # 1M vs ~4-5ms for the XLA boundary/cumsum/segment_sum pipeline);
-        # CPU computations get the XLA path.  Dispatching on
-        # jax.devices()[0] instead would pick the TPU kernel for CPU-mesh
-        # computations in a TPU-hosted process (the driver's dryrun).
-        return jax.lax.platform_dependent(
-            smk,
-            sfr,
-            srgba,
-            buf.count,
-            vmin_safe,
-            cell,
-            cpu=partial(_reduce_runs_xla, ocap=ocap),
-            default=partial(_reduce_runs_pallas, ocap=ocap),
+        return PointBuffer(
+            xyz=jnp.stack([mx, my, mz], axis=-1), rgba=rgba, count=cnt
         )
+
+
+def _downsample_fast_cm(buf, cellsize, ocap, idx, valid, inv, v, vmin, mkey):
+    """Fast-path tail, CHANNEL-MAJOR result (x, y, z, rgba, count rows).
+
+    The absolute voxel coordinate is reconstructible from the Morton key
+    (+ vmin), so the sort payload only needs the IN-VOXEL offset —
+    quantized to 10 bits per axis and packed into a single int32 (error <=
+    cellsize/1024, far below fp32 noise at realistic scales).  3 sort
+    operands instead of 5.
+    """
+    frac = buf.xyz * inv - v.astype(jnp.float32)
+    q = jnp.clip((frac * 1024.0).astype(jnp.int32), 0, 1023)
+    fracs = (q[:, 0] << 20) | (q[:, 1] << 10) | q[:, 2]
+    smk, sfr, srgba = jax.lax.sort(
+        (mkey, fracs, buf.rgba.astype(jnp.int32)), num_keys=1
+    )
+    vmin_safe = jnp.where(vmin == _SENTINEL, 0, vmin)
+    cell = jnp.asarray(cellsize, jnp.float32)
+    if _FORCE_XLA_REDUCE:
+        return _reduce_runs_xla_cm(
+            smk, sfr, srgba, buf.count, vmin_safe, cell, ocap=ocap
+        )
+    # Per-LOWERING-platform dispatch: on TPU the fused Pallas
+    # segmented-reduce consumes the sorted runs in one pass; CPU
+    # computations get the XLA path.  Dispatching on jax.devices()[0]
+    # instead would pick the TPU kernel for CPU-mesh computations in a
+    # TPU-hosted process (the driver's dryrun).
+    return jax.lax.platform_dependent(
+        smk,
+        sfr,
+        srgba,
+        buf.count,
+        vmin_safe,
+        cell,
+        cpu=partial(_reduce_runs_xla_cm, ocap=ocap),
+        default=partial(_reduce_runs_pallas_cm, ocap=ocap),
+    )
+
+
+def downsample_cm(buf: PointBuffer, cellsize, out_capacity: int):
+    """Channel-major fast-path downsample for the fused chain: returns
+    (x, y, z, rgba, count) rows, skipping the [N,3] materialization that
+    the chain's window-kNN/compaction stages would immediately undo."""
+    cap = buf.capacity
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    valid = idx < buf.count
+    inv = 1.0 / jnp.asarray(cellsize, jnp.float32)
+    v = jnp.floor(buf.xyz * inv).astype(jnp.int32)
+    v = jnp.clip(v, -_CLAMP, _CLAMP)
+    vmin = jnp.min(jnp.where(valid[:, None], v, _SENTINEL), axis=0)
+    vr = v - jnp.where(vmin == _SENTINEL, 0, vmin)[None, :]
+    vm = jnp.clip(vr, 0, _MORTON_MAX)
+    mkey = morton3(vm[:, 0], vm[:, 1], vm[:, 2])
+    mkey = jnp.where(valid, mkey, _SENTINEL)
+    return _downsample_fast_cm(
+        buf, cellsize, out_capacity, idx, valid, inv, v, vmin, mkey
+    )
