@@ -107,6 +107,31 @@ def stage_sort(nops):
     return timeit(body, args_fn, f"sort {nops}-op 1M")
 
 
+def stage_sortc64():
+    """2-operand sort where the payload is ONE complex64 (2 x f32-bitcast
+    words — x32-mode-safe 8-byte payload): payloads are never compared
+    with num_keys=1, so arbitrary bit patterns are fine.  If XLA prices
+    sort operands above payload bytes, this beats the 3-op form."""
+
+    def args_fn():
+        rng = np.random.default_rng(0)
+        key = jnp.asarray(rng.integers(0, 1 << 30, CAP, dtype=np.int32))
+        p1 = jnp.asarray(rng.integers(0, 1 << 30, CAP, dtype=np.int32))
+        p2 = jnp.asarray(rng.integers(0, 1 << 30, CAP, dtype=np.int32))
+        return key, p1, p2
+
+    def body(seed, key, p1, p2):
+        pc = jax.lax.complex(
+            jax.lax.bitcast_convert_type(p1, jnp.float32),
+            jax.lax.bitcast_convert_type(p2, jnp.float32),
+        )
+        out = jax.lax.sort((key + seed, pc), num_keys=1)
+        back = jax.lax.bitcast_convert_type(jnp.real(out[1]), jnp.int32)
+        return out[0][0].astype(jnp.float32) + back[0].astype(jnp.float32)
+
+    return timeit(body, args_fn, "sort key+c64payload 1M")
+
+
 def stage_segreduce():
     from cwipc_util_tpu.ops.pallas_segment_reduce import segment_reduce_sorted
 
@@ -198,6 +223,7 @@ STAGES = {
     "sort3": lambda: stage_sort(3),
     "sort2": lambda: stage_sort(2),
     "sort1": lambda: stage_sort(1),
+    "sortc64": stage_sortc64,
     "segreduce": stage_segreduce,
     "knn": stage_knn,
     "knn16": lambda: stage_knn(16),
