@@ -219,6 +219,91 @@ def stage_chain():
     return timeit(body, args_fn, "full chain 1M")
 
 
+def stage_chain_strip(level):
+    """In-chain strip-down: the chain with later stages removed.
+    Levels: ds (downsample only), knn (+window kNN), full."""
+    from functools import partial as _partial
+
+    from cwipc_util_tpu.core.buffers import PointBuffer
+    from cwipc_util_tpu.models.synthetic import _generate
+    from cwipc_util_tpu.ops import compaction, outliers, voxelize
+    from cwipc_util_tpu.ops.pallas_window_knn import window_knn_mean_distance_cm
+
+    buf = _generate(1000, 1000, CAP, jnp.float32(0.5))
+    cellsize = jnp.float32(2.0 / 1000 * 2.0)
+
+    def args_fn():
+        return buf.xyz, buf.rgba, buf.count
+
+    def body(seed, xyz, rgba, count):
+        eps = seed.astype(jnp.float32) * 1e-12
+        bi = PointBuffer(xyz=xyz + eps, rgba=rgba, count=count)
+        x, y, z, prgba, cnt = voxelize.downsample_cm(bi, cellsize, OCAP)
+        if level == "ds":
+            return x.sum() + prgba.sum().astype(jnp.float32) + cnt.astype(jnp.float32)
+        md = jax.lax.platform_dependent(
+            x, y, z, cnt,
+            cpu=lambda a, b, c, d: a * 0.0,
+            default=_partial(window_knn_mean_distance_cm, k=30, window=16),
+        )
+        if level == "knn":
+            return md.sum() + cnt.astype(jnp.float32)
+        valid = jnp.arange(OCAP, dtype=jnp.int32) < cnt
+        keep = outliers._keep_from_mean_dists(md, valid, jnp.float32(1.0))
+        keep = keep & (((prgba >> 24) & 0xFF) == 1)
+        out = compaction.compact_cm(x, y, z, prgba, keep, cnt)
+        return out.count.astype(jnp.float32)
+
+    return timeit(body, args_fn, f"chain[{level}] 1M")
+
+
+def stage_chain_pre(transposed=False):
+    """Pre-sort elementwise only: quantize, rebase, morton keys, payload
+    pack (no sort).  `transposed` computes from xyz.T rows instead of the
+    [N,3] layout to expose lane-packing waste."""
+    from cwipc_util_tpu.models.synthetic import _generate
+    from cwipc_util_tpu.ops.voxelize import _CLAMP, _MORTON_MAX, _SENTINEL, morton3
+
+    buf = _generate(1000, 1000, CAP, jnp.float32(0.5))
+    cellsize = jnp.float32(2.0 / 1000 * 2.0)
+
+    def args_fn():
+        return buf.xyz, buf.rgba, buf.count
+
+    def body(seed, xyz, rgba, count):
+        eps = seed.astype(jnp.float32) * 1e-12
+        xyz = xyz + eps
+        idx = jnp.arange(CAP, dtype=jnp.int32)
+        valid = idx < count
+        inv = 1.0 / cellsize
+        if transposed:
+            xt = xyz.T  # [3, N]
+            v = jnp.floor(xt * inv).astype(jnp.int32)
+            v = jnp.clip(v, -_CLAMP, _CLAMP)
+            vmin = jnp.min(jnp.where(valid[None, :], v, _SENTINEL), axis=1)
+            vr = v - jnp.where(vmin == _SENTINEL, 0, vmin)[:, None]
+            vm = jnp.clip(vr, 0, _MORTON_MAX)
+            mkey = morton3(vm[0], vm[1], vm[2])
+            frac = xt * inv - v.astype(jnp.float32)
+            q = jnp.clip((frac * 1024.0).astype(jnp.int32), 0, 1023)
+            fracs = (q[0] << 20) | (q[1] << 10) | q[2]
+        else:
+            v = jnp.floor(xyz * inv).astype(jnp.int32)
+            v = jnp.clip(v, -_CLAMP, _CLAMP)
+            vmin = jnp.min(jnp.where(valid[:, None], v, _SENTINEL), axis=0)
+            vr = v - jnp.where(vmin == _SENTINEL, 0, vmin)[None, :]
+            vm = jnp.clip(vr, 0, _MORTON_MAX)
+            mkey = morton3(vm[:, 0], vm[:, 1], vm[:, 2])
+            frac = xyz * inv - v.astype(jnp.float32)
+            q = jnp.clip((frac * 1024.0).astype(jnp.int32), 0, 1023)
+            fracs = (q[:, 0] << 20) | (q[:, 1] << 10) | q[:, 2]
+        mkey = jnp.where(valid, mkey, _SENTINEL)
+        return mkey.sum().astype(jnp.float32) + fracs.sum().astype(jnp.float32)
+
+    label = "chain_pre.T" if transposed else "chain_pre"
+    return timeit(body, args_fn, f"{label} 1M")
+
+
 STAGES = {
     "sort3": lambda: stage_sort(3),
     "sort2": lambda: stage_sort(2),
@@ -229,6 +314,10 @@ STAGES = {
     "knn16": lambda: stage_knn(16),
     "compact": stage_compact,
     "chain": stage_chain,
+    "chain_ds": lambda: stage_chain_strip("ds"),
+    "chain_pre": lambda: stage_chain_pre(False),
+    "chain_preT": lambda: stage_chain_pre(True),
+    "chain_knn": lambda: stage_chain_strip("knn"),
 }
 
 if __name__ == "__main__":
