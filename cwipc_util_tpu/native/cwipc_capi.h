@@ -56,6 +56,21 @@ struct cwipc_tileinfo {
     uint8_t cameraMask;
 };
 
+/* Skeleton metadata layout (reference: api.h:118-141) — rides in the
+ * metadata collection under the "skeletons" name; layout-compatible with
+ * the k4abt-produced blocks so cross-language consumers parse either. */
+struct cwipc_skeleton_joint {
+    uint32_t confidence;
+    float x, y, z;
+    float q_w, q_x, q_y, q_z;
+};
+
+struct cwipc_skeleton_collection {
+    uint32_t n_skeletons;
+    uint32_t n_joints;
+    struct cwipc_skeleton_joint joints[1];
+};
+
 /* Legacy proxy packet header (24 bytes). */
 struct cwipc_point_packetheader {
     uint32_t magic;

@@ -66,3 +66,96 @@ def sharded_downsample(
         jnp.float32(cellsize),
         jnp.float32(mult),
     )
+
+
+def make_sharded_chain(mesh: Mesh, k: int = 30, window: int = 16):
+    """The HEADLINE chain (downsample -> outlier removal -> tilefilter)
+    sharded along the point axis over the mesh.
+
+    Per shard: a local voxel downsample shrinks the shard ~5x; the (small)
+    partial-voxel sets ride the ICI via ``all_gather``; a global
+    dedup-voxelize merges voxels that straddled shard boundaries; the
+    outlier keep-mask (Morton-window kNN) and tile selection then run on
+    the fused cloud exactly as in the single-chip chain (ops/chain.py).
+    The expensive 1M-point sort+reduce shards N/D per device, which is
+    where the linear multi-chip scaling comes from.  Result is replicated.
+    """
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import compaction, outliers, voxelize
+    from ..ops.pallas_window_knn import window_knn_mean_distance_cm
+    from .fusion import CAMERA_AXIS, shard_map
+
+    def per_device(xyz, rgba, count, cellsize, mult, tile):
+        buf = PointBuffer(xyz=xyz[0], rgba=rgba[0], count=count[0])
+        down = voxelize.downsample(buf, cellsize)
+
+        g_xyz = jax.lax.all_gather(down.xyz, CAMERA_AXIS)  # [D, cap, 3]
+        g_rgba = jax.lax.all_gather(down.rgba, CAMERA_AXIS)
+        g_count = jax.lax.all_gather(down.count, CAMERA_AXIS)
+        d, cap = g_rgba.shape
+        slot = jax.lax.broadcasted_iota(jnp.int32, (d, cap), 1)
+        mask = (slot < g_count[:, None]).reshape(d * cap)
+        merged = compaction.compact(
+            PointBuffer(
+                xyz=g_xyz.reshape(d * cap, 3),
+                rgba=g_rgba.reshape(d * cap),
+                count=jnp.asarray(d * cap, jnp.int32),
+            ),
+            mask,
+        )
+        x, y, z, prgba, cnt = voxelize.downsample_cm(merged, cellsize, d * cap)
+
+        def _md_xla(x, y, z, cnt):
+            return outliers._mean_knn_dist_window(
+                jnp.stack([x, y, z], axis=-1), cnt, k=k, window=window
+            )
+
+        md = jax.lax.platform_dependent(
+            x, y, z, cnt,
+            cpu=_md_xla,
+            default=partial(window_knn_mean_distance_cm, k=k, window=window),
+        )
+        valid = jnp.arange(x.shape[0], dtype=jnp.int32) < cnt
+        keep = outliers._keep_from_mean_dists(md, valid, mult)
+        point_tile = (prgba >> 24) & 0xFF
+        tile = jnp.asarray(tile, jnp.uint32)
+        keep = keep & ((tile == 0) | (point_tile == tile))
+        out = compaction.compact_cm(x, y, z, prgba, keep, cnt)
+        return out.xyz, out.rgba, out.count
+
+    sharded = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(CAMERA_AXIS), P(CAMERA_AXIS), P(CAMERA_AXIS), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(xyz, rgba, counts, cellsize, mult, tile):
+        fx, frgba, fcount = sharded(xyz, rgba, counts, cellsize, mult, tile)
+        return PointBuffer(xyz=fx, rgba=frgba, count=fcount)
+
+    return step
+
+
+def sharded_chain(
+    mesh: Mesh, buf: PointBuffer, cellsize: float, k: int = 30,
+    mult: float = 1.0, tile: int = 0, window: int = 16,
+) -> PointBuffer:
+    """Convenience one-shot sharded headline chain."""
+    n = len(mesh.devices.ravel())
+    xyz, rgba, counts = shard_pointbuffer(buf, n)
+    sh = camera_sharding(mesh)
+    step = make_sharded_chain(mesh, k=k, window=window)
+    return step(
+        jax.device_put(xyz, sh),
+        jax.device_put(rgba, sh),
+        jax.device_put(counts, sh),
+        jnp.float32(cellsize),
+        jnp.float32(mult),
+        jnp.uint32(tile),
+    )

@@ -84,3 +84,45 @@ class TestCameraFusionSemantics:
         for cam in range(d):
             want |= 1 << (cam % 8)
         assert (tiles == want).all(), f"tiles {np.unique(tiles)} != {want:#x}"
+
+
+class TestShardedChain:
+    def test_sharded_chain_matches_single_device(self, mesh):
+        """The point-axis-sharded headline chain must produce the same voxel
+        set and survivor statistics as the single-device fused chain."""
+        import jax.numpy as jnp
+
+        from cwipc_util_tpu.ops.chain import downsample_outliers_tilefilter
+        from cwipc_util_tpu.parallel.pointaxis import sharded_chain
+
+        gen = cwipc.cwipc_synthetic(0, 4000)
+        gen.start()
+        pc = gen.get()
+        gen.stop()
+        cellsize = 0.05
+        buf = pc._access_buffer()
+
+        expected = downsample_outliers_tilefilter(
+            buf, jnp.float32(cellsize), k=8, mult=jnp.float32(2.0),
+            tile=jnp.uint32(1),
+        )
+        got = sharded_chain(mesh, buf, cellsize, k=8, mult=2.0, tile=1)
+
+        n_exp, n_got = int(expected.count), int(got.count)
+        inv = np.float32(1.0) / np.float32(cellsize)
+        exp_keys = {
+            tuple(kk)
+            for kk in np.floor(np.asarray(expected.xyz[:n_exp]) * inv).astype(np.int64)
+        }
+        got_keys = {
+            tuple(kk)
+            for kk in np.floor(np.asarray(got.xyz[:n_got]) * inv).astype(np.int64)
+        }
+        # voxel sets match up to shard-straddle centroid averaging: require
+        # a near-complete overlap and matching scale
+        assert abs(n_exp - n_got) <= max(2, n_exp // 50)
+        overlap = len(exp_keys & got_keys) / max(1, len(exp_keys))
+        assert overlap > 0.95, f"only {overlap:.2%} voxel overlap"
+        # tile selection applied: every survivor carries tile 1
+        tiles = (np.asarray(got.rgba[:n_got]) >> 24) & 0xFF
+        assert (tiles == 1).all()
