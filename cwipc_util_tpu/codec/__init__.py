@@ -260,7 +260,6 @@ class cwipc_encoder_wrapper:
         # merge duplicate voxels: mean color, OR'd tiles
         order = np.argsort(morton, kind="stable")
         morton = morton[order]
-        rgba = np.zeros(n, np.uint32)
         rgba = (
             (arr["tile"].astype(np.uint32) << 24)
             | (arr["r"].astype(np.uint32) << 16)

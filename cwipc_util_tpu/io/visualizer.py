@@ -47,7 +47,7 @@ e             Edit cameraconfig
 q,ESC         Quit
 """
 
-_RESPONSES = "?h\x1bq .<+-cefwtpamirsnz0123456789"
+_RESPONSES = "?h\x1bq .<+-cefwtpamirnz0123456789"
 
 
 class Visualizer:
@@ -123,11 +123,14 @@ class Visualizer:
             if self.paused and not self.single_step:
                 self._interact_once(50)
                 continue
-            self.single_step = False
             pc = self._get_next_pc()
             if pc is None:
                 self._interact_once(1)
                 continue
+            if self.single_step:
+                # show exactly one frame, then hold (reference: io/visualizer.py:175-178)
+                self.paused = True
+                self.single_step = False
             t0 = time.time()
             if self.current_pc is not None:
                 self.current_pc.free()

@@ -58,12 +58,21 @@ def downsample_outliers_tilefilter(
     # output (the row-major intermediate cost two 262k relayouts per frame).
     ocap = buf.capacity if out_capacity is None else out_capacity
     x, y, z, rgba, cnt = voxelize.downsample_cm(buf, cellsize, ocap)
-    # Fuse the outlier keep-mask with the tile selection: one compaction
-    # pass instead of two.  On TPU the window kNN runs as the fused Pallas
-    # kernel; CPU computations get the XLA path (interpret-mode Pallas
-    # would be much slower).  Dispatch keys on the LOWERING platform, not
-    # jax.devices()[0], so CPU-mesh computations in a TPU-hosted process
-    # select correctly.
+    return chain_tail_cm(x, y, z, rgba, cnt, k=k, window=window, mult=mult, tile=tile)
+
+
+def chain_tail_cm(x, y, z, rgba, cnt, *, k, window, mult, tile) -> PointBuffer:
+    """Post-downsample tail of the fused chain on CHANNEL-MAJOR rows:
+    window-kNN outlier keep-mask fused with the tile selection, then one
+    compaction pass.  Shared with the point-axis-sharded chain
+    (parallel/pointaxis.py) so tuning applies to both.
+
+    On TPU the window kNN runs as the fused Pallas kernel; CPU
+    computations get the XLA path (interpret-mode Pallas would be much
+    slower).  Dispatch keys on the LOWERING platform, not
+    jax.devices()[0], so CPU-mesh computations in a TPU-hosted process
+    select correctly.
+    """
     from .pallas_window_knn import window_knn_mean_distance_cm
 
     def _md_xla(x, y, z, cnt):
@@ -76,7 +85,7 @@ def downsample_outliers_tilefilter(
         cpu=_md_xla,
         default=partial(window_knn_mean_distance_cm, k=k, window=window),
     )
-    valid = jnp.arange(ocap, dtype=jnp.int32) < cnt
+    valid = jnp.arange(x.shape[0], dtype=jnp.int32) < cnt
     keep = outliers._keep_from_mean_dists(md, valid, mult)
     point_tile = (rgba >> 24) & 0xFF
     tile = jnp.asarray(tile, jnp.uint32)

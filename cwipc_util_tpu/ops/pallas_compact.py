@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._mxu_ring import fill_tri, make_flush_chunk, quarter_prefixes, split_dot, zero_flushed
+
 B = 1024
 STAGE_CHUNKS = 10
 QUARTER = 256
@@ -39,16 +41,7 @@ _SPLITS = 2
 
 
 def _split_dot(ch_q, member_q):
-    acc = jnp.zeros((ch_q.shape[0], member_q.shape[1]), jnp.float32)
-    rem = ch_q
-    for _ in range(_SPLITS):
-        part = rem.astype(jnp.bfloat16)
-        acc = acc + jax.lax.dot_general(
-            part, member_q, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        rem = rem - part.astype(jnp.float32)
-    return acc
+    return split_dot(ch_q, member_q, _SPLITS)
 
 
 def _kernel(count_ref, xi_ref, yi_ref, zi_ref, rgba_ref, keep_ref,
@@ -60,9 +53,7 @@ def _kernel(count_ref, xi_ref, yi_ref, zi_ref, rgba_ref, keep_ref,
     @pl.when(i == 0)
     def _init():
         stage[:, :] = jnp.zeros((NCH, STAGE_W), jnp.float32)
-        r_io = jax.lax.broadcasted_iota(jnp.int32, (QUARTER, QUARTER), 0)
-        c_io = jax.lax.broadcasted_iota(jnp.int32, (QUARTER, QUARTER), 1)
-        tri[:, :] = (r_io <= c_io).astype(jnp.bfloat16)
+        fill_tri(tri, QUARTER)
         carry[0] = 0
         carry[1] = 0
 
@@ -89,18 +80,7 @@ def _kernel(count_ref, xi_ref, yi_ref, zi_ref, rgba_ref, keep_ref,
 
     wp = carry[0]  # next free output column (absolute)
     nq = B // QUARTER
-    pres = [
-        jax.lax.dot_general(
-            kf[:, q * QUARTER : (q + 1) * QUARTER].astype(jnp.bfloat16),
-            tri[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)  # [1, QUARTER] inclusive kept-count
-        for q in range(nq)
-    ]
-    tbs = [jnp.int32(0)]
-    for q in range(nq - 1):
-        tbs.append(tbs[-1] + pres[q][0, QUARTER - 1])
+    pres, tbs, n_kept = quarter_prefixes(kf, tri, QUARTER)
 
     col_iota_q = jax.lax.broadcasted_iota(jnp.int32, (QUARTER, Q_W), 1)
     for q in range(nq):
@@ -117,24 +97,11 @@ def _kernel(count_ref, xi_ref, yi_ref, zi_ref, rgba_ref, keep_ref,
         offset_q = (wp + tbs[q]) % STAGE_W
         stage[:, :] = stage[:, :] + pltpu.roll(padded, offset_q, 1)
 
-    wp_new = wp + tbs[nq - 1] + pres[nq - 1][0, QUARTER - 1]
+    wp_new = wp + n_kept
     closed_chunks = wp_new // 128
     base_chunk = carry[1]
     nflush = closed_chunks - base_chunk
-    max_chunks = out_ref.shape[1] // 128
-
-    def _flush_chunk(c):
-        # clamped, idempotent repeats: no per-chunk branches on the common
-        # path (see pallas_segment_reduce.py — conditional regions stall
-        # the sequential-grid pipeline)
-        c = jnp.minimum(c, max_chunks - 1)
-        src_col = (c % STAGE_CHUNKS) * 128
-        dst = out_ref.at[:, pl.ds(pl.multiple_of(c * 128, 128), 128)]
-        dma = pltpu.make_async_copy(
-            stage.at[:, pl.ds(pl.multiple_of(src_col, 128), 128)], dst, sem
-        )
-        dma.start()
-        dma.wait()
+    _flush_chunk, max_chunks = make_flush_chunk(out_ref, stage, sem, STAGE_CHUNKS)
 
     # a block closes at most B/128 = 8 chunks, and at typical keep rates
     # most of them: ONE branch with 8 clamped idempotent flushes
@@ -144,9 +111,7 @@ def _kernel(count_ref, xi_ref, yi_ref, zi_ref, rgba_ref, keep_ref,
         for f in range(B // 128):
             _flush_chunk(jnp.minimum(base_chunk + f, last))
 
-    lane_s = jax.lax.broadcasted_iota(jnp.int32, (NCH, STAGE_W), 1)
-    ring_dist = (lane_s - (base_chunk % STAGE_CHUNKS) * 128) % STAGE_W
-    stage[:, :] = jnp.where(ring_dist < nflush * 128, 0.0, stage[:, :])
+    zero_flushed(stage, base_chunk, nflush, STAGE_CHUNKS)
 
     carry[0] = wp_new
     carry[1] = base_chunk + nflush
@@ -155,13 +120,8 @@ def _kernel(count_ref, xi_ref, yi_ref, zi_ref, rgba_ref, keep_ref,
 
     @pl.when(is_last_block & (base_chunk + nflush < max_chunks))
     def _finalize_flush():
-        src_col = ((base_chunk + nflush) % STAGE_CHUNKS) * 128
-        dst = out_ref.at[:, pl.ds(pl.multiple_of((base_chunk + nflush) * 128, 128), 128)]
-        dma = pltpu.make_async_copy(
-            stage.at[:, pl.ds(pl.multiple_of(src_col, 128), 128)], dst, sem
-        )
-        dma.start()
-        dma.wait()
+        # the final partial chunk: columns closed_chunks*128 .. wp_new
+        _flush_chunk(base_chunk + nflush)
 
     @pl.when(is_last_block)
     def _finalize_count():

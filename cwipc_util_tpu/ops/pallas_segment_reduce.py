@@ -21,17 +21,18 @@ with ONE pass over the sorted data, built around the MXU:
   run's FIRST lane before the matmul, so each column receives them exactly
   once — exact in f32;
 * the tile OR rides as 4 packed base-2048 digit-pair channels (digit sum
-  > 0 <=> OR), recombined by the host-side wrapper;
+  > 0 <=> OR), saturated to 1 per digit after every block so runs of any
+  length decode exactly, recombined by the host-side wrapper;
 * the staging buffer is a RING: completed columns (strictly before the
   open run's column) flush to HBM in 128-column chunks at dynamically
   computed, provably 128-aligned offsets, and flushed columns are zeroed
   in place for the next wrap.
 
-The emission matmuls use a hand-rolled bf16x3 split of the f32 channel
-operand (Mosaic's dot lowering only supports DEFAULT and HIGHEST): 3x8=24
-mantissa bits reproduce every f32 value exactly, and all column sums here
-are integers < 2^24 or fixed-point values spanning < 24 bits, so the
-result is bit-exact at half the MXU passes of HIGHEST.
+The emission matmuls use a hand-rolled bf16x2 split of the f32 channel
+operand (Mosaic's dot lowering only supports DEFAULT and HIGHEST): 2x8=16
+mantissa bits reproduce every channel value exactly (the widest are the
+15-bit key halves), and all column sums stay < 2^24, so the result is
+bit-exact at a third of the MXU passes of HIGHEST.
 
 Output: channel-major [NCH, out_cap] f32 plus the number of runs, with
 rows (fx, fy, fz, r, g, b, count, tile_or, key_lo, key_hi) — the wrapper
@@ -47,6 +48,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from ._mxu_ring import fill_tri, make_flush_chunk, quarter_prefixes, split_dot, zero_flushed
 
 _SENTINEL = jnp.iinfo(jnp.int32).max
 
@@ -77,25 +80,8 @@ _EMIT_BF16_SPLITS = 2
 
 
 def _split_dot(ch_q, member_q):
-    """Exact [NCH, Q] @ membership [Q, W] via bf16-split MXU passes."""
-    if not _EMIT_BF16_SPLITS:
-        return jax.lax.dot_general(
-            ch_q, member_q.astype(jnp.float32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    m = member_q if member_q.dtype == jnp.bfloat16 else member_q.astype(jnp.bfloat16)
-    acc = jnp.zeros((ch_q.shape[0], member_q.shape[1]), jnp.float32)
-    rem = ch_q
-    for _ in range(_EMIT_BF16_SPLITS):
-        part = rem.astype(jnp.bfloat16)
-        acc = acc + jax.lax.dot_general(
-            part, m, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        rem = rem - part.astype(jnp.float32)
-    return acc
+    """Exact [NCH, Q] @ membership [Q, W] (shared MXU machinery)."""
+    return split_dot(ch_q, member_q, _EMIT_BF16_SPLITS)
 
 
 def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
@@ -108,16 +94,7 @@ def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
     @pl.when(i == 0)
     def _init():
         stage[:, :] = jnp.zeros((NCH, STAGE_W), jnp.float32)
-        # constant inclusive-prefix matrix: tri[r, c] = 1 iff r <= c, so
-        # (flags [1,Q]) @ tri = inclusive prefix count, exact in bf16/f32.
-        # The prefix runs PER QUARTER ([1,256]@[256,256] = 4 MXU passes x4)
-        # instead of per block ([1,B]@[B,B] = 64 passes): an M=1 operand
-        # uses one of the MXU's 128 rows, so pass count is the entire cost
-        # — the strip-down probe measured the full-block form at 0.54 ms
-        # of the kernel's 1.67 ms.  Quarter totals chain through a scalar.
-        r_io = jax.lax.broadcasted_iota(jnp.int32, (QUARTER, QUARTER), 0)
-        c_io = jax.lax.broadcasted_iota(jnp.int32, (QUARTER, QUARTER), 1)
-        tri[:, :] = (r_io <= c_io).astype(jnp.bfloat16)
+        fill_tri(tri, QUARTER)
         carry[0] = _SENTINEL
         carry[1] = -1
         carry[2] = 0
@@ -166,24 +143,8 @@ def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
     # before b); lanes before the first boundary continue the open run.
     # Invalid lanes land on the open column with all-zero values (harmless).
     #
-    # All four quarter prefixes are computed FIRST, as independent matmuls
-    # (4 MXU passes each), and only then are the scalar quarter bases
-    # chained — interleaving scalar reads between the matmuls serializes
-    # the pipeline (measured 2.2 ms vs 1.67 for even the 64-pass full-block
-    # prefix).
     nq = B // QUARTER
-    pres = [
-        jax.lax.dot_general(
-            bf_f[:, q * QUARTER : (q + 1) * QUARTER].astype(jnp.bfloat16),
-            tri[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)  # [1, QUARTER], exact integers
-        for q in range(nq)
-    ]
-    tbs = [jnp.int32(0)]
-    for q in range(nq - 1):
-        tbs.append(tbs[-1] + pres[q][0, QUARTER - 1])
+    pres, tbs, n_bounds = quarter_prefixes(bf_f, tri, QUARTER)
 
     # The membership one-hot needs the prefix on the SUBLANE axis: the
     # [1,Q]->[Q,1] reshape is a lane->sublane relayout that the strip-down
@@ -208,25 +169,11 @@ def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
         stage[:, :] = stage[:, :] + pltpu.roll(padded, offset_q, 1)
 
     # columns strictly below the new open column are complete -> flush
-    wp_new = wp_open + tbs[nq - 1] + pres[nq - 1][0, QUARTER - 1]
+    wp_new = wp_open + n_bounds
     closed_chunks = jnp.maximum(wp_new, 0) // 128
     base_chunk = carry[2]
     nflush = closed_chunks - base_chunk
-    max_chunks = out_ref.shape[1] // 128
-
-    def _flush_chunk(c):
-        # clamped, idempotent: repeating a chunk re-writes identical data,
-        # so the common path needs NO per-chunk branches (conditional
-        # regions in a sequential-grid kernel body stall the pipeline —
-        # the 10-way conditional flush measured ~0.27 ms of the kernel)
-        c = jnp.minimum(c, max_chunks - 1)
-        src_col = (c % STAGE_CHUNKS) * 128
-        dst = out_ref.at[:, pl.ds(pl.multiple_of(c * 128, 128), 128)]
-        dma = pltpu.make_async_copy(
-            stage.at[:, pl.ds(pl.multiple_of(src_col, 128), 128)], dst, sem
-        )
-        dma.start()
-        dma.wait()
+    _flush_chunk, max_chunks = make_flush_chunk(out_ref, stage, sem, STAGE_CHUNKS)
 
     # Typical blocks close 0-2 chunks (~218 runs/block on the bench cloud):
     # one branch with two clamped flushes covers them; a second, rarely
@@ -245,10 +192,20 @@ def _kernel(count_ref, smk_ref, sfr_ref, srgba_ref, out_ref, nseg_ref,
         for f in range(2, STAGE_CHUNKS):
             _flush_chunk(jnp.minimum(base_chunk + f, last))
 
-    # zero the flushed ring columns so the next wrap accumulates cleanly
-    lane_s = jax.lax.broadcasted_iota(jnp.int32, (NCH, STAGE_W), 1)
-    ring_dist = (lane_s - (base_chunk % STAGE_CHUNKS) * 128) % STAGE_W
-    stage[:, :] = jnp.where(ring_dist < nflush * 128, 0.0, stage[:, :])
+    # Saturate the packed tile digit pairs: a run spanning blocks keeps
+    # accumulating into its staging column, so a >= 2048-point run with a
+    # tile bit set would overflow its base-2048 digit (bit j would decode
+    # as bit j+4).  One block adds <= B = 1024 per digit, so clamping both
+    # digits to 1 after every block keeps every digit < 1 + B < 2048 and
+    # the OR decode ("digit sum > 0") exact for ANY run length.
+    pair_rows = stage[7 : 7 + NBITPAIRS, :]
+    hi_dig = jnp.floor(pair_rows * (1.0 / _BIT_BASE))
+    lo_dig = pair_rows - hi_dig * _BIT_BASE
+    stage[7 : 7 + NBITPAIRS, :] = (
+        jnp.minimum(lo_dig, 1.0) + jnp.minimum(hi_dig, 1.0) * _BIT_BASE
+    )
+
+    zero_flushed(stage, base_chunk, nflush, STAGE_CHUNKS)
 
     carry[0] = smk[0, B - 1]
     carry[1] = wp_new

@@ -80,12 +80,10 @@ def make_sharded_chain(mesh: Mesh, k: int = 30, window: int = 16):
     The expensive 1M-point sort+reduce shards N/D per device, which is
     where the linear multi-chip scaling comes from.  Result is replicated.
     """
-    from functools import partial
-
     from jax.sharding import PartitionSpec as P
 
-    from ..ops import compaction, outliers, voxelize
-    from ..ops.pallas_window_knn import window_knn_mean_distance_cm
+    from ..ops import compaction, voxelize
+    from ..ops.chain import chain_tail_cm
     from .fusion import CAMERA_AXIS, shard_map
 
     def per_device(xyz, rgba, count, cellsize, mult, tile):
@@ -107,23 +105,10 @@ def make_sharded_chain(mesh: Mesh, k: int = 30, window: int = 16):
             mask,
         )
         x, y, z, prgba, cnt = voxelize.downsample_cm(merged, cellsize, d * cap)
-
-        def _md_xla(x, y, z, cnt):
-            return outliers._mean_knn_dist_window(
-                jnp.stack([x, y, z], axis=-1), cnt, k=k, window=window
-            )
-
-        md = jax.lax.platform_dependent(
-            x, y, z, cnt,
-            cpu=_md_xla,
-            default=partial(window_knn_mean_distance_cm, k=k, window=window),
+        # identical post-downsample tail as the single-chip chain
+        out = chain_tail_cm(
+            x, y, z, prgba, cnt, k=k, window=window, mult=mult, tile=tile
         )
-        valid = jnp.arange(x.shape[0], dtype=jnp.int32) < cnt
-        keep = outliers._keep_from_mean_dists(md, valid, mult)
-        point_tile = (prgba >> 24) & 0xFF
-        tile = jnp.asarray(tile, jnp.uint32)
-        keep = keep & ((tile == 0) | (point_tile == tile))
-        out = compaction.compact_cm(x, y, z, prgba, keep, cnt)
         return out.xyz, out.rgba, out.count
 
     sharded = shard_map(

@@ -225,3 +225,46 @@ class TestCompactKernel:
             got[:2].view(np.uint32), xyz[:2].view(np.uint32)
         )
         np.testing.assert_array_equal(np.asarray(new_rgba)[:4], rgba[:4])
+
+
+class TestLongRunTileOr:
+    def test_tile_or_exact_for_runs_over_2048(self):
+        """A single voxel holding >= 2048 same-tile points must still decode
+        the exact tile OR (the packed base-2048 digit pairs saturate per
+        block; unsaturated accumulation would decode bit j as bit j+4)."""
+        from cwipc_util_tpu.ops.pallas_segment_reduce import segment_reduce_sorted
+
+        cap = 1 << 12  # 4096 points, all in ONE voxel run
+        smk = jnp.zeros(cap, jnp.int32)
+        sfr = jnp.zeros(cap, jnp.int32)
+        tile = 1  # bit 0: overflow would decode as tile 16 (bit 4)
+        srgba = jnp.full(cap, (tile << 24) | 0x00AABBCC, jnp.uint32).astype(jnp.int32)
+        out16, nseg = segment_reduce_sorted(
+            smk, sfr, srgba, jnp.int32(cap), out_capacity=256
+        )
+        assert int(nseg) == 1
+        assert int(out16[6, 0]) == cap  # count
+        assert int(out16[7, 0]) == tile, f"tile OR decoded as {int(out16[7, 0])}"
+
+    def test_tile_or_exact_mixed_bits_long_runs(self):
+        """Long runs mixing low and high tile bits keep both."""
+        from cwipc_util_tpu.ops.pallas_segment_reduce import segment_reduce_sorted
+
+        cap = 1 << 12
+        smk = jnp.concatenate([
+            jnp.zeros(cap // 2, jnp.int32),
+            jnp.ones(cap // 2, jnp.int32),
+        ])
+        sfr = jnp.zeros(cap, jnp.int32)
+        tiles = jnp.concatenate([
+            jnp.full(cap // 4, 0x01, jnp.uint32),   # run 0: bits 0 and 4
+            jnp.full(cap // 4, 0x10, jnp.uint32),
+            jnp.full(cap // 2, 0x88, jnp.uint32),   # run 1: bits 3 and 7
+        ])
+        srgba = ((tiles << 24) | 0x00112233).astype(jnp.int32)
+        out16, nseg = segment_reduce_sorted(
+            smk, sfr, srgba, jnp.int32(cap), out_capacity=256
+        )
+        assert int(nseg) == 2
+        assert int(out16[7, 0]) == 0x11
+        assert int(out16[7, 1]) == 0x88

@@ -64,6 +64,43 @@ class TestKeymapProtocol:
         viz.handle_command(".")
         assert viz.single_step and not viz.paused
 
+    def test_single_step_repauses_after_one_frame(self):
+        """'.' shows exactly one frame, then holds (reference run loop
+        re-pauses: io/visualizer.py:175-178)."""
+        import threading
+        import time as _time
+
+        import cwipc_util_tpu as cwipc
+        from cwipc_util_tpu.io.visualizer import Visualizer
+
+        viz = Visualizer(nodisplay=True)
+        gen = cwipc.cwipc_synthetic(0, 500)
+        gen.start()
+        pcs = [gen.get() for _ in range(3)]
+        gen.stop()
+        producer = threading.Thread(target=_time.sleep, args=(2.0,))
+        producer.start()
+        viz.set_producer(producer)
+        viz.paused = True
+        for pc in pcs:
+            viz.feed(pc)
+        runner = threading.Thread(target=viz.run)
+        runner.start()
+        try:
+            _time.sleep(0.3)
+            assert viz.display_count == 0  # paused: nothing shown
+            viz.handle_command(".")
+            deadline = _time.time() + 3
+            while viz.display_count < 1 and _time.time() < deadline:
+                _time.sleep(0.02)
+            _time.sleep(0.3)
+            assert viz.display_count == 1, "single step must show exactly one frame"
+            assert viz.paused, "single step must re-pause"
+        finally:
+            viz.stop()
+            runner.join(timeout=5)
+            producer.join(timeout=5)
+
     def test_rewind_calls_seek(self, viz):
         src = FakeSource()
         viz.set_source(src)
