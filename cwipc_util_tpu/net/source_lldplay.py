@@ -167,7 +167,11 @@ class _LLDashPlaySource(cwipc_activerawmultisource_abstract):
 
 
 class _SingleStreamView(cwipc_activerawsource_abstract):
-    """Single-stream adapter over the multisource (the non-tiled factory)."""
+    """Single-stream adapter over the multisource (the non-tiled factory).
+
+    Consumer threads (e.g. the decoder) may poll before ``start()`` has
+    finished stream discovery — every accessor must tolerate the
+    not-yet-started state instead of indexing an empty tile list."""
 
     def __init__(self, url: str, verbose: bool = False):
         self.multi = _LLDashPlaySource(url, verbose)
@@ -183,12 +187,18 @@ class _SingleStreamView(cwipc_activerawsource_abstract):
         self.multi.stop()
 
     def get(self) -> Optional[bytes]:
+        if not self.multi.tiles:
+            return None
         return self.multi.get_tile_source(0).get()
 
     def available(self, wait: bool = False) -> bool:
+        if not self.multi.tiles:
+            return False
         return self.multi.get_tile_source(0).available(wait)
 
     def eof(self) -> bool:
+        if not self.multi.tiles:
+            return self.multi.stopped
         return self.multi.get_tile_source(0).eof()
 
     def statistics(self) -> None:

@@ -158,3 +158,31 @@ def test_lldplay_single_stream_view(fake_signals, tmp_path):
     src.stop()
     assert data == b"only-frame"
     assert src.eof()
+
+
+def test_cli_dash_loopback(fake_signals, tmp_path):
+    """Full CLI loop over the fake SIGNALS libs: `cwipc forward --lldpkg`
+    publishes encoded streams, `cwipc view --lldplay` plays them back
+    (reference pipelines: cwipc_forward.py --lldash + view --lldplay)."""
+    import os
+    import sys
+
+    url = str(tmp_path / "cdn")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(pathlib.Path(__file__).parent.parent)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["SIGNALS_SMD_PATH"] = str(fake_signals)
+    rv = subprocess.run(
+        [sys.executable, "-m", "cwipc_util_tpu", "forward", "--synthetic",
+         "--npoints", "1000", "--count", "5", "--fps", "10", "--lldpkg", url],
+        capture_output=True, text=True, timeout=240, env=env,
+    )
+    assert rv.returncode == 0, rv.stderr[-500:]
+    assert (tmp_path / "cdn" / "streams.txt").exists()
+    rv = subprocess.run(
+        [sys.executable, "-m", "cwipc_util_tpu", "view", "--lldplay", url,
+         "--nodisplay", "--count", "5"],
+        capture_output=True, text=True, timeout=240, env=env,
+    )
+    assert rv.returncode == 0, rv.stderr[-500:]
