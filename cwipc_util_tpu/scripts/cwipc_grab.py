@@ -25,12 +25,24 @@ from ._scriptsupport import (
 class FileWriter:
     """Sink writing each fed cloud to a file named by the pattern."""
 
-    def __init__(self, dirname: str, pattern: str, flags: int = 0, compressed: bool = False, verbose: bool = False):
+    def __init__(self, dirname: str, pattern: str, flags: int = 0,
+                 compressed: bool = False, verbose: bool = False,
+                 rgb: Optional[str] = None, depth: Optional[str] = None,
+                 skeleton: Optional[str] = None, nopointclouds: bool = False,
+                 fpattern: str = "timestamp", incore: bool = False,
+                 compress_params: Optional[dict] = None):
         self.dirname = dirname
         self.pattern = pattern
         self.flags = flags
         self.compressed = compressed
         self.verbose = verbose
+        self.rgb = rgb
+        self.depth = depth
+        self.skeleton = skeleton
+        self.nopointclouds = nopointclouds
+        self.fpattern = fpattern
+        self.incore = incore
+        self.pending = []  # --incore: buffered clouds, written at stop
         self.count_written = 0
         self.producer = None
         self.stats = Stats("grab")
@@ -38,15 +50,21 @@ class FileWriter:
         if compressed:
             from ..codec import cwipc_new_encoder
 
-            self.encoder = cwipc_new_encoder()
+            self.encoder = cwipc_new_encoder(**(compress_params or {}))
 
     def set_producer(self, producer) -> None:
         self.producer = producer
 
+    def _stem(self, pc: cwipc_pointcloud_wrapper) -> str:
+        """Filename variable per --fpattern (reference: cwipc_grab.py:213)."""
+        if self.fpattern.startswith("count"):
+            return f"{self.count_written:04d}"
+        return str(pc.timestamp())
+
     def _write_aux(self, pc: cwipc_pointcloud_wrapper) -> None:
-        """Write RGB/depth aux images as PNG and skeletons as JSON, named by
-        timestamp (the reference's filename-pattern machinery,
-        python/cwipc/scripts/cwipc_grab.py)."""
+        """Write RGB/depth aux images and skeleton files when the matching
+        --rgb/--depth/--skeleton flag was given (reference:
+        python/cwipc/scripts/cwipc_grab.py:210-212)."""
         md = pc._metadata
         if md is None:
             return
@@ -54,8 +72,13 @@ class FileWriter:
 
         for i in range(md.count()):
             name = md.name(i)
-            ts = pc.timestamp()
-            if name.startswith("rgb") or name.startswith("depth"):
+            ts = self._stem(pc)
+            want_img = (
+                (self.rgb and name.startswith("rgb"))
+                or (self.depth and name.startswith("depth"))
+            )
+            if want_img:
+                ext = (self.rgb if name.startswith("rgb") else self.depth) or "png"
                 try:
                     img = md.get_image(i)
                 except (ValueError, KeyError):
@@ -63,15 +86,15 @@ class FileWriter:
                 try:
                     import cv2
 
-                    out = os.path.join(self.dirname, f"{name}-{ts}.png")
+                    out = os.path.join(self.dirname, f"{name}-{ts}.{ext}")
                     cv2.imwrite(out, img[..., ::-1] if img.ndim == 3 else img)
                 except ImportError:
                     pass
-            elif name.startswith("skeleton"):
+            elif self.skeleton and name.startswith("skeleton"):
                 from ..core.pointcloud import parse_skeleton_collection
 
                 n_s, n_j, joints = parse_skeleton_collection(md.data(i))
-                out = os.path.join(self.dirname, f"{name}-{ts}.json")
+                out = os.path.join(self.dirname, f"{name}-{ts}.{self.skeleton}")
                 with open(out, "w") as fp:
                     json.dump(
                         dict(
@@ -87,21 +110,39 @@ class FileWriter:
                     )
 
     def feed(self, pc: cwipc_pointcloud_wrapper) -> None:
+        if self.incore:
+            # --incore: buffer everything, write at the end (reference
+            # cwipc_grab.py:214 — trades memory for capture-rate fidelity)
+            self.pending.append(pc)
+            self.count_written += 1
+            return
+        self._write_one(pc)
+
+    def _write_one(self, pc: cwipc_pointcloud_wrapper) -> None:
         self._write_aux(pc)
-        filename = os.path.join(self.dirname, self.pattern % pc.timestamp())
-        if filename.endswith(".cwipcdump"):
-            cwipc_write_debugdump(filename, pc)
-        elif filename.endswith(".cwicpc"):
-            assert self.encoder is not None
-            self.encoder.feed(pc)
-            with open(filename, "wb") as fp:
-                fp.write(self.encoder.get_bytes())
-        else:
-            cwipc_write(filename, pc, self.flags)
+        if not self.nopointclouds:
+            filename = os.path.join(self.dirname, self.pattern % self._stem(pc))
+            if filename.endswith(".cwipcdump"):
+                cwipc_write_debugdump(filename, pc)
+            elif filename.endswith(".cwicpc"):
+                assert self.encoder is not None
+                self.encoder.feed(pc)
+                with open(filename, "wb") as fp:
+                    fp.write(self.encoder.get_bytes())
+            else:
+                cwipc_write(filename, pc, self.flags)
+            if self.verbose:
+                print(f"grab: wrote {filename}")
         self.count_written += 1
-        if self.verbose:
-            print(f"grab: wrote {filename}")
         pc.free()
+
+    def flush_pending(self) -> None:
+        if not self.pending:
+            return
+        self.count_written = 0
+        for pc in self.pending:
+            self._write_one(pc)
+        self.pending = []
 
     def statistics(self) -> None:
         print(f"filewriter: written={self.count_written}")
@@ -109,30 +150,60 @@ class FileWriter:
 
 def main() -> int:
     parser = ArgumentParser(description="Capture pointclouds to files")
+    parser.add_argument("--nopointclouds", action="store_true", help="Don't save pointclouds (aux data only)")
     parser.add_argument("--cwipcdump", action="store_true", help="Save as .cwipcdump (default: .ply)")
     parser.add_argument("--compress", action="store_true", help="Save as compressed .cwicpc")
+    parser.add_argument("--compress_param", action="append", metavar="NAME=VALUE", help="Add compressor parameter")
     parser.add_argument("--binary", action="store_true", help="Save as binary .ply")
+    parser.add_argument("--rgb", metavar="EXT", help="Save captured RGB aux images as type EXT")
+    parser.add_argument("--depth", metavar="EXT", help="Save captured depth aux images as type EXT")
+    parser.add_argument("--skeleton", metavar="EXT", help="Save skeleton metadata as files of type EXT")
+    parser.add_argument("--fpattern", metavar="VAR", default="timestamp", help="Name files by VAR: count or timestamp (default)")
+    parser.add_argument("--incore", action="store_true", help="Buffer all captures in memory and write at the end (requires --count)")
     parser.add_argument("outputdir", help="Directory to write the files to")
     args = parser.parse_args()
     beginOfRun(args)
     if not os.path.isdir(args.outputdir):
         print(f"{sys.argv[0]}: no such directory: {args.outputdir}")
         return -1
+    if args.incore and not args.count:
+        print(f"{sys.argv[0]}: --incore requires --count")
+        return -1
     if args.cwipcdump:
-        pattern, flags, compressed = "pointcloud-%d.cwipcdump", 0, False
+        pattern, flags, compressed = "pointcloud-%s.cwipcdump", 0, False
     elif args.compress:
-        pattern, flags, compressed = "pointcloud-%d.cwicpc", 0, True
+        pattern, flags, compressed = "pointcloud-%s.cwicpc", 0, True
     else:
-        pattern, flags, compressed = "pointcloud-%d.ply", (CWIPC_FLAGS_BINARY if args.binary else 0), False
+        pattern, flags, compressed = "pointcloud-%s.ply", (CWIPC_FLAGS_BINARY if args.binary else 0), False
+
+    compress_params = {}
+    for p in args.compress_param or []:
+        if "=" not in p:
+            print(f"{sys.argv[0]}: --compress_param expects NAME=VALUE: {p}")
+            return -1
+        name, value = p.split("=", 1)
+        try:
+            compress_params[name] = int(value)
+        except ValueError:
+            compress_params[name] = value
 
     source = activesource_factory_from_args(args)()
-    writer = FileWriter(args.outputdir, pattern, flags, compressed, verbose=args.verbose > 0)
+    for wanted, md_name in ((args.rgb, "rgb"), (args.depth, "depth"), (args.skeleton, "skeletons")):
+        if wanted and hasattr(source, "request_metadata"):
+            source.request_metadata(md_name)
+    writer = FileWriter(
+        args.outputdir, pattern, flags, compressed, verbose=args.verbose > 0,
+        rgb=args.rgb, depth=args.depth, skeleton=args.skeleton,
+        nopointclouds=args.nopointclouds, fpattern=args.fpattern,
+        incore=args.incore, compress_params=compress_params,
+    )
     server = SourceServer(source, writer, args)
     thread = threading.Thread(target=server.run, name="cwipc_grab.source", daemon=True)
     writer.set_producer(thread)
     thread.start()
     thread.join()
     server.stop()
+    writer.flush_pending()
     if args.verbose:
         server.statistics()
         writer.statistics()

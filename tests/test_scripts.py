@@ -387,3 +387,35 @@ class TestRegister:
         )
         assert rv.returncode == 0, rv.stderr[-800:]
         assert not (tmp_path / "cameraconfig.json").exists()
+
+
+class TestGrabFlags:
+    """Reference grab flag parity (reference: cwipc_grab.py:205-215)."""
+
+    def test_grab_compress_params_fpattern_incore(self, tmp_path):
+        rv = run_cwipc(
+            "grab", "--synthetic", "--npoints", "2000", "--count", "3",
+            "--compress", "--compress_param", "octree_bits=8",
+            "--fpattern", "count", "--incore", str(tmp_path),
+        )
+        assert rv.returncode == 0, rv.stderr[-500:]
+        names = sorted(p.name for p in tmp_path.glob("*.cwicpc"))
+        assert names == [
+            "pointcloud-0000.cwicpc", "pointcloud-0001.cwicpc",
+            "pointcloud-0002.cwicpc",
+        ]
+        rv = run_cwipc("play", str(tmp_path), "--nodisplay", "--count", "3")
+        assert rv.returncode == 0, rv.stderr[-500:]
+
+    def test_grab_incore_requires_count(self, tmp_path):
+        rv = run_cwipc("grab", "--synthetic", "--incore", str(tmp_path))
+        assert rv.returncode != 0
+        assert "--incore requires --count" in rv.stdout
+
+    def test_grab_nopointclouds(self, tmp_path):
+        rv = run_cwipc(
+            "grab", "--synthetic", "--npoints", "1000", "--count", "2",
+            "--nopointclouds", str(tmp_path),
+        )
+        assert rv.returncode == 0, rv.stderr[-500:]
+        assert not list(tmp_path.glob("*.ply"))
