@@ -135,6 +135,8 @@ class Visualizer:
             if self.current_pc is not None:
                 self.current_pc.free()
             self.current_pc = pc
+            if self.args is not None and getattr(self.args, "timestamps", False):
+                self._show_timestamps(pc, "timestamps")
             display = self._prepare_display_pc(pc)
             if self.window is not None:
                 if self.args is not None and getattr(self.args, "rgb", False):
@@ -151,6 +153,16 @@ class Visualizer:
             self.current_pc = None
         if self.window is not None:
             self.window.free()
+
+    def _show_timestamps(self, pc, label: str) -> None:
+        """Per-cloud timestamp printout (reference: io/visualizer.py:214-223)."""
+        print(f"{label}: ts={pc.timestamp()}")
+        md = pc._metadata
+        if md is not None:
+            for i in range(md.count()):
+                name = md.name(i)
+                if "timestamps" in name:
+                    print(f"{label}:    {name}: {md.description(i)}")
 
     # -- interaction ------------------------------------------------------
 

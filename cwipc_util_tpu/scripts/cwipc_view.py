@@ -26,14 +26,33 @@ def main() -> int:
     parser.add_argument("--rgb_full", action="store_true", help="With --rgb: one window per camera")
     parser.add_argument("--rgb_cw", action="store_true", help="With --rgb: concatenate images horizontally")
     parser.add_argument("--rgb_ccw", action="store_true", help="With --rgb: concatenate images horizontally")
+    parser.add_argument("--paused", action="store_true", help="Start paused")
+    parser.add_argument("--skeleton", action="store_true", help="Also request and render skeleton metadata (capturers that support it)")
+    parser.add_argument("--timestamps", action="store_true", help="Print detailed timestamp information per displayed cloud")
+    parser.add_argument("--help_commands", action="store_true", help="List interactive commands and exit")
     args = parser.parse_args()
+    if args.help_commands:
+        from ..io.visualizer import HELP
+
+        print(HELP)
+        return 0
     beginOfRun(args)
 
     source_factory = activesource_factory_from_args(args)
     source = source_factory()
     if args.rgb and hasattr(source, "request_metadata"):
         source.request_metadata("rgb")
+    if args.skeleton and hasattr(source, "request_metadata"):
+        source.request_metadata("skeletons")
     visualizer = Visualizer(verbose=args.verbose > 0, nodisplay=args.nodisplay, args=args)
+    if args.paused and not args.nodisplay:
+        # start held; single_step shows the first frame (reference
+        # visualizer.py:71-74).  Headless runs ignore --paused (nothing
+        # could ever unpause them).
+        visualizer.paused = True
+        visualizer.single_step = True
+    if args.skeleton and visualizer.window is not None and hasattr(visualizer.window, "render_skeleton"):
+        visualizer.window.render_skeleton = True
     visualizer.set_source(source)
     server = SourceServer(source, visualizer, args)
 
