@@ -9,16 +9,42 @@ import sys
 from . import cwipc_grab
 
 
+# Options that consume a following value: their values must not be
+# mistaken for positional arguments when rewriting argv.
+_VALUE_FLAGS = {
+    "--cameraconfig", "--proxy", "--netclient", "--lldplay",
+    "--mt-netclient", "--mt-lldplay", "--playback", "--npoints", "--fps",
+    "--count", "--inpoint", "--outpoint", "--filter", "--logging",
+    "--compress_param", "--rgb", "--depth", "--skeleton", "--fpattern",
+    "--latencies", "--port", "--forward", "--octree_bits", "--jpeg_quality",
+    "--tile", "--lldpkg",
+}
+
+
+def _positionals(argv):
+    out = []
+    skip = False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a.startswith("-"):
+            if a in _VALUE_FLAGS and "=" not in a:
+                skip = True
+            continue
+        out.append(a)
+    return out
+
+
 def main() -> int:
     argv = sys.argv[1:]
-    positional = [a for a in argv if not a.startswith("-")]
+    positional = _positionals(argv)
     if len(positional) >= 2:
-        inp, outp = positional[0], positional[1]
-        argv = [a for a in argv if a not in (inp,)]
+        inp = positional[0]
+        idx = argv.index(inp)
+        argv = argv[:idx] + argv[idx + 1 :]
         argv = ["--playback", inp] + argv
-        sys.argv = [sys.argv[0].replace("copy", "grab")] + argv
-    else:
-        sys.argv = [sys.argv[0].replace("copy", "grab")] + argv
+    sys.argv = [sys.argv[0].replace("copy", "grab")] + argv
     return cwipc_grab.main()
 
 

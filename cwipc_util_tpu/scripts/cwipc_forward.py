@@ -34,15 +34,56 @@ def main() -> int:
     parser.add_argument("--tiled", action="store_true", help="One stream per tile")
     parser.add_argument("--octree_bits", type=int, action="append", help="Encoder octree depth (may repeat for multi-quality)")
     parser.add_argument("--jpeg_quality", type=int, action="append", help="Encoder color quality (may repeat)")
+    parser.add_argument("--noforward", action="store_true", help="Don't forward pointclouds, only print statistics at the end")
+    parser.add_argument("--tile", type=int, action="append", help="Encode/transmit only specific tile(s); may repeat")
+    parser.add_argument("--seg_dur", type=int, metavar="MS", help="DASH packager segment duration (ms, default 10000)")
+    parser.add_argument("--timeshift_buffer", type=int, metavar="MS", help="DASH packager timeshift buffer depth (ms, default 30000)")
     args = parser.parse_args()
     beginOfRun(args)
 
     source = activesource_factory_from_args(args)()
 
-    if args.lldpkg:
+    if args.noforward:
+        from ..net.abstract import cwipc_rawsink_abstract
+
+        class _NullRawSink(cwipc_rawsink_abstract):
+            """--noforward: count packets, send nothing (reference :73-76)."""
+
+            def __init__(self):
+                self.packets = 0
+
+            def add_stream(self, tilenum=None, tiledesc=None, qualitydesc=None):
+                return 0
+
+            def set_fourcc(self, fourcc):
+                pass
+
+            def set_producer(self, producer):
+                pass
+
+            def start(self):
+                pass
+
+            def stop(self):
+                pass
+
+            def feed(self, buffer, stream_index=None):
+                self.packets += 1
+                return True
+
+            def statistics(self):
+                print(f"nullsink: packets={self.packets}")
+
+        rawsink = _NullRawSink()
+    elif args.lldpkg:
         from ..net.sink_lldpkg import cwipc_sink_lldpkg
 
-        rawsink = cwipc_sink_lldpkg(args.lldpkg, verbose=args.verbose > 1)
+        kwargs = {}
+        if args.seg_dur is not None:
+            kwargs["seg_dur_ms"] = args.seg_dur
+        if args.timeshift_buffer is not None:
+            kwargs["timeshift_buffer_ms"] = args.timeshift_buffer
+        rawsink = cwipc_sink_lldpkg(args.lldpkg, verbose=args.verbose > 1, **kwargs)
     elif args.forward:
         rawsink = cwipc_sink_netingest(args.forward, verbose=args.verbose > 1)
     else:
@@ -55,7 +96,8 @@ def main() -> int:
         tiles = [{}]
         if args.tiled and hasattr(source, "maxtile"):
             maxtile = source.maxtile()
-            tiles = [source.get_tileinfo_dict(i) for i in range(1, maxtile)] or [{}]
+            wanted = range(1, maxtile) if not args.tile else args.tile
+            tiles = [source.get_tileinfo_dict(i) for i in wanted] or [{}]
         forwarder.set_encoder_params(
             tiles, args.octree_bits or None, args.jpeg_quality or None
         )

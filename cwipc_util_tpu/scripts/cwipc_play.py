@@ -5,16 +5,17 @@ Reference: python/cwipc/scripts/cwipc_play.py — view for files/recordings.
 
 import sys
 
-from ._scriptsupport import BaseArgumentParser, beginOfRun
 from . import cwipc_view
+from .cwipc_copy import _positionals
 
 
 def main() -> int:
     # `play INPUT` is `view --playback INPUT`; rewrite argv and delegate.
     argv = sys.argv[1:]
-    positional = [a for a in argv if not a.startswith("-")]
+    positional = _positionals(argv)
     if positional:
-        argv = [a for a in argv if a != positional[0]]
+        idx = argv.index(positional[0])
+        argv = argv[:idx] + argv[idx + 1 :]
         argv = ["--playback", positional[0]] + argv
     sys.argv = [sys.argv[0].replace("play", "view")] + argv
     return cwipc_view.main()
