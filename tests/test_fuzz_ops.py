@@ -101,3 +101,43 @@ class TestOpProperties:
         b_arr, b = random_cloud(rng, int(rng.integers(0, 1000)))
         out = cwipc.cwipc_join(a, b).get_numpy_array()
         assert np.array_equal(out, np.concatenate([a_arr, b_arr]))
+
+
+class TestChainFuzz:
+    @pytest.mark.parametrize("seed", range(4))
+    def test_fused_chain_matches_staged_ops(self, seed):
+        """The fused downsample+outlier+tilefilter chain must equal the
+        same three ops applied separately (catches fusion regressions in
+        the channel-major plumbing)."""
+        import jax.numpy as jnp
+
+        from cwipc_util_tpu.core.buffers import buffer_from_arrays
+        from cwipc_util_tpu.ops import compaction, outliers, voxelize
+        from cwipc_util_tpu.ops.chain import downsample_outliers_tilefilter
+
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(300, 4000))
+        xyz = rng.random((n, 3), np.float32) * 2.0 - 1.0
+        r, g, b = (rng.integers(0, 256, n, dtype=np.uint8) for _ in range(3))
+        tiles = rng.integers(0, 4, n, dtype=np.uint8)
+        buf = buffer_from_arrays(xyz, r, g, b, tiles)
+        cellsize = jnp.float32(0.07)
+        k, mult, tile = 8, jnp.float32(1.5), jnp.uint32(1)
+
+        fused = downsample_outliers_tilefilter(
+            buf, cellsize, k=k, mult=mult, tile=tile
+        )
+
+        down = voxelize.downsample(buf, cellsize)
+        clean = outliers.remove_outliers(down, k, mult, method="window", window=16)
+        staged = compaction.tilefilter(clean, tile)
+
+        nf, ns = int(fused.count), int(staged.count)
+        assert nf == ns, f"fused kept {nf}, staged kept {ns}"
+        np.testing.assert_allclose(
+            np.asarray(fused.xyz[:nf]), np.asarray(staged.xyz[:ns]),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fused.rgba[:nf]), np.asarray(staged.rgba[:ns])
+        )

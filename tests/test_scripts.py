@@ -188,6 +188,7 @@ class TestExamples:
             ("example_viewfile", ["--nodisplay"]),
             ("example_viewrecording", ["--nodisplay"]),
             ("example_viewcamera", ["--nodisplay"]),
+            ("example_sharded_chain", []),
         ],
     )
     def test_example_runs(self, name, args):
