@@ -10,18 +10,21 @@ from . import cwipc_grab
 
 
 # Options that consume a following value: their values must not be
-# mistaken for positional arguments when rewriting argv.
-_VALUE_FLAGS = {
+# mistaken for positional arguments when rewriting argv.  The sets differ
+# per delegation target — e.g. --rgb takes a value in grab (an image
+# extension) but is a store_true in view.
+_BASE_VALUE_FLAGS = {
     "--cameraconfig", "--proxy", "--netclient", "--lldplay",
     "--mt-netclient", "--mt-lldplay", "--playback", "--npoints", "--fps",
     "--count", "--inpoint", "--outpoint", "--filter", "--logging",
-    "--compress_param", "--rgb", "--depth", "--skeleton", "--fpattern",
-    "--latencies", "--port", "--forward", "--octree_bits", "--jpeg_quality",
-    "--tile", "--lldpkg",
 }
+GRAB_VALUE_FLAGS = _BASE_VALUE_FLAGS | {
+    "--compress_param", "--rgb", "--depth", "--skeleton", "--fpattern",
+}
+VIEW_VALUE_FLAGS = _BASE_VALUE_FLAGS | {"--latencies"}
 
 
-def _positionals(argv):
+def _positionals(argv, value_flags=GRAB_VALUE_FLAGS):
     out = []
     skip = False
     for a in argv:
@@ -29,7 +32,7 @@ def _positionals(argv):
             skip = False
             continue
         if a.startswith("-"):
-            if a in _VALUE_FLAGS and "=" not in a:
+            if a in value_flags and "=" not in a:
                 skip = True
             continue
         out.append(a)

@@ -94,9 +94,15 @@ def main() -> int:
     else:
         forwarder = cwipc_sink_encoder(rawsink, verbose=args.verbose > 0, nodrop=args.nodrop)
         tiles = [{}]
-        if args.tiled and hasattr(source, "maxtile"):
+        if (args.tiled or args.tile) and hasattr(source, "maxtile"):
+            # --tile N selects specific tiles (implies tiled transport,
+            # reference: cwipc_forward.py:49-58)
             maxtile = source.maxtile()
-            wanted = range(1, maxtile) if not args.tile else args.tile
+            wanted = list(range(1, maxtile)) if not args.tile else args.tile
+            bad = [t for t in wanted if t < 1 or t >= maxtile]
+            if bad:
+                print(f"{sys.argv[0]}: no such tile(s): {bad} (maxtile {maxtile})")
+                return -1
             tiles = [source.get_tileinfo_dict(i) for i in wanted] or [{}]
         forwarder.set_encoder_params(
             tiles, args.octree_bits or None, args.jpeg_quality or None
@@ -113,7 +119,8 @@ def main() -> int:
         pass
     server.stop()
     forwarder.stop()
-    if args.verbose:
+    if args.verbose or args.noforward:
+        # --noforward exists to print the statistics
         server.statistics()
         forwarder.statistics()
     endOfRun(args)

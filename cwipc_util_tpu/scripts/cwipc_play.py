@@ -6,13 +6,13 @@ Reference: python/cwipc/scripts/cwipc_play.py — view for files/recordings.
 import sys
 
 from . import cwipc_view
-from .cwipc_copy import _positionals
+from .cwipc_copy import VIEW_VALUE_FLAGS, _positionals
 
 
 def main() -> int:
     # `play INPUT` is `view --playback INPUT`; rewrite argv and delegate.
     argv = sys.argv[1:]
-    positional = _positionals(argv)
+    positional = _positionals(argv, VIEW_VALUE_FLAGS)
     if positional:
         idx = argv.index(positional[0])
         argv = argv[:idx] + argv[idx + 1 :]

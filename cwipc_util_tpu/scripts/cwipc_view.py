@@ -44,6 +44,8 @@ def main() -> int:
         source.request_metadata("rgb")
     if args.skeleton and hasattr(source, "request_metadata"):
         source.request_metadata("skeletons")
+    if (args.timestamps or args.latencies) and hasattr(source, "request_metadata"):
+        source.request_metadata("timestamps")
     visualizer = Visualizer(verbose=args.verbose > 0, nodisplay=args.nodisplay, args=args)
     if args.paused and not args.nodisplay:
         # start held; single_step shows the first frame (reference
