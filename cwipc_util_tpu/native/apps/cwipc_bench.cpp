@@ -22,11 +22,18 @@ int main(int argc, char **argv) {
     for (int i = 0; i < iters; i++) {
         auto t0 = std::chrono::steady_clock::now();
         cwipc_pointcloud *down = cwipc_downsample(pc, cellsize);
+        auto t1 = std::chrono::steady_clock::now();
         cwipc_pointcloud *clean = cwipc_remove_outliers(down, 30, 1.0f, 0);
+        auto t2 = std::chrono::steady_clock::now();
         cwipc_pointcloud *part = cwipc_tilefilter(clean, 1);
-        auto dt = std::chrono::duration<double>(std::chrono::steady_clock::now() - t0).count();
+        auto t3 = std::chrono::steady_clock::now();
+        auto dt = std::chrono::duration<double>(t3 - t0).count();
         if (dt < best) best = dt;
-        printf("iter %d: %.1f ms (%d -> %d -> %d -> %d points)\n", i, dt * 1e3,
+        printf("iter %d: %.1f ms (down %.1f, outliers %.1f, tilefilter %.1f)"
+               " (%d -> %d -> %d -> %d points)\n", i, dt * 1e3,
+               std::chrono::duration<double>(t1 - t0).count() * 1e3,
+               std::chrono::duration<double>(t2 - t1).count() * 1e3,
+               std::chrono::duration<double>(t3 - t2).count() * 1e3,
                n, cwipc_pointcloud_count(down), cwipc_pointcloud_count(clean),
                cwipc_pointcloud_count(part));
         cwipc_pointcloud_free(down);

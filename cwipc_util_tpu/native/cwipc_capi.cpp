@@ -590,18 +590,25 @@ extern "C" cwipc_pointcloud *cwipc_join(cwipc_pointcloud *pc1, cwipc_pointcloud 
 /* statistical outlier removal: grid-bucketed kNN mean distances, global
  * mean/stddev threshold (PCL semantics; same algorithm shape as the TPU
  * kernel in ops/outliers.py). */
-static std::vector<float> mean_knn_distances(const std::vector<cwipc_point> &pts, int k) {
+static std::vector<float> mean_knn_distances(const std::vector<cwipc_point> &pts, int k,
+                                             float spacing_hint = 0.0f) {
     size_t n = pts.size();
     std::vector<float> md(n, 0.0f);
     if (n < 2) return md;
-    /* estimate spacing from a sample for the grid cell size */
+    /* Grid cell size from the typical point spacing: the cloud's cellsize
+     * when known, else a sampled median nearest-neighbor distance.  The
+     * nearest neighbor of each sample is searched among ALL points — the
+     * previous sample-vs-sample search overestimated spacing ~sqrt(n/256)x
+     * on surfaces, inflating cells (and kNN candidate counts) by 1000x+. */
     double spacing = 0.01;
-    {
+    if (spacing_hint > 0) {
+        spacing = spacing_hint;
+    } else {
         size_t step = std::max<size_t>(1, n / 256);
         std::vector<float> samples;
         for (size_t i = 0; i < n; i += step) {
             float best = INFINITY;
-            for (size_t j = 0; j < n; j += step) {
+            for (size_t j = 0; j < n; j++) {
                 if (i == j) continue;
                 float dx = pts[i].x - pts[j].x, dy = pts[i].y - pts[j].y, dz = pts[i].z - pts[j].z;
                 best = std::min(best, dx * dx + dy * dy + dz * dz);
@@ -677,10 +684,11 @@ static std::vector<float> mean_knn_distances(const std::vector<cwipc_point> &pts
 }
 
 static void remove_outliers_into(const std::vector<cwipc_point> &pts, int k,
-                                 float mult, std::vector<cwipc_point> &out) {
+                                 float mult, std::vector<cwipc_point> &out,
+                                 float spacing_hint = 0.0f) {
     size_t n = pts.size();
     if (n < 2) { out.insert(out.end(), pts.begin(), pts.end()); return; }
-    std::vector<float> md = mean_knn_distances(pts, k);
+    std::vector<float> md = mean_knn_distances(pts, k, spacing_hint);
     double sum = 0, sq = 0;
     for (float v : md) { sum += v; sq += (double)v * v; }
     double mean = sum / n;
@@ -695,7 +703,8 @@ extern "C" cwipc_pointcloud *cwipc_remove_outliers(cwipc_pointcloud *pc, int kNe
     if (!pc) return nullptr;
     auto *rv = clone_meta(pc);
     if (!perTile) {
-        remove_outliers_into(pc->points, kNeighbors, stddevMulThresh, rv->points);
+        remove_outliers_into(pc->points, kNeighbors, stddevMulThresh, rv->points,
+                             pc->cellsize);
         return rv;
     }
     /* distinct tiles in order of first appearance; tile==0 selects ALL
@@ -708,7 +717,8 @@ extern "C" cwipc_pointcloud *cwipc_remove_outliers(cwipc_pointcloud *pc, int kNe
         std::vector<cwipc_point> sub;
         for (const auto &p : pc->points)
             if (tile == 0 || tile == p.tile) sub.push_back(p);
-        remove_outliers_into(sub, kNeighbors, stddevMulThresh, rv->points);
+        remove_outliers_into(sub, kNeighbors, stddevMulThresh, rv->points,
+                             pc->cellsize);
     }
     return rv;
 }
