@@ -99,12 +99,23 @@ def _estimate_spacing(pc: cwipc_pointcloud_wrapper) -> float:
     n = arr.shape[0]
     if n < 2:
         return 1.0
-    sample = arr[:: max(1, n // 512)][:512]
-    d2 = ((sample[:, None, :] - arr[None, : min(n, 4096), :]) ** 2).sum(-1)
-    d2[d2 == 0] = np.inf
-    nn = np.sqrt(d2.min(axis=1))
-    nn = nn[np.isfinite(nn)]
-    return float(np.median(nn)) if nn.size else 1.0
+    # Nearest neighbors are searched in a window around each sample's own
+    # array position: capture and Morton orders are spatially coherent, so
+    # the window contains the true neighborhood.  (Searching a fixed
+    # prefix — or a sparse subset — overestimates spacing by large factors
+    # for samples far from it, which inflates the grid cells downstream.)
+    step = max(1, n // 512)
+    idxs = np.arange(0, n, step)[:512]
+    half = 2048
+    nns = []
+    for i in idxs:
+        lo, hi = max(0, i - half), min(n, i + half)
+        d2 = ((arr[i] - arr[lo:hi]) ** 2).sum(-1)
+        d2[i - lo] = np.inf
+        m = d2.min()
+        if np.isfinite(m):
+            nns.append(np.sqrt(m))
+    return float(np.median(nns)) if nns else 1.0
 
 
 def _remove_outliers_single(

@@ -294,3 +294,29 @@ def test_downsample_merged_exact_matches_full_exact():
     m = int(a.count)
     assert np.array_equal(np.asarray(a.xyz[:m]), np.asarray(b.xyz[:m]))
     assert np.array_equal(np.asarray(a.rgba[:m]), np.asarray(b.rgba[:m]))
+
+
+def test_spacing_estimate_not_inflated_by_distant_prefix():
+    """The spacing estimator must find true local neighbors even when the
+    cloud's array prefix is spatially far from later points (a fixed-prefix
+    or subset-vs-subset search overestimates spacing by large factors,
+    inflating the outlier grid cells ~1000x in candidate count)."""
+    import numpy as np
+
+    import cwipc_util_tpu as cwipc
+    from cwipc_util_tpu.ops import _estimate_spacing
+
+    rng = np.random.default_rng(7)
+    n = 20000
+    # two dense blobs 100 apart; spacing inside each blob ~0.01
+    a = rng.random((n // 2, 3), np.float32) * 0.5
+    b = rng.random((n // 2, 3), np.float32) * 0.5 + 100.0
+    pts = [(float(x), float(y), float(z), 0, 0, 0, 0)
+           for x, y, z in np.concatenate([a, b])]
+    pc = cwipc.cwipc_from_points(pts, 0)
+    try:
+        spacing = _estimate_spacing(pc)
+        # true median NN distance in a 0.5^3 cube with 10k points ~ 0.012
+        assert spacing < 0.1, f"spacing overestimated: {spacing}"
+    finally:
+        pc.free()
