@@ -116,6 +116,11 @@ class _LLDashPlaySource(cwipc_activerawmultisource_abstract):
         self._thread = threading.Thread(target=self._pump, daemon=True)
 
     def start(self) -> bool:
+        if self.handle is not None:
+            # idempotent: the CLI factory starts the session for stream
+            # discovery, then the synchronizer's start cascade reaches it
+            # again
+            return True
         handle = self.dll.lldplay_create(b"cwipc_util_tpu", None, b"", 0)
         if not handle:
             raise CwipcError(f"lldplay: cannot create player")

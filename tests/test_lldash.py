@@ -186,3 +186,33 @@ def test_cli_dash_loopback(fake_signals, tmp_path):
         capture_output=True, text=True, timeout=240, env=env,
     )
     assert rv.returncode == 0, rv.stderr[-500:]
+
+
+def test_cli_tiled_dash_loopback(fake_signals, tmp_path):
+    """Tiled multi-quality DASH loop: `forward --tiled --lldpkg` publishes
+    one stream per tile, `view --mt-lldplay` discovers, decodes and
+    tile-synchronizes them (reference: _scriptsupport.py mt-lldplay path)."""
+    import os
+    import sys
+
+    url = str(tmp_path / "cdn")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(pathlib.Path(__file__).parent.parent)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["SIGNALS_SMD_PATH"] = str(fake_signals)
+    rv = subprocess.run(
+        [sys.executable, "-m", "cwipc_util_tpu", "forward", "--synthetic",
+         "--npoints", "1000", "--count", "5", "--fps", "10", "--tiled",
+         "--lldpkg", url],
+        capture_output=True, text=True, timeout=240, env=env,
+    )
+    assert rv.returncode == 0, rv.stderr[-500:]
+    assert (tmp_path / "cdn" / "streams.txt").read_text().strip() == "2"
+    rv = subprocess.run(
+        [sys.executable, "-m", "cwipc_util_tpu", "view",
+         "--mt-lldplay", url, "--nodisplay", "--count", "2", "-v"],
+        capture_output=True, text=True, timeout=240, env=env,
+    )
+    assert rv.returncode == 0, rv.stderr[-500:]
+    assert "fused_tiles" in rv.stdout  # the synchronizer merged tile streams
