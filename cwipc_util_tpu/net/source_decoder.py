@@ -38,6 +38,10 @@ class _NetDecoder(threading.Thread, cwipc_activesource_abstract):
         self.stop()
 
     def start(self) -> bool:
+        # idempotent: factories may start sources for discovery before a
+        # downstream start cascade reaches them again
+        if self.running:
+            return True
         self.running = True
         threading.Thread.start(self)
         if isinstance(self.source, cwipc_activerawsource_abstract):

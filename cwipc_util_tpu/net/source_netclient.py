@@ -55,6 +55,10 @@ class _NetClientSource(threading.Thread, cwipc_activerawsource_abstract):
         self.fourcc = VRT_4CC(fourcc)
 
     def start(self) -> bool:
+        # idempotent: tiled factories start clients for stream discovery and
+        # the synchronizer's start cascade reaches them again
+        if self.running:
+            return True
         self.running = True
         threading.Thread.start(self)
         return True

@@ -55,6 +55,9 @@ class _Synchronizer(threading.Thread, cwipc_activesource_abstract):
         self.stop()
 
     def start(self) -> bool:
+        # idempotent (see the tiled factories: sources may already run)
+        if self.running:
+            return True
         self.running = True
         for s in self.sources:
             s.start()

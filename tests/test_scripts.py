@@ -106,6 +106,23 @@ class TestNetworkPipelines:
         )
         assert rv.returncode == 0, rv.stderr[-800:]
 
+    def test_forward_view_loopback_tiled(self):
+        """parallel: forward --tiled (one stream per tile) -> TCP ports ->
+        view --mt-netclient + decoders + tile synchronizer."""
+        port = _free_port()
+        rv = run_cwipc(
+            "parallel",
+            "forward", "--synthetic", "--npoints", "1000", "--count", "40",
+            "--fps", "10", "--nodrop", "--tiled", "--port", str(port),
+            "--",
+            "view", "--mt-netclient", f"localhost:{port}:2:1",
+            "--nodisplay", "--count", "3", "-v",
+            timeout=420,
+            env_extra={"CWIPC_PARALLEL_STAGGER": "6"},
+        )
+        assert rv.returncode == 0, rv.stderr[-800:]
+        assert "fused_tiles" in rv.stdout  # the synchronizer merged tiles
+
     def test_copy_conversion(self, tmp_path):
         """cwipc copy converts between formats via the FileWriter machinery."""
         r = run_cwipc("grab", "--synthetic", "--npoints", "1000", "--count", "1",
