@@ -355,3 +355,45 @@ class TestCodecRobustness:
             dec = codec.cwipc_new_decoder()
             with pytest.raises(cwipc.CwipcError):
                 dec.feed(blob)
+
+
+class TestPlaybackTileconfigSeek:
+    def test_tileconfig_json(self, tmp_path, small_pc):
+        """A tileconfig.json in a playback directory supplies tileinfo
+        (reference: playback.py:136-140)."""
+        import json
+
+        import cwipc_util_tpu as cwipc
+        from cwipc_util_tpu.models.playback import cwipc_playback
+
+        cwipc.cwipc_write(str(tmp_path / "pointcloud-1000.ply"), small_pc)
+        info = {"tileInfo": [
+            {"normal": {"x": 0, "y": 0, "z": 1}, "cameraName": "cam0",
+             "ncamera": 1, "cameraMask": 1},
+            {"normal": {"x": 0, "y": 0, "z": -1}, "cameraName": "cam1",
+             "ncamera": 1, "cameraMask": 2},
+        ]}
+        (tmp_path / "tileconfig.json").write_text(json.dumps(info))
+        src = cwipc_playback(str(tmp_path), ext=".ply")
+        assert src.maxtile() == 2
+        d = src.get_tileinfo_dict(1)
+        assert d["cameraName"] == "cam1"
+        assert d["cameraMask"] == 2
+        src.stop()
+
+    def test_seek_contract(self, tmp_path, small_pc):
+        """File playback refuses seek, exactly like the reference
+        (playback.py:44-45 returns False; only raw-recording capturers
+        implement seek) — inpoint/outpoint are the file-level positioning
+        mechanism (covered by test_inpoint_outpoint)."""
+        import cwipc_util_tpu as cwipc
+        from cwipc_util_tpu.models.playback import cwipc_playback
+
+        cwipc.cwipc_write(str(tmp_path / "pointcloud-1000.ply"), small_pc)
+        src = cwipc_playback(str(tmp_path), ext=".ply")
+        src.start()
+        assert not src.seek(1000)
+        pc = src.get()
+        assert pc is not None
+        pc.free()
+        src.stop()
