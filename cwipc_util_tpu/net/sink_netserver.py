@@ -43,7 +43,8 @@ class _SingleServer(threading.Thread):
 
     SELECT_TIMEOUT = 0.1
 
-    def __init__(self, port: int, verbose: bool = False):
+    def __init__(self, port: int, verbose: bool = False,
+                 any_client: Optional[threading.Event] = None):
         super().__init__(daemon=True)
         self.name = f"cwipc_util_tpu._Sink_NetServer:{port}"
         self.port = port
@@ -51,6 +52,9 @@ class _SingleServer(threading.Thread):
         self.stopped = False
         self.clients: List[socket.socket] = []
         self.had_client = False
+        # shared across the streams of one multi-server: set when ANY
+        # stream accepts its first consumer
+        self.any_client = any_client if any_client is not None else threading.Event()
         self.queue_lock = threading.Lock()
         self.pending: List[bytes] = []
         self.nodrop = False
@@ -72,6 +76,7 @@ class _SingleServer(threading.Thread):
                     conn.setblocking(True)
                     self.clients.append(conn)
                     self.had_client = True
+                    self.any_client.set()
                     if self.verbose:
                         print(f"netserver: accepted connection from {addr}")
                 except (BlockingIOError, OSError):
@@ -109,18 +114,27 @@ class _SingleServer(threading.Thread):
 
     def send(self, packet: bytes) -> bool:
         if self.nodrop:
-            # nodrop semantics: hold delivery until the first consumer is
-            # connected and the backlog stays bounded, rather than dropping.
-            # Once all consumers have left again, frames flow freely (a
-            # blocked producer could never terminate otherwise).
-            while not self.stopped and (
-                (not self.clients and not self.had_client) or len(self.pending) >= 8
-            ):
+            # nodrop semantics: hold delivery until the FIRST consumer of
+            # the whole sink connects, then apply bounded backpressure only
+            # on streams that actually have (or had) a consumer.  Streams
+            # nobody ever subscribes to (e.g. unselected qualities of a
+            # multi-quality encoder) must NOT block the producer — the
+            # reference's server thread drains its queue regardless of
+            # clients (sink_netserver.py:85-158); they keep a bounded ring
+            # of the newest packets for late subscribers instead.
+            while not self.stopped and not self.any_client.is_set():
+                time.sleep(0.05)
+            while not self.stopped and (self.clients or self.had_client) and len(self.pending) >= 8:
                 time.sleep(0.05)
             if self.stopped:
                 return False
+            with self.queue_lock:
+                if not (self.clients or self.had_client) and len(self.pending) >= 8:
+                    self.pending.pop(0)  # ring: keep the newest
+                self.pending.append(packet)
+            return True
         with self.queue_lock:
-            if not self.nodrop and len(self.pending) >= 2:
+            if len(self.pending) >= 2:
                 self.stats.add("dropped", 1, isInt=True)
                 return False
             self.pending.append(packet)
@@ -141,6 +155,7 @@ class _Sink_NetServer(cwipc_rawsink_abstract):
         self.producer = None
         self.servers: List[_SingleServer] = []
         self.started = False
+        self._any_client = threading.Event()
 
     def set_fourcc(self, fourcc: vrt_fourcc_type) -> None:
         self.fourcc = VRT_4CC(fourcc)
@@ -155,7 +170,8 @@ class _Sink_NetServer(cwipc_rawsink_abstract):
         qualitydesc: Optional[cwipc_quality_description] = None,
     ) -> int:
         index = len(self.servers)
-        server = _SingleServer(self.base_port + index, self.verbose)
+        server = _SingleServer(self.base_port + index, self.verbose,
+                               any_client=self._any_client)
         server.nodrop = self.nodrop
         self.servers.append(server)
         if self.started:

@@ -123,6 +123,25 @@ class TestNetworkPipelines:
         assert rv.returncode == 0, rv.stderr[-800:]
         assert "fused_tiles" in rv.stdout  # the synchronizer merged tiles
 
+    def test_forward_view_loopback_multiquality(self):
+        """parallel: forward --tiled with TWO qualities (4 streams / ports);
+        the client subscribes to quality 0 of each tile — unsubscribed
+        quality streams must not stall the producer under --nodrop."""
+        port = _free_port()
+        rv = run_cwipc(
+            "parallel",
+            "forward", "--synthetic", "--npoints", "1000", "--count", "40",
+            "--fps", "10", "--nodrop", "--tiled",
+            "--octree_bits", "8", "--octree_bits", "10", "--port", str(port),
+            "--",
+            "view", "--mt-netclient", f"localhost:{port}:2:2",
+            "--nodisplay", "--count", "3", "-v",
+            timeout=420,
+            env_extra={"CWIPC_PARALLEL_STAGGER": "6"},
+        )
+        assert rv.returncode == 0, rv.stderr[-800:]
+        assert "fused_tiles" in rv.stdout
+
     def test_copy_conversion(self, tmp_path):
         """cwipc copy converts between formats via the FileWriter machinery."""
         r = run_cwipc("grab", "--synthetic", "--npoints", "1000", "--count", "1",
