@@ -456,3 +456,53 @@ class TestGrabFlags:
         )
         assert rv.returncode == 0, rv.stderr[-500:]
         assert not list(tmp_path.glob("*.ply"))
+
+
+def test_runtime_quality_switch_over_tcp():
+    """The z-key path: synchronizer.select_next_tile_quality ->
+    netclient.switchport reconnects every tile to its next quality port and
+    clouds keep flowing (reference: source_synchronizer.py:235-251,
+    source_netclient.py:110-116)."""
+    import time
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    fwd = subprocess.Popen(
+        [sys.executable, "-m", "cwipc_util_tpu", "forward", "--synthetic",
+         "--npoints", "1000", "--count", "400", "--fps", "10", "--nodrop",
+         "--tiled", "--octree_bits", "8", "--octree_bits", "10",
+         "--port", str(port)],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        from cwipc_util_tpu.net import source_decoder, source_synchronizer
+        from cwipc_util_tpu.net.source_netclient import cwipc_multisource_netclient
+
+        deadline = time.time() + 60
+        rdr = cwipc_multisource_netclient(f"localhost:{port}", 2, 2)
+        rdr.start()
+        decs = [source_decoder.cwipc_source_decoder(rdr.get_tile_source(i))
+                for i in range(2)]
+        sync = source_synchronizer.cwipc_source_synchronizer(rdr, decs)
+        sync.start()
+
+        def drain(n):
+            got = 0
+            while time.time() < deadline and got < n:
+                if sync.available(True):
+                    pc = sync.get()
+                    if pc is not None:
+                        got += 1
+                        pc.free()
+            return got
+
+        assert drain(3) == 3
+        assert sync.select_next_tile_quality() == 1
+        assert drain(3) == 3, "no clouds after quality switch"
+        sync.stop()
+    finally:
+        fwd.terminate()
+        fwd.wait(timeout=10)
