@@ -481,7 +481,19 @@ def test_runtime_quality_switch_over_tcp():
         from cwipc_util_tpu.net import source_decoder, source_synchronizer
         from cwipc_util_tpu.net.source_netclient import cwipc_multisource_netclient
 
-        deadline = time.time() + 60
+        # wait until the forward process serves all 4 ports (a refused
+        # connection is EOF to the netclient, by reference semantics)
+        deadline = time.time() + 120
+        for p in range(port, port + 4):
+            while time.time() < deadline:
+                s = socket.socket()
+                try:
+                    s.connect(("localhost", p))
+                    s.close()
+                    break
+                except OSError:
+                    s.close()
+                    time.sleep(0.25)
         rdr = cwipc_multisource_netclient(f"localhost:{port}", 2, 2)
         rdr.start()
         decs = [source_decoder.cwipc_source_decoder(rdr.get_tile_source(i))
