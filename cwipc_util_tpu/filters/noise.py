@@ -14,14 +14,15 @@ class NoiseFilter(BaseFilter):
     noise - Add noise to the point coordinates.
         Arguments:
             distance: each point moves along a random vector up to this length
+            seed: optional RNG seed for reproducible fixtures
     """
 
     filtername = "noise"
 
-    def __init__(self, distance: float):
+    def __init__(self, distance: float, seed=None):
         super().__init__()
         self.distance = distance
-        self._rng = np.random.default_rng()
+        self._rng = np.random.default_rng(seed)
 
     def _process(self, pc):
         from .. import cwipc_from_numpy_matrix

@@ -25,7 +25,7 @@ class SimulatecamsFilter(BaseFilter):
 
     filtername = "simulatecams"
 
-    def __init__(self, ncamera: int, hard: Optional[bool] = False, skew: Optional[float] = 1.0):
+    def __init__(self, ncamera: int, hard: Optional[bool] = False, skew: Optional[float] = 1.0, seed=None):
         super().__init__()
         self.ncamera = ncamera
         angles = 2 * np.pi * np.arange(ncamera) / ncamera
@@ -34,7 +34,7 @@ class SimulatecamsFilter(BaseFilter):
         )
         self.hard = hard
         self.skew = skew
-        self._rng = np.random.default_rng()
+        self._rng = np.random.default_rng(seed)
 
     def _process(self, pc):
         from .. import cwipc_from_numpy_matrix

@@ -55,9 +55,9 @@ def main() -> int:
 
     # soft assignment: points near sector boundaries go to either camera,
     # giving the tiles the overlap fine alignment needs
-    pc = SimulatecamsFilter(args.ncamera, hard=False).filter(pc)
+    pc = SimulatecamsFilter(args.ncamera, hard=False, seed=args.seed).filter(pc)
     if args.noise:
-        pc = NoiseFilter(args.noise).filter(pc)
+        pc = NoiseFilter(args.noise, seed=args.seed + 1).filter(pc)
 
     # perturb each tile with a known transform; save the ground truth
     from .. import cwipc_join_multi, cwipc_tilefilter
