@@ -81,7 +81,7 @@ class TestNetworkPipelines:
         port = _free_port()
         rv = run_cwipc(
             "parallel",
-            "forward", "--synthetic", "--npoints", "1000", "--count", "12",
+            "forward", "--synthetic", "--npoints", "1000", "--count", "10",
             "--nodrop", "--noencode", "--port", str(port),
             "--",
             "view", "--netclient", f"localhost:{port}", "--nodecode",
@@ -96,7 +96,7 @@ class TestNetworkPipelines:
         port = _free_port()
         rv = run_cwipc(
             "parallel",
-            "forward", "--synthetic", "--npoints", "1000", "--count", "12",
+            "forward", "--synthetic", "--npoints", "1000", "--count", "10",
             "--nodrop", "--port", str(port),
             "--",
             "view", "--netclient", f"localhost:{port}",
@@ -190,6 +190,7 @@ class TestNetworkPipelines:
         test_aligner can load and improve."""
         f = tmp_path / "scene.cwipcdump"
         r = run_cwipc("create_analysis_test", "--ncamera", "2", "--noise", "0.001",
+                      "--npoints", "8000",
                       "--translation", "0.01", "--rotation", "0.02", str(f))
         assert r.returncode == 0, r.stderr
         assert f.exists()
@@ -314,7 +315,7 @@ class TestRegister:
         post-registration correspondence reaches the noise floor."""
         rv = self._run_in(
             tmp_path, "create_analysis_test", "--ncamera", "3",
-            "--npoints", "12000", "--noise", "0.002",
+            "--npoints", "9000", "--noise", "0.002",
             "--translation", "0.03", "--rotation", "0.06", "testpc.ply",
         )
         assert rv.returncode == 0, rv.stderr[-500:]
