@@ -473,7 +473,7 @@ def test_runtime_quality_switch_over_tcp():
     env.pop("XLA_FLAGS", None)
     fwd = subprocess.Popen(
         [sys.executable, "-m", "cwipc_util_tpu", "forward", "--synthetic",
-         "--npoints", "1000", "--count", "400", "--fps", "10", "--nodrop",
+         "--npoints", "1000", "--count", "3000", "--fps", "30", "--nodrop",
          "--tiled", "--octree_bits", "8", "--octree_bits", "10",
          "--port", str(port)],
         env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
@@ -504,7 +504,8 @@ def test_runtime_quality_switch_over_tcp():
 
         def drain(n):
             got = 0
-            while time.time() < deadline and got < n:
+            local_deadline = time.time() + 90
+            while time.time() < local_deadline and got < n:
                 if sync.available(True):
                     pc = sync.get()
                     if pc is not None:
