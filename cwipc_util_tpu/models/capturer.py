@@ -76,17 +76,24 @@ def _playback_factory(config: Dict[str, Any]):
             loop=bool(config.get("loop", False)),
             fps=config.get("fps"),
         )
-    cameras = config.get("camera", config.get("cameras", []))
-    base = config.get("_config_dir", "")
-    filenames = [
-        os.path.join(base, cam["filename"]) if base and not os.path.isabs(cam["filename"])
-        else cam["filename"]
-        for cam in cameras
-        if "filename" in cam
-    ]
-    if not filenames:
+    cameras = [c for c in config.get("camera", config.get("cameras", [])) if "filename" in c]
+    if not cameras:
         raise CwipcError("playback capturer: no directory or camera filenames in config")
-    return cwipc_playback(filenames, loop=bool(config.get("loop", False)), fps=config.get("fps"))
+    if len(cameras) > 1:
+        # Multi-camera recording: one file per camera, fused per frame with
+        # per-camera trafos and cameraMask tiles (the reference's recording
+        # replay path, internal/capturers.hpp:452-498).
+        from .playback import cwipc_multicam_playback
+
+        return cwipc_multicam_playback(config)
+    base = config.get("_config_dir", "")
+    fn = cameras[0]["filename"]
+    if base and not os.path.isabs(fn):
+        fn = os.path.join(base, fn)
+    return cwipc_playback(
+        [fn], ext=os.path.splitext(fn)[1] or ".ply",
+        loop=bool(config.get("loop", False)), fps=config.get("fps"),
+    )
 
 
 _cwipc_register_capturer("synthetic", _synthetic_count, _synthetic_factory)

@@ -181,3 +181,121 @@ def cwipc_playback(
     if ext == ".cwicpc":
         return _CompressedFilesource(dir_or_files, tileInfo=tileInfo, loop=loop, fps=fps, retimestamp=retimestamp)
     raise CwipcError(f"Unknown playback filetype {ext}")
+
+
+class _MulticamPlayback(cwipc_activesource_abstract):
+    """N per-camera recordings fused into one tiled stream.
+
+    The reference replays per-camera recordings through the camera capturer
+    stack, which applies each camera's cameraconfig trafo and tags points
+    with cameraMask = 1 << camIndex before fusing
+    (reference: internal/capturers.hpp:452-498, _scriptsupport.py:176-190).
+    Each get() pulls one frame per camera, transforms it by the camera's
+    4x4, overwrites the tile byte with the camera mask, and joins.
+    """
+
+    def __init__(self, sources, trafos, config_json: bytes):
+        self.sources = list(sources)
+        self.trafos = [None if t is None else t for t in trafos]
+        self._config_json = config_json
+
+    def start(self) -> bool:
+        return all(s.start() for s in self.sources)
+
+    def stop(self) -> None:
+        for s in self.sources:
+            s.stop()
+
+    def eof(self) -> bool:
+        return any(s.eof() for s in self.sources)
+
+    def available(self, wait: bool = False) -> bool:
+        return all(s.available(wait) for s in self.sources)
+
+    def get(self) -> Optional[cwipc_pointcloud_wrapper]:
+        import numpy as np
+
+        from .. import cwipc_colormap, cwipc_join_multi
+        from ..registration.util import cwipc_transform
+
+        parts = []
+        for i, src in enumerate(self.sources):
+            pc = src.get()
+            if pc is None:
+                for p in parts:
+                    p.free()
+                return None
+            if self.trafos[i] is not None and not np.allclose(
+                self.trafos[i], np.identity(4)
+            ):
+                moved = cwipc_transform(pc, self.trafos[i])
+                pc.free()
+                pc = moved
+            tagged = cwipc_colormap(pc, 0xFF000000, (1 << i) << 24)
+            pc.free()
+            parts.append(tagged)
+        fused = cwipc_join_multi(parts)
+        for p in parts:
+            p.free()
+        return fused
+
+    def maxtile(self) -> int:
+        return len(self.sources) + 1
+
+    def get_tileinfo_dict(self, i: int) -> Dict[Any, Any]:
+        ncam = len(self.sources)
+        if i == 0:
+            return dict(normal=dict(x=0, y=0, z=0), cameraName="",
+                        ncamera=ncam, cameraMask=(1 << ncam) - 1)
+        return dict(normal=dict(x=0, y=0, z=0), cameraName=f"recording-{i - 1}",
+                    ncamera=1, cameraMask=1 << (i - 1))
+
+    def get_config(self) -> bytes:
+        return self._config_json
+
+    def reload_config(self, config) -> bool:
+        return False
+
+    def free(self, *, force: bool = False) -> None:
+        self.stop()
+
+    def request_metadata(self, name: str) -> None:
+        self._metadata_wanted = getattr(self, "_metadata_wanted", set())
+        self._metadata_wanted.add(name)
+
+    def is_metadata_requested(self, name: str) -> bool:
+        return name in getattr(self, "_metadata_wanted", set())
+
+    def auxiliary_operation(self, op, inbuf=None, outbuf=None) -> bool:
+        return False
+
+    def seek(self, timestamp: int) -> bool:
+        return all(s.seek(timestamp) for s in self.sources)
+
+    def statistics(self) -> None:
+        pass
+
+
+def cwipc_multicam_playback(config: Dict[str, Any]) -> _MulticamPlayback:
+    """Build the fused multi-camera playback source from a playback-type
+    cameraconfig (per-camera ``filename`` + ``trafo`` entries)."""
+    import json as _json
+
+    import numpy as np
+
+    base = config.get("_config_dir", "")
+    cameras = config.get("camera", config.get("cameras", []))
+    sources, trafos = [], []
+    for cam in cameras:
+        fn = cam["filename"]
+        if base and not os.path.isabs(fn):
+            fn = os.path.join(base, fn)
+        ext = os.path.splitext(fn)[1]
+        sources.append(
+            cwipc_playback([fn], ext=ext, loop=bool(config.get("loop", True)),
+                           fps=config.get("fps"))
+        )
+        trafo = cam.get("trafo")
+        trafos.append(None if trafo is None else np.asarray(trafo, np.float32))
+    public = {k: v for k, v in config.items() if not k.startswith("_")}
+    return _MulticamPlayback(sources, trafos, _json.dumps(public).encode("utf8"))

@@ -397,3 +397,46 @@ class TestPlaybackTileconfigSeek:
         assert pc is not None
         pc.free()
         src.stop()
+
+
+class TestMulticamPlayback:
+    def test_fused_tiled_replay(self, tmp_path, small_pc):
+        """A multi-camera playback config fuses one frame per camera with
+        per-camera trafos applied and tile = cameraMask."""
+        import json
+
+        import numpy as np
+
+        import cwipc_util_tpu as cwipc
+        from cwipc_util_tpu.models.capturer import cwipc_capturer
+
+        for cam in range(2):
+            cwipc.cwipc_write(str(tmp_path / f"camera{cam}.ply"), small_pc)
+        shift = np.identity(4)
+        shift[0, 3] = 5.0  # move camera 1 by +5 in x
+        cfg = dict(
+            version=3, type="playback",
+            camera=[
+                dict(filename="camera0.ply", type="playback"),
+                dict(filename="camera1.ply", type="playback", trafo=shift.tolist()),
+            ],
+        )
+        conf = tmp_path / "cameraconfig.json"
+        conf.write_text(json.dumps(cfg))
+        src = cwipc_capturer(str(conf))
+        assert src.maxtile() == 3
+        assert src.get_tileinfo_dict(2)["cameraMask"] == 2
+        src.start()
+        pc = src.get()
+        assert pc is not None
+        n = small_pc.count()
+        assert pc.count() == 2 * n
+        m = pc.get_numpy_matrix()
+        tiles = m[:, 6].astype(int)
+        assert set(tiles) == {1, 2}
+        # camera 1's copy is shifted by the trafo
+        x_t1 = m[tiles == 1, 0].mean()
+        x_t2 = m[tiles == 2, 0].mean()
+        assert abs((x_t2 - x_t1) - 5.0) < 1e-4
+        pc.free()
+        src.stop()

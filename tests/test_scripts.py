@@ -520,3 +520,64 @@ def test_runtime_quality_switch_over_tcp():
     finally:
         fwd.terminate()
         fwd.wait(timeout=10)
+
+
+class TestRecordingRegistration:
+    def test_register_multicam_recording_e2e(self, tmp_path):
+        """Full recordings flow: per-camera recording files with known
+        misalignment -> register generates the cameraconfig, replays them as
+        a fused multi-camera capturer (per-camera trafo + cameraMask tiles,
+        reference: internal/capturers.hpp:452-498), fine-aligns, and saves
+        recovered trafos; the aligned recording then plays back fused."""
+        import json
+
+        import numpy as np
+
+        gen_code = f"""
+import sys; sys.path.insert(0, {REPO!r})
+import cwipc_util_tpu as cwipc
+from cwipc_util_tpu.filters.simulatecams import SimulatecamsFilter
+from cwipc_util_tpu.registration.util import cwipc_transform
+from cwipc_util_tpu.scripts.cwipc_create_analysis_test import perturbation
+
+gen = cwipc.cwipc_synthetic(0, 9000)
+gen.start(); pc = gen.get(); gen.stop()
+pc = SimulatecamsFilter(3, hard=False, seed=5).filter(pc)
+for cam in range(3):
+    tile_pc = cwipc.cwipc_tilefilter(pc, 1 << cam)
+    moved = cwipc_transform(tile_pc, perturbation(100 + cam, 0.03, 0.06))
+    cwipc.cwipc_write(r"{tmp_path}/camera%d.ply" % cam, moved)
+"""
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("XLA_FLAGS", None)
+        r = subprocess.run([sys.executable, "-c", gen_code], env=env,
+                           capture_output=True, text=True, timeout=240)
+        assert r.returncode == 0, r.stderr[-500:]
+
+        r = subprocess.run(
+            [sys.executable, "-m", "cwipc_util_tpu", "register",
+             "--nocoarse", "--nofloor", str(tmp_path)],
+            env=env, capture_output=True, text=True, timeout=900, cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+        import re
+
+        overall = re.findall(r"overall correspondence (\d+\.\d+)", r.stdout)
+        assert len(overall) >= 2
+        before, after = float(overall[0]), float(overall[-1])
+        assert after < before / 3, f"no improvement: {before} -> {after}"
+
+        cfg = json.loads((tmp_path / "cameraconfig.json").read_text())
+        assert cfg["type"] == "playback" and len(cfg["camera"]) == 3
+        trafos = [np.array(c["trafo"]) for c in cfg["camera"]]
+        assert any(not np.allclose(T, np.identity(4)) for T in trafos)
+
+        # the aligned recording replays as a fused multi-camera stream
+        r = subprocess.run(
+            [sys.executable, "-m", "cwipc_util_tpu", "view", "--playback",
+             str(tmp_path), "--nodisplay", "--count", "2"],
+            env=env, capture_output=True, text=True, timeout=240, cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr[-500:]
