@@ -200,7 +200,9 @@ class _MulticamPlayback(cwipc_activesource_abstract):
         self._config_json = config_json
 
     def start(self) -> bool:
-        return all(s.start() for s in self.sources)
+        # evaluate ALL (no short-circuit): a mid-list failure must not leave
+        # half the cameras running/seeked while the rest never got the call
+        return all([s.start() for s in self.sources])
 
     def stop(self) -> None:
         for s in self.sources:
@@ -270,7 +272,7 @@ class _MulticamPlayback(cwipc_activesource_abstract):
         return False
 
     def seek(self, timestamp: int) -> bool:
-        return all(s.seek(timestamp) for s in self.sources)
+        return all([s.seek(timestamp) for s in self.sources])
 
     def statistics(self) -> None:
         pass
@@ -292,6 +294,11 @@ def cwipc_multicam_playback(config: Dict[str, Any]) -> _MulticamPlayback:
             fn = os.path.join(base, fn)
         ext = os.path.splitext(fn)[1]
         sources.append(
+            # loop defaults ON: the capturer contract is a live-camera
+            # stand-in (registration and viewers capture repeatedly; the
+            # reference replays camera recordings continuously).  Finite
+            # conversion jobs set "loop": false in the config or bound the
+            # run with --count.
             cwipc_playback([fn], ext=ext, loop=bool(config.get("loop", True)),
                            fps=config.get("fps"))
         )

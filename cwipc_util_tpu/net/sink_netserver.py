@@ -90,6 +90,11 @@ class _SingleServer(threading.Thread):
         self.sock.close()
 
     def _flush(self) -> None:
+        if self.nodrop and not self.clients and not self.had_client:
+            # nodrop stream that never had a consumer: hold the (bounded)
+            # backlog so a late subscriber still gets the early frames —
+            # draining here would silently discard them
+            return
         with self.queue_lock:
             packets, self.pending = self.pending, []
         for packet in packets:
@@ -112,25 +117,27 @@ class _SingleServer(threading.Thread):
                 self.stats.add("send_duration", time.time() - t0)
                 self.stats.add("packetsize", len(packet), isInt=True)
 
+    RING = 64  # late-subscriber backlog for nodrop streams without a consumer
+
     def send(self, packet: bytes) -> bool:
         if self.nodrop:
-            # nodrop semantics: hold delivery until the FIRST consumer of
-            # the whole sink connects, then apply bounded backpressure only
-            # on streams that actually have (or had) a consumer.  Streams
-            # nobody ever subscribes to (e.g. unselected qualities of a
-            # multi-quality encoder) must NOT block the producer — the
-            # reference's server thread drains its queue regardless of
-            # clients (sink_netserver.py:85-158); they keep a bounded ring
-            # of the newest packets for late subscribers instead.
+            # nodrop semantics: block until the FIRST consumer of the whole
+            # sink connects (startup backlog for every stream), then apply
+            # backpressure only on streams with a live consumer.  Streams
+            # nobody subscribes to (e.g. unselected qualities of a
+            # multi-quality encoder) must NOT block the producer: they keep
+            # a bounded ring of the newest packets, which _flush() holds
+            # until a late subscriber arrives (the reference's server
+            # drains its queue once consumers exist, sink_netserver.py:85-158).
             while not self.stopped and not self.any_client.is_set():
                 time.sleep(0.05)
-            while not self.stopped and (self.clients or self.had_client) and len(self.pending) >= 8:
+            while not self.stopped and self.clients and len(self.pending) >= 8:
                 time.sleep(0.05)
             if self.stopped:
                 return False
             with self.queue_lock:
-                if not (self.clients or self.had_client) and len(self.pending) >= 8:
-                    self.pending.pop(0)  # ring: keep the newest
+                if not self.clients and not self.had_client and len(self.pending) >= self.RING:
+                    self.pending.pop(0)  # bounded ring: keep the newest
                 self.pending.append(packet)
             return True
         with self.queue_lock:

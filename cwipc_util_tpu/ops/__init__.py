@@ -112,10 +112,12 @@ def _estimate_spacing(pc: cwipc_pointcloud_wrapper) -> float:
         lo, hi = max(0, i - half), min(n, i + half)
         d2 = ((arr[i] - arr[lo:hi]) ** 2).sum(-1)
         d2[i - lo] = np.inf
+        d2[d2 == 0] = np.inf  # exact duplicates are not "spacing"
         m = d2.min()
         if np.isfinite(m):
             nns.append(np.sqrt(m))
-    return float(np.median(nns)) if nns else 1.0
+    # clamp: an all-duplicate window must not produce a zero grid cell
+    return max(1e-6, float(np.median(nns))) if nns else 1.0
 
 
 def _remove_outliers_single(

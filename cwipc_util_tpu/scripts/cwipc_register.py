@@ -141,7 +141,7 @@ class Registrator:
     def _capture_some_frames(self, count: int = 2) -> None:
         """Warm up so get_config() reflects all parameters (reference :665-681)."""
         got = 0
-        while got < count:
+        while got < count and not self.capturer.eof():
             if not self.capturer.available(True):
                 continue
             pc = self.capturer.get()

@@ -171,3 +171,56 @@ class TestStats:
         st.print()
         out = capsys.readouterr().out
         assert "sleep" in out and "frames" in out
+
+
+class TestNodropLateSubscriber:
+    def test_ring_held_for_late_subscriber(self):
+        """A nodrop stream whose consumer connects AFTER another stream's
+        must still deliver its early packets (held in the bounded ring, not
+        drained) — and a never-subscribed stream must not block the
+        producer."""
+        import socket
+        import threading
+        import time
+
+        from cwipc_util_tpu.net.sink_netserver import _Sink_NetServer, pack_frame
+
+        sink = _Sink_NetServer(0, nodrop=True)  # port 0: auto-assign
+        # three streams on consecutive auto ports is not possible with port
+        # 0; pick free ports explicitly
+        s = socket.socket(); s.bind(("", 0)); base = s.getsockname()[1]; s.close()
+        sink = _Sink_NetServer(base, nodrop=True)
+        for _ in range(3):
+            sink.add_stream()
+        sink.set_fourcc("cwi0")
+        sink.start()
+        try:
+            fed = []
+
+            def producer():
+                for i in range(12):
+                    for stream in range(3):
+                        ok = sink.feed(b"payload-%d-%d" % (stream, i), stream)
+                        fed.append(ok)
+
+            t = threading.Thread(target=producer)
+            t.start()
+            time.sleep(0.3)
+            assert t.is_alive()  # held: no consumer anywhere yet
+
+            c0 = socket.create_connection(("localhost", base), timeout=5)
+            t.join(timeout=30)
+            assert not t.is_alive(), "producer blocked by unsubscribed streams"
+            assert all(fed)
+
+            # late subscriber on stream 1 still receives the early backlog
+            time.sleep(0.3)
+            c1 = socket.create_connection(("localhost", base + 1), timeout=5)
+            c1.settimeout(10)
+            got = b""
+            while b"payload-1-0" not in got:
+                got += c1.recv(65536)
+            c0.close()
+            c1.close()
+        finally:
+            sink.stop()
