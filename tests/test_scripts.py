@@ -226,6 +226,7 @@ class TestExamples:
             ("example_viewrecording", ["--nodisplay"]),
             ("example_viewcamera", ["--nodisplay"]),
             ("example_sharded_chain", []),
+            ("example_dash_stream", []),
         ],
     )
     def test_example_runs(self, name, args):
