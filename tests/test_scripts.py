@@ -109,7 +109,7 @@ class TestNetworkPipelines:
     def test_forward_view_loopback_tiled(self):
         """parallel: forward --tiled (one stream per tile) -> TCP ports ->
         view --mt-netclient + decoders + tile synchronizer."""
-        port = _free_port()
+        port = _free_port_block(2)
         rv = run_cwipc(
             "parallel",
             "forward", "--synthetic", "--npoints", "1000", "--count", "40",
@@ -127,7 +127,7 @@ class TestNetworkPipelines:
         """parallel: forward --tiled with TWO qualities (4 streams / ports);
         the client subscribes to quality 0 of each tile — unsubscribed
         quality streams must not stall the producer under --nodrop."""
-        port = _free_port()
+        port = _free_port_block(4)
         rv = run_cwipc(
             "parallel",
             "forward", "--synthetic", "--npoints", "1000", "--count", "40",
@@ -460,6 +460,27 @@ class TestGrabFlags:
         assert not list(tmp_path.glob("*.ply"))
 
 
+def _free_port_block(n):
+    """A base port where n consecutive ports all bind (multi-stream servers
+    use base..base+n-1; a single free port does not guarantee the range)."""
+    for _ in range(50):
+        socks = []
+        base = _free_port()
+        try:
+            for p in range(base, base + n):
+                s = socket.socket()
+                s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+                s.bind(("", p))
+                socks.append(s)
+            return base
+        except OSError:
+            continue
+        finally:
+            for s in socks:
+                s.close()
+    raise RuntimeError("no free port block found")
+
+
 def test_runtime_quality_switch_over_tcp():
     """The z-key path: synchronizer.select_next_tile_quality ->
     netclient.switchport reconnects every tile to its next quality port and
@@ -467,7 +488,7 @@ def test_runtime_quality_switch_over_tcp():
     source_netclient.py:110-116)."""
     import time
 
-    port = _free_port()
+    port = _free_port_block(4)
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
     env["JAX_PLATFORMS"] = "cpu"
@@ -514,9 +535,13 @@ def test_runtime_quality_switch_over_tcp():
                         pc.free()
             return got
 
-        assert drain(3) == 3
+        assert drain(3) == 3, (
+            f"no clouds before switch (forward rc={fwd.poll()})"
+        )
         assert sync.select_next_tile_quality() == 1
-        assert drain(3) == 3, "no clouds after quality switch"
+        assert drain(3) == 3, (
+            f"no clouds after quality switch (forward rc={fwd.poll()})"
+        )
         sync.stop()
     finally:
         fwd.terminate()
