@@ -33,13 +33,20 @@ def _nn_distances(src: cwipc_pointcloud_wrapper, ref: cwipc_pointcloud_wrapper, 
     sbuf = src._access_buffer()
     rbuf = ref._access_buffer()
     if ignore_nearest > 0:
-        # self-precision mode: measure against the k-th neighbor by querying
-        # the cloud against itself and skipping the first `ignore_nearest`
-        # hits; approximated by excluding exact-zero distances.
-        dist, _ = nn_search(sbuf.xyz, sbuf.count, rbuf.xyz, rbuf.count, jnp.float32(max_distance))
-        d = np.asarray(dist[: src.count()])
-        d = d[d > 0]
-        return d
+        # self-precision mode: the distance to the (ignore_nearest)-th real
+        # neighbor.  A 1-NN query of a cloud against itself always returns
+        # the point itself at distance 0, so this needs a k-th-neighbor
+        # query (the reference's scipy-KDTree k-offset, analyze.py:120-123).
+        from scipy.spatial import cKDTree
+
+        spts = np.asarray(sbuf.xyz[: src.count()])
+        rpts = np.asarray(rbuf.xyz[: ref.count()])
+        if len(rpts) <= ignore_nearest:
+            return np.empty(0, np.float32)
+        tree = cKDTree(rpts)
+        dist, _ = tree.query(spts, k=ignore_nearest + 1, workers=-1)
+        d = np.atleast_2d(dist)[:, -1]
+        return d[np.isfinite(d) & (d <= max_distance)].astype(np.float32)
     dist, _ = nn_search(sbuf.xyz, sbuf.count, rbuf.xyz, rbuf.count, jnp.float32(max_distance))
     return np.asarray(dist[: src.count()])
 

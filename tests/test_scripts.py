@@ -607,3 +607,46 @@ for cam in range(3):
             env=env, capture_output=True, text=True, timeout=240, cwd=REPO,
         )
         assert r.returncode == 0, r.stderr[-500:]
+
+
+class TestAnalyzeRegistrationModes:
+    """Analysis-mode parity (reference: cwipc_analyze_registration.py)."""
+
+    @pytest.fixture(scope="class")
+    def scene(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("areg")
+        f = d / "scene.ply"
+        rv = run_cwipc("create_analysis_test", "--ncamera", "3",
+                       "--npoints", "8000", str(f))
+        assert rv.returncode == 0, rv.stderr[-400:]
+        return str(f)
+
+    def test_default_and_pairwise(self, scene):
+        rv = run_cwipc("analyze_registration", scene)
+        assert rv.returncode == 0, rv.stderr[-400:]
+        assert rv.stdout.count("Alignment") == 3
+        rv = run_cwipc("analyze_registration", "--pairwise", scene)
+        assert rv.returncode == 0
+        assert rv.stdout.count("Alignment") == 6  # ordered pairs of 3 tiles
+
+    def test_toself_reports_capture_precision(self, scene):
+        """Self-precision must report the nth-neighbor distance, not an
+        empty set (a 1-NN self-query always returns distance 0)."""
+        rv = run_cwipc("analyze_registration", "--toself", "--nth", "1", scene)
+        assert rv.returncode == 0, rv.stderr[-400:]
+        assert "count: 0" not in rv.stdout
+        assert rv.stdout.count("self, nth=1") == 3
+
+    def test_totile_overlap_occupancy_plot(self, scene, tmp_path):
+        rv = run_cwipc("analyze_registration", "--totile", "1", "--overlap",
+                       "--occupancy", "0.01", "--plot", str(tmp_path / "a.png"),
+                       scene, env_extra={"MPLBACKEND": "Agg"})
+        assert rv.returncode == 0, rv.stderr[-400:]
+        assert "overlap fitness" in rv.stdout
+        assert "Occupancy: tilenum=" in rv.stdout
+        assert (tmp_path / "a.png").exists()
+
+    def test_togroundtruth(self, scene, tmp_path):
+        rv = run_cwipc("analyze_registration", "--togroundtruth", scene, scene)
+        assert rv.returncode == 0, rv.stderr[-400:]
+        assert rv.stdout.count("to 0x0") == 3
