@@ -175,10 +175,15 @@ class TestNetworkPipelines:
                       "--algorithm", "RegistrationComputer_ICP_Point2Point",
                       str(src))
         assert r.returncode == 0, r.stderr
-        toks = [t.strip("[],") for t in r.stdout.split()]
-        nums = [float(t) for t in toks if _is_float(t)]
-        assert len(nums) >= 16
-        m = nums[:16]
+        # parse the ready-to-use filter expression on the last line
+        import ast as _ast
+        import re as _re
+
+        match = _re.search(r"transform44\((.*)\)'", r.stdout)
+        assert match, r.stdout[-400:]
+        matrix = _ast.literal_eval(match.group(1))
+        m = [v for row in matrix for v in row]
+        assert len(m) == 16
         # diagonal ~1, off-diagonal ~0
         for i in range(4):
             for j in range(4):
