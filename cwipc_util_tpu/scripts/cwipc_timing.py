@@ -17,14 +17,18 @@ from ._scriptsupport import (
 def main() -> int:
     parser = ArgumentParser(description="Measure per-cloud timing of a source")
     parser.add_argument("--output", metavar="FILE", help="Write CSV to FILE (default stdout)")
+    parser.add_argument("--details", action="store_true", help="Also print every record as it is captured")
+    parser.add_argument("--savergb", type=int, default=0, metavar="N", help="Save every Nth RGB aux image next to the CSV")
     args = parser.parse_args()
     beginOfRun(args)
     source = activesource_factory_from_args(args)()
     source.request_metadata("timestamps")
     source.start()
     out = open(args.output, "w") if args.output else sys.stdout
-    out.write("seq,timestamp_ms,received_ms,latency_ms\n")
+    out.write("seq,timestamp_ms,received_ms,latency_ms,frame_duration_ms,pointcount,aux\n")
     seq = 0
+    prev_ts = None
+    savergb_counter = args.savergb
     count = args.count or 10
     while not source.eof() and seq < count:
         if not source.available(True):
@@ -33,7 +37,34 @@ def main() -> int:
         if pc is None:
             break
         now_ms = int(time.time() * 1000)
-        out.write(f"{seq},{pc.timestamp()},{now_ms},{now_ms - pc.timestamp()}\n")
+        ts = pc.timestamp()
+        frame_duration = "" if prev_ts is None else str(ts - prev_ts)
+        prev_ts = ts
+        md = pc._metadata
+        n_aux = md.count() if md is not None else 0
+        record = f"{seq},{ts},{now_ms},{now_ms - ts},{frame_duration},{pc.count()},{n_aux}"
+        out.write(record + "\n")
+        if args.details:
+            print(f"timing: {record}", file=sys.stderr)
+            if md is not None:
+                for i in range(n_aux):
+                    name = md.name(i)
+                    if "timestamps" in name:
+                        print(f"timing:   {name}: {md.description(i)}", file=sys.stderr)
+        if args.savergb and md is not None:
+            savergb_counter -= 1
+            if savergb_counter <= 0:
+                savergb_counter = args.savergb
+                for i in range(n_aux):
+                    if md.name(i).startswith("rgb"):
+                        try:
+                            import cv2
+
+                            img = md.get_image(i)
+                            cv2.imwrite(f"timing-rgb-{ts}.png",
+                                        img[..., ::-1] if img.ndim == 3 else img)
+                        except (ImportError, ValueError, KeyError):
+                            pass
         pc.free()
         seq += 1
     source.stop()
