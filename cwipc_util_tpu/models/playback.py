@@ -294,12 +294,11 @@ def cwipc_multicam_playback(config: Dict[str, Any]) -> _MulticamPlayback:
             fn = os.path.join(base, fn)
         ext = os.path.splitext(fn)[1]
         sources.append(
-            # loop defaults ON: the capturer contract is a live-camera
-            # stand-in (registration and viewers capture repeatedly; the
-            # reference replays camera recordings continuously).  Finite
-            # conversion jobs set "loop": false in the config or bound the
-            # run with --count.
-            cwipc_playback([fn], ext=ext, loop=bool(config.get("loop", True)),
+            # loop defaults OFF, matching the reference's --loop flag and
+            # the single-camera playback path: a finite recording reaches
+            # EOF so conversion jobs (cwipc copy/grab) terminate.  Live
+            # replay opts in via "loop": true in the config or --loop.
+            cwipc_playback([fn], ext=ext, loop=bool(config.get("loop", False)),
                            fps=config.get("fps"))
         )
         trafo = cam.get("trafo")

@@ -152,6 +152,14 @@ def window_knn_mean_distance_cm(
     262k-point relayout the chain paid twice."""
     cap = x.shape[0]
     assert window <= HALO, f"window {window} exceeds the kernel halo {HALO}"
+    # The packed-key selection reserves 6 low mantissa bits for the
+    # candidate-row index (`key & ~63 | row_iota`), so at most 2*window=64
+    # candidate rows can carry unique ids; beyond that, row ids would
+    # overflow into live mantissa bits and break both key uniqueness and
+    # the divide-by-k statistics.
+    assert 2 * window <= 64, (
+        f"window {window} > 32 would overflow the 6-bit row-id packing"
+    )
     # Small clouds: pad the point axis to two grid blocks (padding lanes sit
     # beyond `count`, so the kernel masks them out of every distance).
     pad = (-cap) % (2 * BLOCK)

@@ -93,6 +93,18 @@ def activesource_factory_from_args(
             )
         configfile = os.path.join(path, "cameraconfig.json")
         if os.path.exists(configfile):
+            if args.loop:
+                # Plumb --loop into the recording-replay capturer: load the
+                # config and pass it inline with the flag folded in (the
+                # playback capturer itself defaults to not looping, like
+                # the reference's --loop default).
+                import json as _json
+
+                with open(configfile) as fp:
+                    conf = _json.load(fp)
+                conf["loop"] = True
+                conf["_config_dir"] = os.path.abspath(path)
+                return lambda: cwipc_capturer(_json.dumps(conf))
             return lambda: cwipc_capturer(configfile)
         ptype = _guess_playback_type(os.listdir(path))
         if not ptype:

@@ -9,22 +9,37 @@ import sys
 from . import cwipc_grab
 
 
-# Options that consume a following value: their values must not be
+# Options that consume a following value must not have their values
 # mistaken for positional arguments when rewriting argv.  The sets differ
 # per delegation target — e.g. --rgb takes a value in grab (an image
-# extension) but is a store_true in view.
-_BASE_VALUE_FLAGS = {
-    "--cameraconfig", "--proxy", "--netclient", "--lldplay",
-    "--mt-netclient", "--mt-lldplay", "--playback", "--npoints", "--fps",
-    "--count", "--inpoint", "--outpoint", "--filter", "--logging",
-}
-GRAB_VALUE_FLAGS = _BASE_VALUE_FLAGS | {
-    "--compress_param", "--rgb", "--depth", "--skeleton", "--fpattern",
-}
-VIEW_VALUE_FLAGS = _BASE_VALUE_FLAGS | {"--latencies"}
+# extension) but is a store_true in view — so they are DERIVED from the
+# target's own argparse actions (argparse sets nargs=0 for store_true/
+# store_false/store_const/count actions; everything else consumes values).
 
 
-def _positionals(argv, value_flags=GRAB_VALUE_FLAGS):
+def _value_flags_from_parser(parser):
+    flags = set()
+    for action in parser._actions:
+        if action.option_strings and action.nargs != 0:
+            flags.update(action.option_strings)
+    return flags
+
+
+def GRAB_VALUE_FLAGS():
+    from .cwipc_grab import make_parser
+
+    return _value_flags_from_parser(make_parser())
+
+
+def VIEW_VALUE_FLAGS():
+    from .cwipc_view import make_parser
+
+    return _value_flags_from_parser(make_parser())
+
+
+def _positionals(argv, value_flags):
+    if callable(value_flags):
+        value_flags = value_flags()
     out = []
     skip = False
     for a in argv:
@@ -41,7 +56,7 @@ def _positionals(argv, value_flags=GRAB_VALUE_FLAGS):
 
 def main() -> int:
     argv = sys.argv[1:]
-    positional = _positionals(argv)
+    positional = _positionals(argv, GRAB_VALUE_FLAGS)
     if len(positional) >= 2:
         inp = positional[0]
         idx = argv.index(inp)

@@ -148,7 +148,7 @@ class FileWriter:
         print(f"filewriter: written={self.count_written}")
 
 
-def main() -> int:
+def make_parser() -> ArgumentParser:
     parser = ArgumentParser(description="Capture pointclouds to files")
     parser.add_argument("--nopointclouds", action="store_true", help="Don't save pointclouds (aux data only)")
     parser.add_argument("--cwipcdump", action="store_true", help="Save as .cwipcdump (default: .ply)")
@@ -161,7 +161,11 @@ def main() -> int:
     parser.add_argument("--fpattern", metavar="VAR", default="timestamp", help="Name files by VAR: count or timestamp (default)")
     parser.add_argument("--incore", action="store_true", help="Buffer all captures in memory and write at the end (requires --count)")
     parser.add_argument("outputdir", help="Directory to write the files to")
-    args = parser.parse_args()
+    return parser
+
+
+def main() -> int:
+    args = make_parser().parse_args()
     beginOfRun(args)
     if not os.path.isdir(args.outputdir):
         print(f"{sys.argv[0]}: no such directory: {args.outputdir}")

@@ -18,7 +18,7 @@ from ._scriptsupport import (
 )
 
 
-def main() -> int:
+def make_parser() -> ArgumentParser:
     parser = ArgumentParser(description="View pointcloud streams")
     parser.add_argument("--nodisplay", action="store_true", help="Run without a display window (count clouds only)")
     parser.add_argument("--latencies", metavar="FILE", help="Write per-cloud latency CSV to FILE")
@@ -30,7 +30,11 @@ def main() -> int:
     parser.add_argument("--skeleton", action="store_true", help="Also request and render skeleton metadata (capturers that support it)")
     parser.add_argument("--timestamps", action="store_true", help="Print detailed timestamp information per displayed cloud")
     parser.add_argument("--help_commands", action="store_true", help="List interactive commands and exit")
-    args = parser.parse_args()
+    return parser
+
+
+def main() -> int:
+    args = make_parser().parse_args()
     if args.help_commands:
         from ..io.visualizer import HELP
 
