@@ -320,6 +320,103 @@ STAGES = {
     "chain_knn": lambda: stage_chain_strip("knn"),
 }
 
+
+
+def stage_colsort(rows, n):
+    """Columnar (axis-0) sort of [rows, n]: the candidate-selection
+    primitive for the exact column-grid kNN design (each lane sorts its
+    own short column; XLA emits a vectorized sorting network)."""
+
+    def args_fn():
+        rng = np.random.default_rng(3)
+        d = jnp.asarray(rng.random((rows, n), np.float32))
+        return (d,)
+
+    def body(seed, d):
+        s = jnp.sort(d + seed.astype(jnp.float32) * 1e-12, axis=0)
+        return s[:30].sum()
+
+    return timeit(body, args_fn, f"colsort [{rows},{n//1000}k]")
+
+
+def stage_colsort_topk(rows, n, k=30):
+    """Columnar selection via 31-step count-bisection on packed keys
+    (the window kernel's method) expressed in XLA, for comparison."""
+
+    def args_fn():
+        rng = np.random.default_rng(3)
+        d = jnp.asarray(rng.random((rows, n), np.float32))
+        return (d,)
+
+    def body(seed, d):
+        d = d + seed.astype(jnp.float32) * 1e-12
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+        key = (jax.lax.bitcast_convert_type(d, jnp.int32) & ~511) | row_iota
+        lo = jnp.zeros((n,), jnp.int32)
+        hi = jnp.full((n,), jnp.iinfo(jnp.int32).max, jnp.int32)
+        for _ in range(31):
+            mid = lo + ((hi - lo) >> 1)
+            cnt = jnp.sum((key <= mid[None, :]).astype(jnp.int32), axis=0)
+            ge = cnt >= k
+            hi = jnp.where(ge, mid, hi)
+            lo = jnp.where(ge, lo, mid + 1)
+        sel = key <= hi[None, :]
+        return jnp.where(sel, d, 0.0).sum()
+
+    return timeit(body, args_fn, f"colbisect [{rows},{n//1000}k] k={k}")
+
+
+def stage_sortfill(n_real, n_slots):
+    """Slot-grid fill: sort (real points + slot fillers) by slot address."""
+
+    def args_fn():
+        rng = np.random.default_rng(4)
+        addr = np.sort(rng.choice(n_slots, n_real, replace=False)).astype(np.int32)
+        keys = jnp.concatenate([jnp.asarray(addr), jnp.arange(n_slots, dtype=jnp.int32)])
+        pay = jnp.asarray(rng.integers(0, 1 << 30, n_real + n_slots, dtype=np.int32))
+        return keys, pay
+
+    def body(seed, keys, pay):
+        p2 = jax.lax.complex(
+            jax.lax.bitcast_convert_type(pay + seed, jnp.float32),
+            jax.lax.bitcast_convert_type(pay, jnp.float32),
+        )
+        sk, sp = jax.lax.sort((keys, p2), num_keys=1)
+        return sk[:n_slots].sum().astype(jnp.float32) + jnp.real(sp)[0]
+
+    return timeit(body, args_fn, f"sortfill {n_real//1000}k+{n_slots//1000}k")
+
+
+def stage_rolls(n, nrolls):
+    """Shifted-distance pass: nrolls static rolls of 3 channel rows."""
+
+    def args_fn():
+        rng = np.random.default_rng(5)
+        return (jnp.asarray(rng.random((3, n), np.float32)),)
+
+    def body(seed, xyz):
+        xyz = xyz + seed.astype(jnp.float32) * 1e-12
+        acc = jnp.zeros((n,), jnp.float32)
+        for i in range(nrolls):
+            r = jnp.roll(xyz, i + 1, axis=1)
+            d = xyz - r
+            acc = acc + (d * d).sum(axis=0)
+        return acc.sum()
+
+    return timeit(body, args_fn, f"rolls x{nrolls} [{n//1000}k]")
+
+
+STAGES.update({
+    "colsort343": lambda: stage_colsort(343, 465_000),
+    "colsort343s": lambda: stage_colsort(343, 232_000),
+    "colsort64": lambda: stage_colsort(64, 262_144),
+    "colbisect343": lambda: stage_colsort_topk(343, 465_000),
+    "sortfill": lambda: stage_sortfill(218_000, 465_000),
+    "rolls343": lambda: stage_rolls(465_000, 343),
+    "rolls49": lambda: stage_rolls(465_000, 49),
+})
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or list(STAGES)
     for name in names:

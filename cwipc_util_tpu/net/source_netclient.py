@@ -13,6 +13,7 @@ port + tile*nQuality + quality (source_netclient.py:201-252).
 
 from __future__ import annotations
 
+import select
 import socket
 import struct
 import threading
@@ -48,7 +49,10 @@ class _NetClientSource(threading.Thread, cwipc_activerawsource_abstract):
         self._eof = False
         self.sock: Optional[socket.socket] = None
         self._switch_lock = threading.Lock()
-        self._want_port: Optional[int] = None
+        self._pending_sock: Optional[socket.socket] = None
+        self._pending_port: Optional[int] = None
+        # self-pipe so switchport()/stop() can wake the reader's select()
+        self._wake_r, self._wake_w = socket.socketpair()
         self.stats = Stats(f"netclient:{self.host}:{self.port}")
 
     def set_fourcc(self, fourcc: vrt_fourcc_type) -> None:
@@ -66,25 +70,63 @@ class _NetClientSource(threading.Thread, cwipc_activerawsource_abstract):
     def stop(self) -> None:
         self.running = False
         with self._switch_lock:
-            if self.sock:
-                try:
-                    self.sock.close()
-                except OSError:
-                    pass
-                self.sock = None
+            for s in (self.sock, self._pending_sock):
+                if s:
+                    try:
+                        s.close()
+                    except OSError:
+                        pass
+            self.sock = None
+            self._pending_sock = None
+            self._wake()
         if self.is_alive():
             self.join(timeout=2)
-
-    def switchport(self, port: int) -> None:
-        """Reconnect to a different port (quality switching)."""
-        with self._switch_lock:
-            self._want_port = port
-            if self.sock:
+        if not self.is_alive():
+            for s in (self._wake_r, self._wake_w):
                 try:
-                    self.sock.close()
+                    s.close()
                 except OSError:
                     pass
-                self.sock = None
+
+    def switchport(self, port: int) -> None:
+        """Switch to a different port (quality switching), make-before-break.
+
+        The reference reconnects by closing the live socket and dialing the
+        new port from the reader thread (reference:
+        python/cwipc/net/source_netclient.py:110-116,246-251), which leaves
+        a window where the stream is dark and a loaded host can blow any
+        drain deadline.  Here the NEW connection is established first, the
+        reader drains BOTH sockets, and cutover happens deterministically on
+        the first frame the new socket delivers: the old socket is closed
+        and frames older than the last delivered timestamp are dropped at
+        the seam, so a switch is an ordered stream event with no gap.
+        """
+        with self._switch_lock:
+            if port == self.port and self._pending_sock is None:
+                return
+            try:
+                new_sock = socket.create_connection((self.host, port), timeout=5)
+                new_sock.settimeout(None)
+            except OSError:
+                if self.verbose:
+                    print(f"netclient: switch to port {port} refused; keeping {self.port}")
+                return
+            if self._pending_sock is not None:
+                # a switch superseding an un-cut-over switch: replace it
+                try:
+                    self._pending_sock.close()
+                except OSError:
+                    pass
+            self._pending_sock = new_sock
+            self._pending_port = port
+            self._wake()
+
+    def _wake(self) -> None:
+        """Nudge the reader thread out of its select()."""
+        try:
+            self._wake_w.send(b"x")
+        except OSError:
+            pass
 
     def eof(self) -> bool:
         return self._eof and self.queue.empty()
@@ -102,10 +144,6 @@ class _NetClientSource(threading.Thread, cwipc_activerawsource_abstract):
         return self.queue.get()
 
     def _connect(self) -> Optional[socket.socket]:
-        with self._switch_lock:
-            if self._want_port is not None:
-                self.port = self._want_port
-                self._want_port = None
         try:
             sock = socket.create_connection((self.host, self.port), timeout=5)
             sock.settimeout(None)  # connect timeout only; streams may idle
@@ -124,6 +162,23 @@ class _NetClientSource(threading.Thread, cwipc_activerawsource_abstract):
             remaining -= len(chunk)
         return b"".join(chunks)
 
+    def _read_frame(self, sock: socket.socket):
+        """One framed packet off `sock`: (timestamp, payload) or None."""
+        try:
+            hdr = self._recv_all(sock, HEADER_SIZE)
+            if hdr is None:
+                return None
+            fourcc, length, timestamp = struct.unpack(HEADER_FORMAT, hdr)
+            if self.fourcc and fourcc != self.fourcc:
+                print(f"netclient: unexpected fourcc 0x{fourcc:08x}")
+                return None
+            payload = self._recv_all(sock, length)
+            if payload is None:
+                return None
+            return timestamp, payload
+        except OSError:
+            return None
+
     def run(self) -> None:
         sock = self._connect()
         if sock is None:
@@ -133,38 +188,89 @@ class _NetClientSource(threading.Thread, cwipc_activerawsource_abstract):
             self._eof = True
             return
         self.sock = sock
+        last_ts = 0
+        seam_ts = None  # dedup gate, active only across a quality cutover
         while self.running:
+            with self._switch_lock:
+                pending = self._pending_sock
+            waitset = [sock, self._wake_r] + ([pending] if pending else [])
             try:
-                hdr = self._recv_all(sock, HEADER_SIZE)
-            except OSError:
-                hdr = None
-            if hdr is None:
+                readable, _, _ = select.select(waitset, [], [], 1.0)
+            except (OSError, ValueError):
+                break
+            if self._wake_r in readable:
+                try:
+                    self._wake_r.recv(4096)
+                except OSError:
+                    pass
+                continue  # re-evaluate pending / running
+            if pending and pending in readable:
+                # Cutover: the new-quality stream has its first frame —
+                # from here on it is the stream.  Frames at or before the
+                # last delivered timestamp (still queued in the kernel from
+                # the overlap window) are dropped at the seam.
+                frame = self._read_frame(pending)
                 with self._switch_lock:
-                    pending_switch = self._want_port is not None
-                if pending_switch:
-                    sock = self._connect()
-                    if sock is not None:
-                        self.sock = sock
-                        continue
+                    self._pending_sock = None
+                    if self._pending_port is not None:
+                        self.port = self._pending_port
+                        self._pending_port = None
+                try:
+                    sock.close()
+                except OSError:
+                    pass
+                if frame is None:
+                    break
+                sock = pending
+                self.sock = sock
+                seam_ts = last_ts
+                ts, payload = frame
+                if ts > seam_ts:
+                    seam_ts = None
+                    last_ts = ts
+                    self.stats.add("packetsize", len(payload), isInt=True)
+                    self.stats.add("latency", max(0.0, time.time() - ts / 1000.0))
+                    self.queue.put(payload)
+                continue
+            if sock not in readable:
+                continue
+            frame = self._read_frame(sock)
+            if frame is None:
+                # current stream ended; if a switch is pending, promote it
+                # (make-before-break also covers source-side stream ends)
+                with self._switch_lock:
+                    pending = self._pending_sock
+                    self._pending_sock = None
+                    if pending is not None and self._pending_port is not None:
+                        self.port = self._pending_port
+                        self._pending_port = None
+                if pending is not None:
+                    try:
+                        sock.close()
+                    except OSError:
+                        pass
+                    sock = pending
+                    self.sock = sock
+                    continue
                 break
-            fourcc, length, timestamp = struct.unpack(HEADER_FORMAT, hdr)
-            if self.fourcc and fourcc != self.fourcc:
-                print(f"netclient: unexpected fourcc 0x{fourcc:08x}")
-                break
-            try:
-                payload = self._recv_all(sock, length)
-            except OSError:
-                payload = None
-            if payload is None:
-                break
-            self.stats.add("packetsize", length, isInt=True)
-            self.stats.add("latency", max(0.0, time.time() - timestamp / 1000.0))
+            ts, payload = frame
+            if seam_ts is not None:
+                # duplicates of frames already delivered before the
+                # cutover (buffered during the overlap window)
+                if ts <= seam_ts:
+                    continue
+                seam_ts = None
+            last_ts = ts
+            self.stats.add("packetsize", len(payload), isInt=True)
+            self.stats.add("latency", max(0.0, time.time() - ts / 1000.0))
             self.queue.put(payload)
         self._eof = True
-        try:
-            sock.close()
-        except OSError:
-            pass
+        for s in (sock, self._pending_sock):
+            if s is not None:
+                try:
+                    s.close()
+                except OSError:
+                    pass
 
     def statistics(self) -> None:
         self.stats.print()

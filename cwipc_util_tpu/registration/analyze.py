@@ -6,8 +6,11 @@ nearest-neighbor distances from source to reference (scipy KDTree there;
 the TPU grid kernel ops/knn.py here), distance histogram, and
 "correspondence" extraction — the distance that best characterizes how far
 the source is from the reference — via mean / trimmed mean / median / mode
-(histogram peak) measures.  The symmetric variant (default, analyze.py:284)
-analyzes both directions and keeps the worse correspondence.
+(histogram peak) / 2mode / q=NN (percentile) measures.  The distance
+density defaults to a gaussian-KDE histogram like the reference
+(analyze.py:171-179, use_kde at :48,275); `use_kde = False` selects the
+raw histogram.  The symmetric variant (default, analyze.py:284) analyzes
+both directions and keeps the worse correspondence.
 """
 
 from __future__ import annotations
@@ -24,7 +27,7 @@ from .util import BaseAlgorithm
 
 DEFAULT_MAX_CORRESPONDENCE = 0.1  # 10cm: sane upper bound for camera misalignment
 DEFAULT_MIN_CORRESPONDENCE = 0.0001
-HISTOGRAM_BINS = 200
+HISTOGRAM_BINS = 400  # reference: histogram_bincount default (analyze.py:35)
 FLOOR_LEVEL = 0.1  # points below this Y are "floor" and can be excluded
 
 
@@ -64,6 +67,11 @@ class RegistrationAnalyzer(BaseAlgorithm, AnalysisAlgorithm):
         self.min_correspondence = DEFAULT_MIN_CORRESPONDENCE
         self.ignore_nearest = 0
         self.ignore_floor = False
+        # Reference parity: the distance density defaults to a gaussian
+        # KDE evaluated on the histogram grid (analyze.py:48,171-179,275).
+        self.use_kde = True
+        self.gaussian_bw_method = None
+        self.histogram_bincount = HISTOGRAM_BINS
         self._results: Optional[AnalysisResults] = None
 
     # -- configuration -------------------------------------------------------
@@ -124,27 +132,62 @@ class RegistrationAnalyzer(BaseAlgorithm, AnalysisAlgorithm):
         res.mean = float(finite.mean())
         res.stddev = float(finite.std())
         res.median = float(np.median(finite))
-        lo, hi = np.percentile(finite, [5, 95])
-        trimmed = finite[(finite >= lo) & (finite <= hi)]
-        res.tmean = float(trimmed.mean()) if trimmed.size else res.mean
+        from scipy import stats as _stats
 
-        hist, edges = np.histogram(
-            finite, bins=HISTOGRAM_BINS, range=(self.min_correspondence, self.max_correspondence)
-        )
+        # reference: scipy trim_mean with 10% trimmed per tail (analyze.py:207)
+        res.tmean = float(_stats.trim_mean(finite, 0.1)) if finite.size else res.mean
+
+        hist, edges = self._compute_histogram(finite)
         res.histogram = hist
         res.histogramEdges = edges
+        # reference's _mode_from_histogram: the RIGHT edge of the peak bin
+        # (analyze.py:136-139)
         peak = int(np.argmax(hist))
-        res.mode = float((edges[peak] + edges[peak + 1]) / 2)
+        res.mode = float(edges[peak + 1])
 
-        measure = {
-            "mean": res.mean,
-            "median": res.median,
-            "tmean": res.tmean,
-            "mode": res.mode,
-        }.get(self.correspondence_method, res.mean)
+        method = self.correspondence_method
+        if method == "2mode":
+            measure = 2.0 * res.mode
+        elif method.startswith("q="):
+            measure = float(np.percentile(finite, int(method[2:])))
+        else:
+            measure = {
+                "mean": res.mean,
+                "median": res.median,
+                "tmean": res.tmean,
+                "mode": res.mode,
+            }.get(method, res.mean)
         res.minCorrespondence = float(measure)
         res.minCorrespondenceCount = int((finite <= res.minCorrespondence).sum())
         return res
+
+    def _histogram_bins(self, finite: np.ndarray) -> int:
+        """Reference semantics (analyze.py:141-159): min_correspondence is
+        the minimum meaningful granularity, i.e. the BIN SIZE; without one
+        the default bincount applies."""
+        max_d = float(finite.max())
+        if self.min_correspondence and self.min_correspondence > 0 and max_d > 0:
+            bins = int(max_d / self.min_correspondence)
+            return max(1, min(bins, 100_000))
+        return self.histogram_bincount
+
+    def _compute_histogram(self, finite: np.ndarray):
+        bins = self._histogram_bins(finite)
+        max_d = float(finite.max())
+        if self.use_kde and finite.size > 2 and max_d > 0 and float(finite.min()) < max_d:
+            # gaussian-KDE density evaluated on the histogram grid
+            # (reference analyze.py:171-179): edges from 0 to max distance,
+            # the density sampled at each bin's right edge.
+            from scipy import stats as _stats
+
+            try:
+                kde = _stats.gaussian_kde(finite, bw_method=self.gaussian_bw_method)
+                edges = np.linspace(0.0, max_d, bins + 1)
+                values = kde.evaluate(edges[1:])
+                return values, edges
+            except Exception:
+                pass  # singular data etc: fall through to the raw histogram
+        return np.histogram(finite, bins=bins)
 
     def get_results(self) -> AnalysisResults:
         assert self._results is not None
@@ -214,5 +257,6 @@ Analyzer algorithms:
     RegistrationAnalyzer           one-directional NN-distance statistics
     RegistrationAnalyzerSymmetric  both directions, worse wins (default)
     OverlapAnalyzer                fitness/rmse overlap measure
-Correspondence measures: mean, median, tmean, mode.
+Correspondence measures: mean, median, tmean, mode, 2mode, q=NN (percentile).
+The distance density is a gaussian-KDE histogram by default (use_kde).
 """

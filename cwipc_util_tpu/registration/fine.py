@@ -9,9 +9,12 @@ Re-implementation of the reference's ICP aligners
   closed-form Kabsch/SVD update,
 * point-to-plane ICP          — reference normals from the on-device
   Morton-window estimator, 6x6 linearized solve per iteration,
-* "generalized" ICP           — point-to-plane with symmetric
-  (source+reference) normal weighting, the default
-  (documented simplification of full plane-to-plane GICP).
+* generalized (plane-to-plane) ICP — the default, as in the reference
+  (fine.py:290-317, o3d GeneralizedICP there): per-point disc
+  covariances C = I - (1-eps) n n^T on BOTH clouds from the on-device
+  normal estimator, correspondences weighted by the Mahalanobis matrix
+  M_i = (C_ref + R C_src R^T)^-1, one damped 6x6 Gauss-Newton step per
+  iteration.
 
 Each iteration is: one TPU NN search + small host linear algebra; an
 optional per-iteration callback mirrors the tensor-ICP variant's hook
@@ -91,7 +94,14 @@ class RegistrationComputer(BaseAlgorithm, AlignmentAlgorithm):
         ok = np.isfinite(dist)
         return ok, idx, dist
 
-    def _solve_step(self, src: np.ndarray, dst: np.ndarray, dst_idx: np.ndarray) -> np.ndarray:
+    def _solve_step(
+        self,
+        src: np.ndarray,
+        dst: np.ndarray,
+        dst_idx: np.ndarray,
+        src_idx: np.ndarray,
+        T: np.ndarray,
+    ) -> np.ndarray:
         raise NotImplementedError
 
     def run(self) -> bool:
@@ -116,7 +126,9 @@ class RegistrationComputer(BaseAlgorithm, AlignmentAlgorithm):
             err = float(np.sqrt((dist[ok] ** 2).mean()))
             if self.per_iteration_callback:
                 self.per_iteration_callback(it, err)
-            delta = self._solve_step(src[ok], self._ref_xyz[idx[ok]], idx[ok])
+            delta = self._solve_step(
+                src[ok], self._ref_xyz[idx[ok]], idx[ok], np.nonzero(ok)[0], T
+            )
             T = delta @ T
             if abs(prev_err - err) < DEFAULT_RELATIVE_TOLERANCE * max(prev_err, 1e-12):
                 break
@@ -148,7 +160,7 @@ def _kabsch(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
 class RegistrationComputer_ICP_Point2Point(RegistrationComputer):
     """Point-to-point ICP (reference: fine.py:81-133)."""
 
-    def _solve_step(self, src, dst, dst_idx):
+    def _solve_step(self, src, dst, dst_idx, src_idx, T):
         return _kabsch(src, dst)
 
 
@@ -189,7 +201,7 @@ class RegistrationComputer_ICP_Point2Plane(RegistrationComputer):
         normals = np.asarray(estimate_normals(rbuf, jnp.float32(radius)))
         self._ref_normals = normals[: self._ref_xyz.shape[0]].astype(np.float64)
 
-    def _solve_step(self, src, dst, dst_idx):
+    def _solve_step(self, src, dst, dst_idx, src_idx, T):
         n = self._ref_normals[dst_idx]
         # linearized rotation: x = [rx, ry, rz, tx, ty, tz]
         c = np.cross(src, n)
@@ -215,9 +227,15 @@ def _small_rotation(rx: float, ry: float, rz: float) -> np.ndarray:
 
 
 class RegistrationComputer_ICP_Generalized(RegistrationComputer_ICP_Point2Plane):
-    """Symmetric point-to-plane (generalized-ICP-style): residuals use the
-    sum of source and reference normals, the default fine aligner
-    (reference: fine.py:290-319)."""
+    """Generalized (plane-to-plane) ICP, the reference's default fine
+    aligner (reference: fine.py:290-317, o3d GeneralizedICP there, after
+    Segal et al.): every point carries a disc covariance
+    C = I - (1 - eps) n n^T (eps along the normal, 1 in-plane) from its
+    estimated normal; each correspondence is weighted by the Mahalanobis
+    matrix M_i = (C_ref_i + R C_src_i R^T)^-1 and one damped Gauss-Newton
+    step solves the 6x6 normal equations."""
+
+    gicp_epsilon = 1e-3  # Segal's disc regularization along the normal
 
     def _prepare_reference(self) -> None:
         super()._prepare_reference()
@@ -229,19 +247,49 @@ class RegistrationComputer_ICP_Generalized(RegistrationComputer_ICP_Point2Plane)
         normals = np.asarray(estimate_normals(sbuf, jnp.float32(radius)))
         self._src_normals = normals[: src_pc.count()].astype(np.float64)
 
-    def _solve_step(self, src, dst, dst_idx):
-        n = self._ref_normals[dst_idx]
-        # symmetric: average of reference normal and (rotated) source normal
-        # approximated by the current-source normals re-estimated once.
-        A_c = np.cross(src, n)
-        A = np.concatenate([A_c, n], axis=1)
-        b = np.sum((dst - src) * n, axis=1)
-        x, *_ = np.linalg.lstsq(A, b, rcond=None)
+    def _solve_step(self, src, dst, dst_idx, src_idx, T):
+        eps = self.gicp_epsilon
+        n_d = self._ref_normals[dst_idx]  # [m, 3]
+        # source normals rotated into the current pose
+        n_s = self._src_normals[src_idx] @ T[:3, :3].T
+
+        def disc_cov(n):
+            # I - (1-eps) n n^T; for unnormalized/zero normals fall back to I
+            nn = n[:, :, None] * n[:, None, :]
+            norm2 = np.sum(n * n, axis=1)
+            ok = norm2 > 0.5
+            return np.where(
+                ok[:, None, None], np.identity(3)[None] - (1.0 - eps) * nn,
+                np.identity(3)[None],
+            )
+
+        # M_i = (C_ref + R C_src R^T)^-1: 3x3 batched inverse
+        Csum = disc_cov(n_d) + disc_cov(n_s)
+        M = np.linalg.inv(Csum)
+
+        r = dst - src  # residuals at the current pose
+        # J_i = [-[s_i]x | I]: linearized motion w*x(s) + t
+        m = src.shape[0]
+        S = np.zeros((m, 3, 3))
+        S[:, 0, 1] = -src[:, 2]
+        S[:, 0, 2] = src[:, 1]
+        S[:, 1, 0] = src[:, 2]
+        S[:, 1, 2] = -src[:, 0]
+        S[:, 2, 0] = -src[:, 1]
+        S[:, 2, 1] = src[:, 0]
+        Jw = -S  # [m, 3, 3]
+        J = np.concatenate([Jw, np.broadcast_to(np.identity(3), (m, 3, 3))], axis=2)  # [m,3,6]
+        JtM = np.einsum("mij,mik->mjk", J, M)  # [m, 6, 3]
+        A = np.einsum("mji,mjk->ik", JtM.transpose(0, 2, 1), J)  # 6x6
+        b = np.einsum("mjk,mk->j", JtM, r)
+        # light Levenberg damping keeps degenerate scenes solvable
+        A = A + np.identity(6) * (1e-9 * max(np.trace(A) / 6.0, 1.0))
+        x = np.linalg.solve(A, b)
         rx, ry, rz, tx, ty, tz = x
-        T = np.identity(4)
-        T[:3, :3] = _small_rotation(rx, ry, rz)
-        T[:3, 3] = (tx, ty, tz)
-        return T
+        Td = np.identity(4)
+        Td[:3, :3] = _small_rotation(rx, ry, rz)
+        Td[:3, 3] = (tx, ty, tz)
+        return Td
 
 
 DEFAULT_FINE_ALIGNMENT_ALGORITHM = RegistrationComputer_ICP_Generalized

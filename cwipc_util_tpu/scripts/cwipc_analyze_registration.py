@@ -39,7 +39,8 @@ def main() -> int:
     parser.add_argument("--correspondence", type=float, default=0.1, help="Max correspondence distance")
     parser.add_argument("--max_corr", type=float, default=-1, metavar="DIST", help="Alias of --correspondence (reference flag name)")
     parser.add_argument("--min_corr", type=float, default=0, metavar="DIST", help="Minimum correspondence distance")
-    parser.add_argument("--measure", default="mean", help="Correspondence measure: mean, median, tmean, mode")
+    parser.add_argument("--measure", default="mean", help="Correspondence measure: mean, median, tmean, mode, 2mode, q=NN")
+    parser.add_argument("--nokde", action="store_true", help="Use the raw histogram instead of the gaussian-KDE density")
     parser.add_argument("--plot", metavar="FILE", help="Write a histogram plot to FILE")
     parser.add_argument("--ignore_floor", action="store_true", help="Exclude floor points")
     parser.add_argument("--pairwise", action="store_true", help="Analyze every ordered pair of tiles")
@@ -96,6 +97,8 @@ def main() -> int:
         if args.toself:
             analyzer.set_ignore_nearest(args.nth)
         analyzer.set_correspondence_measure(args.measure)
+        if args.nokde:
+            analyzer.use_kde = False
         max_corr = args.max_corr if args.max_corr >= 0 else args.correspondence
         analyzer.set_max_correspondence_distance(max_corr)
         if args.min_corr > 0:

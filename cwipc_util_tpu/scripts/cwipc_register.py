@@ -103,6 +103,12 @@ class Registrator:
     # -- capture ---------------------------------------------------------------
 
     def open_capturer(self) -> bool:
+        # Registration captures repeatedly (coarse, floor, fine, verify) —
+        # a finite recording must replay as a live-camera stand-in, so the
+        # register flow opts into looping playback explicitly (plain
+        # conversion flows keep the reference's no-loop default).
+        if getattr(self.args, "loop", None) is False:
+            self.args.loop = True
         factory = activesource_factory_from_args(self.args, autoConfig=False)
         try:
             self.capturer = factory()

@@ -92,6 +92,63 @@ class TestAnalyzer:
         assert r.fitness == 1.0
         assert r.rmse == 0.0
 
+    def test_correspondence_measures(self, synth_pc):
+        """All reference measure strings are accepted (mean/tmean/median/
+        mode/2mode/q=NN, reference analyze.py:210-247) and behave sanely
+        on a known 1cm offset."""
+        shifted = cwipc_transform(synth_pc, _translation(0.01, 0, 0))
+        values = {}
+        for measure in ("mean", "tmean", "median", "mode", "2mode", "q=50", "q=90"):
+            an = RegistrationAnalyzer()
+            an.set_source_pointcloud(shifted)
+            an.set_reference_pointcloud(synth_pc)
+            an.set_correspondence_measure(measure)
+            an.run()
+            values[measure] = an.get_results().minCorrespondence
+        assert values["2mode"] == pytest.approx(2 * values["mode"])
+        assert values["q=50"] == pytest.approx(values["median"], rel=1e-6)
+        assert values["q=90"] >= values["q=50"]
+        for v in values.values():
+            assert 0 < v < 0.05
+
+    def test_kde_density_default(self, synth_pc):
+        """The default histogram is a gaussian-KDE density on a 0..max grid
+        (reference analyze.py:171-179); the raw histogram stays available
+        via use_kde=False."""
+        shifted = cwipc_transform(synth_pc, _translation(0.005, 0, 0))
+        kde_an = RegistrationAnalyzer()
+        kde_an.set_source_pointcloud(shifted)
+        kde_an.set_reference_pointcloud(synth_pc)
+        assert kde_an.use_kde
+        kde_an.run()
+        kde_r = kde_an.get_results()
+        assert kde_r.histogramEdges[0] == 0.0
+        assert kde_r.histogram.dtype.kind == "f"  # density, not counts
+
+        raw_an = RegistrationAnalyzer()
+        raw_an.set_source_pointcloud(shifted)
+        raw_an.set_reference_pointcloud(synth_pc)
+        raw_an.use_kde = False
+        raw_an.run()
+        raw_r = raw_an.get_results()
+        assert raw_r.histogram.sum() == pytest.approx(raw_r.sourcePointCount, rel=0.05)
+        # both modes should land near the actual 5mm offset
+        for r in (kde_r, raw_r):
+            assert 0.001 < r.mode < 0.02
+
+    def test_min_correspondence_is_binsize(self, synth_pc):
+        """set_min_correspondence_distance sets the histogram granularity
+        (reference analyze.py:58-60,148-152)."""
+        shifted = cwipc_transform(synth_pc, _translation(0.01, 0, 0))
+        an = RegistrationAnalyzer()
+        an.set_source_pointcloud(shifted)
+        an.set_reference_pointcloud(synth_pc)
+        an.set_min_correspondence_distance(0.002)
+        an.run()
+        r = an.get_results()
+        binsize = r.histogramEdges[1] - r.histogramEdges[0]
+        assert binsize == pytest.approx(0.002, rel=0.25)
+
     def test_tilemask_selection(self, tiled_pc):
         tiles = get_tiles_used(tiled_pc)
         an = RegistrationAnalyzer()
@@ -137,6 +194,72 @@ class TestICP:
         assert out.count() == moved.count()
         full = aligner.get_result_pointcloud_full()
         assert full.count() == moved.count() + synth_pc.count()
+
+
+class TestGICP:
+    def test_gicp_converges_where_p2plane_misaligns(self):
+        """True plane-to-plane GICP (the reference's default fine aligner,
+        fine.py:290-317): on a half-cylinder + end-cap pair whose reference
+        is sampled anisotropically (dense rings, sparse rows — which biases
+        the reference's windowed normal estimates), point-to-plane stalls at
+        a visibly wrong pose while GICP, weighing BOTH clouds' disc
+        covariances, recovers the ground-truth transform."""
+        from cwipc_util_tpu import cwipc_from_numpy_matrix
+        from cwipc_util_tpu.registration.fine import (
+            RegistrationComputer_ICP_Generalized,
+            RegistrationComputer_ICP_Point2Plane,
+        )
+
+        def make_pc(pts):
+            m = np.zeros((len(pts), 7), np.float32)
+            m[:, :3] = pts
+            m[:, 3:6] = 128
+            return cwipc_from_numpy_matrix(m, 0)
+
+        def scene(n_rows, n_cols, noise, seed):
+            r = np.random.default_rng(seed)
+            th = np.linspace(0, np.pi, n_cols)
+            y = np.linspace(0, 0.5, n_rows)
+            TH, Y = np.meshgrid(th, y)
+            pts = np.stack([0.3 * np.cos(TH), Y, 0.3 * np.sin(TH)], -1).reshape(-1, 3)
+            rr = np.sqrt(r.random(400)) * 0.3
+            a = r.random(400) * np.pi
+            cap = np.stack([rr * np.cos(a), np.zeros(400), rr * np.sin(a)], -1)
+            return np.concatenate([pts, cap]) + r.normal(0, noise, (len(pts) + 400, 3))
+
+        src_pts = scene(40, 80, 0.003, seed=2)
+        ref_pts = scene(8, 400, 0.003, seed=3)
+        ang = 0.25
+        c, s = math.cos(ang), math.sin(ang)
+        T_true = np.identity(4)
+        T_true[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+        T_true[:3, 3] = [0.03, 0.02, -0.02]
+        Ti = np.linalg.inv(T_true)
+        src_mis = src_pts @ Ti[:3, :3].T + Ti[:3, 3]
+
+        errs = {}
+        for cls in (RegistrationComputer_ICP_Point2Plane, RegistrationComputer_ICP_Generalized):
+            al = cls()
+            al.set_source_pointcloud(make_pc(src_mis))
+            al.set_reference_pointcloud(make_pc(ref_pts))
+            assert al.run()
+            T = al.get_result_transformation()
+            errs[cls] = float(np.linalg.norm(T @ Ti - np.identity(4)))
+        assert errs[RegistrationComputer_ICP_Generalized] < 0.02
+        assert errs[RegistrationComputer_ICP_Point2Plane] > 0.04
+
+    def test_gicp_exact_on_clean_pair(self, synth_pc):
+        """GICP recovers a small rigid misalignment on identical clouds."""
+        from cwipc_util_tpu.registration.fine import RegistrationComputer_ICP_Generalized
+
+        T_true = _rotation_y(0.05) @ _translation(0.01, 0.005, -0.01)
+        moved = cwipc_transform(synth_pc, np.linalg.inv(T_true))
+        al = RegistrationComputer_ICP_Generalized()
+        al.set_source_pointcloud(moved)
+        al.set_reference_pointcloud(synth_pc)
+        assert al.run()
+        T = al.get_result_transformation()
+        assert np.linalg.norm(T @ np.linalg.inv(T_true) - np.identity(4)) < 0.02
 
 
 class TestMulticamera:
