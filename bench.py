@@ -14,6 +14,7 @@ vs_baseline is the ratio to the driver-supplied north-star target of
 1e9 points/sec/chip.
 """
 
+import argparse
 import json
 import os
 import time
@@ -29,9 +30,19 @@ import numpy as np
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="Write a jax.profiler trace of the timed runs to DIR")
+    ap.add_argument("--exact", action="store_true",
+                    help="Also measure the exact-outlier chain variant")
+    args = ap.parse_args()
+
     from cwipc_util_tpu.core.buffers import PointBuffer
     from cwipc_util_tpu.models.synthetic import _generate
-    from cwipc_util_tpu.ops.chain import downsample_outliers_tilefilter
+    from cwipc_util_tpu.ops.chain import (
+        downsample_outliers_tilefilter,
+        downsample_outliers_tilefilter_exact,
+    )
 
     hsteps = asteps = 1000  # 1,000,000 points
     n_points = hsteps * asteps
@@ -82,22 +93,58 @@ def main() -> None:
     timed(trivial, 0)
     timed(pK, 0)
 
+    import contextlib
+
+    import jax as _jax
+
+    profile_cm = (
+        _jax.profiler.trace(args.profile)
+        if args.profile
+        else contextlib.nullcontext()
+    )
+
     reps = 5
-    t0_overhead = min(timed(trivial, 100 + r)[0] for r in range(reps))
-    tK = min(timed(pK, 200 + r)[0] for r in range(reps))
+    with profile_cm:
+        t0_overhead = min(timed(trivial, 100 + r)[0] for r in range(reps))
+        tK = min(timed(pK, 200 + r)[0] for r in range(reps))
     per_chain = max((tK - t0_overhead) / K, 1e-9)
 
     pts_per_sec = n_points / per_chain
-    print(
-        json.dumps(
-            {
-                "metric": "downsample+outlier+tilefilter points/sec/chip (1M-pt cloud)",
-                "value": round(pts_per_sec),
-                "unit": "points/sec",
-                "vs_baseline": round(pts_per_sec / 1e9, 4),
-            }
-        )
-    )
+    result = {
+        "metric": "downsample+outlier+tilefilter points/sec/chip (1M-pt cloud)",
+        "value": round(pts_per_sec),
+        "unit": "points/sec",
+        "vs_baseline": round(pts_per_sec / 1e9, 4),
+    }
+
+    if args.exact:
+        # The exact-outlier chain (column-grid kNN + brute fixup):
+        # semantically parity-faithful, and orders of magnitude slower —
+        # exact k-of-C selection is the measured wall on this chip (see
+        # cwipc_util_tpu/ops/cols_knn.py).  Timed with K=2 differencing
+        # (the per-iteration cost dwarfs relay jitter).
+        @jax.jit
+        def exact_once(b: PointBuffer, seed: jax.Array):
+            eps = seed.astype(jnp.float32) * 1e-12
+            bi = PointBuffer(xyz=b.xyz + eps, rgba=b.rgba, count=b.count)
+            out, resid = downsample_outliers_tilefilter_exact(
+                bi, cellsize, k=k, mult=mult, tile=tile,
+                out_capacity=out_capacity, gy=512, gz=160, cap=32,
+            )
+            return out.count + resid * 0
+
+        def timed_exact(s):
+            t0 = time.perf_counter()
+            int(np.asarray(exact_once(buf, jnp.int32(s))))
+            return time.perf_counter() - t0
+
+        timed_exact(0)  # compile
+        t1 = min(timed_exact(300 + r) for r in range(2))
+        exact_pts = n_points / max(t1 - t0_overhead, 1e-9)
+        result["exact_chain_value"] = round(exact_pts)
+        result["exact_chain_note"] = "exact-outlier chain (cols kNN), pts/sec"
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -417,6 +417,59 @@ STAGES.update({
 })
 
 
+
+
+def stage_topk(rows, n, k=30):
+    """lax.top_k over the last axis [n, rows] (per-query candidates)."""
+
+    def args_fn():
+        rng = np.random.default_rng(6)
+        return (jnp.asarray(rng.random((n, rows), np.float32)),)
+
+    def body(seed, d):
+        top, _ = jax.lax.top_k(-(d + seed.astype(jnp.float32) * 1e-12), k)
+        return top.sum()
+
+    return timeit(body, args_fn, f"top_k [{n//1000}k,{rows}] k={k}")
+
+
+def stage_rowsort(rows, n):
+    """jnp.sort along the last axis [n, rows]."""
+
+    def args_fn():
+        rng = np.random.default_rng(6)
+        return (jnp.asarray(rng.random((n, rows), np.float32)),)
+
+    def body(seed, d):
+        s = jnp.sort(d + seed.astype(jnp.float32) * 1e-12, axis=-1)
+        return s[:, :30].sum()
+
+    return timeit(body, args_fn, f"rowsort [{n//1000}k,{rows}]")
+
+
+def stage_approx_topk(rows, n, k=30):
+    def args_fn():
+        rng = np.random.default_rng(6)
+        return (jnp.asarray(rng.random((n, rows), np.float32)),)
+
+    def body(seed, d):
+        top, _ = jax.lax.approx_min_k(
+            d + seed.astype(jnp.float32) * 1e-12, k,
+            recall_target=0.999, aggregate_to_topk=True,
+        )
+        return top.sum()
+
+    return timeit(body, args_fn, f"approx_min_k [{n//1000}k,{rows}] k={k}")
+
+
+STAGES.update({
+    "topk343": lambda: stage_topk(343, 465_000),
+    "rowsort343": lambda: stage_rowsort(343, 465_000),
+    "approx343": lambda: stage_approx_topk(343, 465_000),
+    "topk64": lambda: stage_topk(64, 262_144),
+})
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or list(STAGES)
     for name in names:

@@ -45,6 +45,85 @@ _HDR_SIZE = struct.calcsize(_HDR_FMT)
 _FLAG_WIDTH_MASK = 0x03
 _WIDTH_DTYPES = {0: np.uint32, 1: np.uint8, 2: np.uint16, 3: np.uint64}
 _FLAG_WIDE_KEYS = 0x04  # 45-bit Morton keys (octree_bits > 10)
+_FLAG_OCTREE = 0x08  # geometry = octree occupancy-byte stream (not deltas)
+_FLAG_JPEG = 0x10  # colors = JPEG plane in Morton order (not zlib bytes)
+
+
+def _octree_pack(keys: np.ndarray, depth: int) -> np.ndarray:
+    """Occupancy-byte stream (root-first) for sorted unique Morton keys.
+
+    Level L holds one byte per occupied node: the 8-bit mask of occupied
+    children.  Total size ~ N/7 bytes before deflate — the structure the
+    reference's MPEG-anchor codec exploits, rebuilt here on the
+    already-Morton-sorted voxel stream (children of one node are
+    consecutive, so the masks are a bitwise_or.reduceat away)."""
+    levels = []
+    cur = keys.astype(np.int64)
+    for _ in range(depth):
+        parents = cur >> 3
+        child_bit = np.left_shift(np.uint8(1), (cur & 7).astype(np.uint8))
+        newp = np.empty(len(cur), bool)
+        newp[0] = True
+        np.not_equal(parents[1:], parents[:-1], out=newp[1:])
+        starts = np.nonzero(newp)[0]
+        levels.append(np.bitwise_or.reduceat(child_bit, starts))
+        cur = parents[starts]
+    levels.reverse()
+    return np.concatenate(levels)
+
+
+def _octree_unpack(stream: np.ndarray, depth: int, n: int) -> np.ndarray:
+    """Inverse of _octree_pack: sorted unique keys from the byte stream."""
+    cur = np.zeros(1, np.int64)
+    pos = 0
+    for _ in range(depth):
+        nn = len(cur)
+        if pos + nn > len(stream):
+            raise CwipcError("cwipc_decoder: truncated octree stream")
+        masks = stream[pos : pos + nn]
+        pos += nn
+        bits = np.unpackbits(masks[:, None], axis=1, bitorder="little")
+        counts = bits.sum(axis=1).astype(np.int64)
+        parent_rep = np.repeat(cur << 3, counts)
+        child = np.nonzero(bits)[1].astype(np.int64)
+        cur = parent_rep | child
+    if pos != len(stream) or len(cur) != n:
+        raise CwipcError("cwipc_decoder: inconsistent octree stream")
+    return cur
+
+
+def _jpeg_pack(rgb: np.ndarray, quality: int) -> Optional[bytes]:
+    """Colors as a JPEG plane in Morton order (spatially local, so JPEG's
+    DCT blocks see smooth gradients — the reference's anchor codec also
+    carries colors as JPEG).  Returns None when cv2 is unavailable."""
+    try:
+        import cv2
+    except ImportError:
+        return None
+    m = rgb.shape[0]
+    w = max(16, int(np.ceil(np.sqrt(m) / 16.0)) * 16)
+    h = (m + w - 1) // w
+    img = np.zeros((h * w, 3), np.uint8)
+    img[:m] = rgb[:, ::-1]  # cv2 is BGR
+    img[m:] = rgb[-1, ::-1] if m else 0  # edge-pad: compresses to nothing
+    ok, blob = cv2.imencode(
+        ".jpg", img.reshape(h, w, 3), [int(cv2.IMWRITE_JPEG_QUALITY), int(quality)]
+    )
+    return blob.tobytes() if ok else None
+
+
+def _jpeg_unpack(blob: bytes, n: int) -> np.ndarray:
+    try:
+        import cv2
+    except ImportError as e:
+        raise CwipcError("cwipc_decoder: JPEG colors need cv2") from e
+    img = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)
+    if img is None:
+        raise CwipcError("cwipc_decoder: corrupt JPEG color plane")
+    rgb = img.reshape(-1, 3)[:, ::-1]
+    if rgb.shape[0] < n:
+        raise CwipcError("cwipc_decoder: JPEG color plane too small")
+    return np.ascontiguousarray(rgb[:n])
 
 
 def _spread1by4_64(x: np.ndarray) -> np.ndarray:
@@ -290,10 +369,32 @@ class cwipc_encoder_wrapper:
         )
 
     def _pack(self, p, m, timestamp, step, origin, deltas, drgba, *, wide):
-        """Entropy stage: adaptive-width delta stream + color/tile zlib."""
-        # Sorted-curve deltas are small; narrowing the element width before
-        # deflate roughly halves the entropy-coder input (its cost is
-        # linear in bytes) AND improves the ratio.
+        """Entropy stage: octree occupancy-byte geometry + JPEG color
+        plane + zlib tile bytes (each with a lossless fallback)."""
+        flags = _FLAG_WIDE_KEYS if wide else 0
+
+        # geometry: rebuild the sorted keys and pack the octree occupancy
+        # stream (~N/7 bytes pre-deflate vs ~N delta bytes).
+        if wide:
+            keys = np.cumsum(deltas.astype(np.int64), dtype=np.int64)
+            depth = int(p.octree_bits)
+        else:
+            keys = np.cumsum(deltas.astype(np.uint32), dtype=np.uint32).astype(np.int64)
+            depth = min(int(p.octree_bits), 10)
+        # Make the stream strictly sorted-unique: fp roundoff in deriving
+        # cell coords from centroids can produce a locally non-monotone
+        # key, and far-edge clamping can merge boundary voxels into
+        # duplicates.  (The legacy delta format survived both via uint32
+        # wraparound; the octree stream is defined on sorted-unique keys.)
+        uniq, first = np.unique(keys, return_index=True)
+        if len(uniq) != m or not np.array_equal(uniq, keys):
+            keys = uniq
+            drgba = drgba[first]
+            m = len(uniq)
+        deltas = np.diff(keys, prepend=np.int64(0))
+        occ = _octree_pack(keys, depth)
+        pos_octree = zlib.compress(occ.tobytes(), self._zlevel)
+        # adaptive-width delta fallback (kept: it wins on tiny clouds)
         dmax = int(deltas.max()) if m else 0
         if dmax < 0x100:
             width, darr = 1, deltas.astype(np.uint8)
@@ -303,13 +404,26 @@ class cwipc_encoder_wrapper:
             width, darr = 0, deltas.astype(np.uint32)
         else:
             width, darr = 3, deltas.astype(np.uint64)
-        flags = width | (_FLAG_WIDE_KEYS if wide else 0)
-        pos_blob = zlib.compress(darr.tobytes(), self._zlevel)
+        pos_delta = zlib.compress(darr.tobytes(), self._zlevel)
+        if len(pos_octree) < len(pos_delta):
+            flags |= _FLAG_OCTREE
+            pos_blob = pos_octree
+        else:
+            flags |= width
+            pos_blob = pos_delta
+
         rgb = np.empty((m, 3), np.uint8)
         rgb[:, 0] = (drgba >> 16) & 0xFF
         rgb[:, 1] = (drgba >> 8) & 0xFF
         rgb[:, 2] = drgba & 0xFF
-        col_blob = zlib.compress(rgb.tobytes(), self._zlevel)
+        col_zlib = zlib.compress(rgb.tobytes(), self._zlevel)
+        col_jpeg = _jpeg_pack(rgb, p.jpeg_quality) if p.jpeg_quality < 100 else None
+        if col_jpeg is not None and len(col_jpeg) < len(col_zlib):
+            flags |= _FLAG_JPEG
+            col_blob = col_jpeg
+        else:
+            col_blob = col_zlib
+
         tiles = ((drgba >> 24) & 0xFF).astype(np.uint8)
         tile_blob = zlib.compress(tiles.tobytes(), self._zlevel)
         hdr = struct.pack(
@@ -387,29 +501,45 @@ class cwipc_decoder_wrapper:
         col_blob = data[off : off + lcol]; off += lcol
         tile_blob = data[off : off + ltile]; off += ltile
 
-        dtype = _WIDTH_DTYPES[flags & _FLAG_WIDTH_MASK]
         try:
-            deltas = np.frombuffer(zlib.decompress(pos_blob), dtype)
-            col_raw = zlib.decompress(col_blob)
             tile_raw = zlib.decompress(tile_blob)
+            if flags & _FLAG_OCTREE:
+                occ = np.frombuffer(zlib.decompress(pos_blob), np.uint8)
+                depth = int(octree_bits) if flags & _FLAG_WIDE_KEYS else min(int(octree_bits), 10)
+                morton = _octree_unpack(occ, depth, n)
+            else:
+                dtype = _WIDTH_DTYPES[flags & _FLAG_WIDTH_MASK]
+                deltas = np.frombuffer(zlib.decompress(pos_blob), dtype)
+                if deltas.shape[0] != n:
+                    raise CwipcError("cwipc_decoder: inconsistent stream sizes")
+                if flags & _FLAG_WIDE_KEYS:
+                    morton = np.cumsum(deltas.astype(np.int64), dtype=np.int64)
+                else:
+                    morton = np.cumsum(deltas.astype(np.uint32), dtype=np.uint32)
+            if flags & _FLAG_JPEG:
+                rgb = _jpeg_unpack(col_blob, n)
+            else:
+                col_raw = zlib.decompress(col_blob)
+                if len(col_raw) != n * 3:
+                    raise CwipcError("cwipc_decoder: inconsistent stream sizes")
+                rgb = np.frombuffer(col_raw, np.uint8).reshape(n, 3)
         except zlib.error as e:
             raise CwipcError(f"cwipc_decoder: corrupt stream: {e}") from e
-        if deltas.shape[0] != n or len(col_raw) != n * 3 or len(tile_raw) != n:
+        if len(tile_raw) != n:
             raise CwipcError("cwipc_decoder: inconsistent stream sizes")
         if flags & _FLAG_WIDE_KEYS:
-            morton = np.cumsum(deltas.astype(np.int64), dtype=np.int64)
+            morton = morton.astype(np.int64)
             cx = _compact1by4_64(morton)
             cy = _compact1by4_64(morton >> 1)
             cz = _compact1by4_64(morton >> 2)
         else:
-            morton = np.cumsum(deltas.astype(np.uint32), dtype=np.uint32)
+            morton = morton.astype(np.uint32)
             cx = _compact1by2(morton)
             cy = _compact1by2(morton >> 1)
             cz = _compact1by2(morton >> 2)
         origin = np.array([ox, oy, oz], np.float32)
         xyz = (np.stack([cx, cy, cz], axis=-1).astype(np.float32) + 0.5) * step + origin
 
-        rgb = np.frombuffer(col_raw, np.uint8).reshape(n, 3)
         tiles = np.frombuffer(tile_raw, np.uint8)
 
         buf = buffer_from_arrays(xyz, rgb[:, 0], rgb[:, 1], rgb[:, 2], tiles)

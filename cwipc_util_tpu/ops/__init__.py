@@ -120,6 +120,31 @@ def _estimate_spacing(pc: cwipc_pointcloud_wrapper) -> float:
     return max(1e-6, float(np.median(nns))) if nns else 1.0
 
 
+def _cols_grid_params(xyz: np.ndarray, cell: float):
+    """Host-side column-grid parameter choice for ops/cols_knn.py: pick
+    the column axis minimizing plane*cap, bucket the extents and cap.
+    Returns (perm, gy, gz, cap)."""
+    v = np.floor(xyz / cell).astype(np.int64)
+    v -= v.min(axis=0)
+    ext = v.max(axis=0) + 1
+
+    def bucket(x, step=32):
+        return int(-(-int(x) // step) * step)
+
+    best = None
+    for ax in range(3):
+        a1, a2 = [i for i in range(3) if i != ax]
+        ck = v[:, a1] * (1 << 21) + v[:, a2]
+        _, cnt = np.unique(ck, return_counts=True)
+        cap = 1 << max(3, int(np.ceil(np.log2(max(1, cnt.max())))))
+        gy, gz = bucket(ext[a1]), bucket(ext[a2])
+        cost = gy * gz * cap
+        if best is None or cost < best[0]:
+            best = (cost, (ax, a1, a2), gy, gz, cap)
+    _, perm, gy, gz, cap = best
+    return perm, gy, gz, cap
+
+
 def _remove_outliers_single(
     pc: cwipc_pointcloud_wrapper, k: int, mult: float
 ) -> cwipc_pointcloud_wrapper:
@@ -130,14 +155,28 @@ def _remove_outliers_single(
     k_eff = min(int(k), n - 1)
     if n <= 4096:
         out = outliers.remove_outliers(buf, k_eff, jnp.float32(mult), method="exact")
-    else:
-        spacing = _estimate_spacing(pc)
-        # Cell sized so the 3x3x3 ring plausibly contains >= k surface
-        # neighbors: ring radius ~ spacing*sqrt(k/pi).
-        cell = max(2.0, float(np.sqrt(k_eff / np.pi))) * spacing
-        out = outliers.remove_outliers(
-            buf, k_eff, jnp.float32(mult), method="grid", cell=jnp.float32(cell)
-        )
+        return _wrap(out, pc)
+    # Column-grid exact kNN (ops/cols_knn.py): EXACT for every point —
+    # ring-uncovered points fall back to blocked brute force.  Replaces
+    # the neighborhood-grid method here, whose surrogate distance for
+    # ring-missing neighbors made it inexact whenever the k-th neighbor
+    # fell outside its 3x3x3 ring (at bench-cloud density that is a
+    # third of all points).
+    from .cols_knn import bruteforce_md_subset, cols_knn_mean_distance
+
+    spacing = _estimate_spacing(pc)
+    # ring covers < 4*cell; d_k ~ spacing*sqrt(k/pi) for surfaces
+    cell = max(1.0, float(np.sqrt(k_eff / np.pi)) / 3.0) * spacing
+    xyz_host = np.asarray(buf.xyz[:n])
+    perm, gy, gz, cap = _cols_grid_params(xyz_host, cell)
+    xyz_perm = buf.xyz[:, list(perm)]
+    md, unc = cols_knn_mean_distance(
+        xyz_perm, buf.count, jnp.float32(cell), k_eff, gy=gy, gz=gz, cap=cap
+    )
+    md_fix = bruteforce_md_subset(xyz_perm, buf.count, unc, k_eff)
+    md = jnp.where(unc, md_fix, md)
+    keep = outliers._keep_from_mean_dists(md, buf.valid_mask(), jnp.float32(mult))
+    out = compaction.compact(buf, keep)
     return _wrap(out, pc)
 
 

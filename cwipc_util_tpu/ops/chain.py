@@ -91,3 +91,45 @@ def chain_tail_cm(x, y, z, rgba, cnt, *, k, window, mult, tile) -> PointBuffer:
     tile = jnp.asarray(tile, jnp.uint32)
     keep = keep & ((tile == 0) | (point_tile == tile))
     return compaction.compact_cm(x, y, z, rgba, keep, cnt)
+
+
+@partial(jax.jit, static_argnames=("k", "out_capacity", "gy", "gz", "cap"))
+def downsample_outliers_tilefilter_exact(
+    buf: PointBuffer,
+    cellsize: jax.Array,
+    k: int,
+    mult: jax.Array,
+    tile: jax.Array,
+    out_capacity: int,
+    gy: int,
+    gz: int,
+    cap: int,
+) -> tuple[PointBuffer, jax.Array]:
+    """EXACT-outlier variant of the fused chain: the outlier stage uses
+    the column-grid exact kNN (ops/cols_knn.py) plus a blocked brute-force
+    fixup for the ring-uncovered points, so keep decisions match the
+    brute-force oracle bit-for-bit in candidate SET (fp summation order
+    aside).  Slower than the window chain (exact selection is the
+    measured wall on v5e — see cols_knn.py); this is the parity-faithful
+    mode.  gy/gz/cap are the column-grid buckets for the downsampled
+    cloud (plane extents of y/z in cells; max points per (y,z) column).
+
+    Returns (result, n_uncovered_residual): the residual counts points
+    whose md came from the brute-force fixup — the result is exact
+    regardless; the count is exposed so callers/tests can see coverage.
+    """
+    from .cols_knn import bruteforce_md_subset, cols_knn_mean_distance
+
+    x, y, z, rgba, cnt = voxelize.downsample_cm(buf, cellsize, out_capacity)
+    xyz = jnp.stack([x, y, z], axis=-1)
+    md, unc = cols_knn_mean_distance(
+        xyz, cnt, jnp.asarray(cellsize, jnp.float32), k, gy=gy, gz=gz, cap=cap
+    )
+    md_fix = bruteforce_md_subset(xyz, cnt, unc, k)
+    md = jnp.where(unc, md_fix, md)
+    valid = jnp.arange(x.shape[0], dtype=jnp.int32) < cnt
+    keep = outliers._keep_from_mean_dists(md, valid, mult)
+    point_tile = (rgba >> 24) & 0xFF
+    tile = jnp.asarray(tile, jnp.uint32)
+    keep = keep & ((tile == 0) | (point_tile == tile))
+    return compaction.compact_cm(x, y, z, rgba, keep, cnt), unc.sum()

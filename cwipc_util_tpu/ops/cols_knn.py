@@ -1,0 +1,244 @@
+"""EXACT k-NN mean distance for voxel-unique clouds: the column grid.
+
+The outlier stage of the reference (PCL StatisticalOutlierRemoval,
+reference: src/cwipc_filters.cpp:181-278) needs, per point, the mean
+distance to its k nearest neighbors — EXACTLY, because the keep threshold
+mu + mult*sigma sits inside the bulk of the distance distribution and any
+approximation flips keep decisions (measured: Morton-window kNN agrees on
+only ~81% of keeps on the 1M-point bench cloud).
+
+Exactness on TPU is hard: the ISA has no per-lane gather, so candidate
+neighborhoods must come from FIXED per-query offsets.  The design:
+
+1. quantize to the `cell` grid and key every point by its (y, z) column;
+   rank points within a column by x (one sort) — a voxel-unique cloud
+   has at most max-column-occupancy ranks, bounded by the CAP bucket,
+2. scatter into a dense [GY*GZ, CAP] slot grid (x-sorted columns),
+3. candidates for a query are ALL slots of the 9x9 ring of columns
+   (|dy|, |dz| <= 4) — complete by construction, no rank-alignment
+   assumptions — accessed via static plane slices,
+4. exact per-slot selection of the k smallest squared distances
+   (lax.top_k over the candidate axis),
+5. scatter the mean distances back to the caller's point order.
+
+Coverage: |delta| < 4*cell per axis implies column offsets <= 4, so the
+ring contains EVERY point within radius 4*cell of the query.  Points
+whose k-th found neighbor is not strictly inside 4*cell (or with fewer
+than k candidates, or dropped by CAP/extent clamps) are marked UNCOVERED;
+the caller recomputes them exactly (coarser second pass or brute force).
+The 1M-point bench cloud measures d30 <= 4.12*cell with 0.05% of points
+beyond 4*cell, so the uncovered set is small on real clouds — the
+adversarial worst case degrades to brute force, like a KD-tree's.
+
+Cost model (measured on v5e): exact selection is the wall — top_k over C
+candidates for N slots runs at ~0.35 G(candidate*query)/ms, so C=81*CAP
+at bench scale is hundreds of ms.  This op is the framework's exactness
+anchor (parity tests, exact mode); the fused chain's default outlier
+stage remains the documented Morton-window approximation.
+
+Everything is static-shape XLA: one sort, two scatters, static slices,
+one top_k per chunk.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_F32_MAX = jnp.finfo(jnp.float32).max
+_SENTINEL = jnp.iinfo(jnp.int32).max
+_M = 4  # ring radius in cells; guarantees coverage of balls < _M*cell
+
+
+def _k_smallest_sum(d2: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Sum of sqrt of the k smallest entries along the last axis, and the
+    k-th smallest distance itself.  d2: [..., C] with invalid = F32_MAX."""
+    neg, _ = jax.lax.top_k(-d2, k)
+    # top_k sorts descending in -d2, i.e. ascending in d2
+    small = -neg
+    found = small < _F32_MAX / 2
+    dist = jnp.where(found, jnp.sqrt(jnp.maximum(small, 0.0)), 0.0)
+    kth = jnp.sqrt(jnp.maximum(small[..., -1], 0.0))
+    kth = jnp.where(found[..., -1], kth, _F32_MAX)
+    return dist.sum(axis=-1), kth
+
+
+@partial(jax.jit, static_argnames=("k", "gy", "gz", "cap", "chunk"))
+def cols_knn_mean_distance(
+    xyz: jax.Array,
+    count: jax.Array,
+    cell: jax.Array,
+    k: int,
+    gy: int,
+    gz: int,
+    cap: int,
+    chunk: int = 256,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact mean k-NN distance for a voxel-unique cloud.
+
+    Returns (md, uncovered): md [N] is exact for every point where
+    uncovered is False; uncovered entries hold the ring-limited result
+    and must be fixed up by the caller.
+
+    Requirements: rebased y/z extents fit (gy, gz) and no (y, z) column
+    holds more than `cap` points (voxel uniqueness bounds this by the x
+    extent).  Violations are reported via `uncovered`, never silently
+    wrong.
+    """
+    n = xyz.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = idx < count
+    inv = 1.0 / jnp.asarray(cell, jnp.float32)
+
+    v = jnp.floor(xyz * inv).astype(jnp.int32)
+    vmin = jnp.min(jnp.where(valid[:, None], v, _SENTINEL), axis=0)
+    vr = v - jnp.where(vmin == _SENTINEL, 0, vmin)[None, :]
+    in_grid = valid & (vr[:, 1] < gy) & (vr[:, 2] < gz)
+    ck = jnp.where(in_grid, vr[:, 1] * gz + vr[:, 2], gy * gz)  # overflow col
+
+    # rank within column by x-cell: sort by (ck, vx); rank = i - run_start
+    sort_key = ck * 2048 + jnp.clip(vr[:, 0], 0, 2047)
+    sort_key = jnp.where(in_grid, sort_key, _SENTINEL)
+    pay1 = jax.lax.complex(xyz[:, 0], xyz[:, 1])
+    pay2 = jax.lax.complex(xyz[:, 2], jax.lax.bitcast_convert_type(idx, jnp.float32))
+    skey, sck, sp1, sp2 = jax.lax.sort((sort_key, ck, pay1, pay2), num_keys=1)
+    si = jnp.arange(n, dtype=jnp.int32)
+    new_col = jnp.logical_or(si == 0, sck != jnp.roll(sck, 1))
+    starts = jnp.where(new_col, si, 0)
+    run_start = jax.lax.associative_scan(jnp.maximum, starts)
+    rank = si - run_start
+    sidx = jax.lax.bitcast_convert_type(jnp.imag(sp2), jnp.int32)
+    fits = (skey < _SENTINEL) & (rank < cap)
+    addr = jnp.where(fits, sck * cap + rank, gy * gz * cap)  # dropped -> sink
+
+    # dense slot grid [gy*gz*cap + 1]: scatter (the sink slot absorbs drops)
+    slots = gy * gz * cap
+
+    def fill(vals, fillv):
+        base = jnp.full((slots + 1,), fillv, vals.dtype)
+        return base.at[addr].set(jnp.where(fits, vals, fillv))[:slots]
+
+    xs = fill(jnp.real(sp1), _F32_MAX)
+    ys = fill(jnp.imag(sp1), _F32_MAX)
+    zs = fill(jnp.real(sp2), _F32_MAX)
+
+    gyz = gy * gz
+    nchunks = -(-gyz // chunk)
+    pad_rows = nchunks * chunk - gyz
+    off_max = _M * gz + _M
+
+    # plane layout [gyz, cap], padded on the plane axis so the ring
+    # slices of any chunk never wrap
+    def pad_plane(a):
+        a = a.reshape(gyz, cap)
+        halo = jnp.full((off_max, cap), _F32_MAX, a.dtype)
+        tail = jnp.full((pad_rows + off_max, cap), _F32_MAX, a.dtype)
+        return jnp.concatenate([halo, a, tail], axis=0)
+
+    xs_g = pad_plane(xs)
+    ys_g = pad_plane(ys)
+    zs_g = pad_plane(zs)
+
+    r_cut = float(_M) * jnp.asarray(cell, jnp.float32)
+    ncols = (2 * _M + 1) ** 2
+
+    def chunk_body(c0):
+        q = lambda a: jax.lax.dynamic_slice(a, (c0 + off_max, 0), (chunk, cap))
+        qx, qy, qz = q(xs_g), q(ys_g), q(zs_g)  # [chunk, cap]
+        cands = []
+        for dy in range(-_M, _M + 1):
+            for dz in range(-_M, _M + 1):
+                row_off = c0 + off_max + dy * gz + dz
+                cand = lambda a: jax.lax.dynamic_slice(a, (row_off, 0), (chunk, cap))
+                cands.append((cand(xs_g), cand(ys_g), cand(zs_g)))
+        cx = jnp.stack([c[0] for c in cands], axis=1)  # [chunk, 81, cap]
+        cy = jnp.stack([c[1] for c in cands], axis=1)
+        cz = jnp.stack([c[2] for c in cands], axis=1)
+        # [chunk, cap_q, 81, cap_c] distances by broadcasting
+        d2 = (
+            (qx[:, :, None, None] - cx[:, None, :, :]) ** 2
+            + (qy[:, :, None, None] - cy[:, None, :, :]) ** 2
+            + (qz[:, :, None, None] - cz[:, None, :, :]) ** 2
+        )
+        bad = (cx >= _F32_MAX / 2)[:, None, :, :] | (qx >= _F32_MAX / 2)[:, :, None, None]
+        # self-pair: the (dy, dz) == (0, 0) column at the query's own slot
+        self_col = ncols // 2
+        qslot = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        cslot = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 3)
+        colid = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+        is_self = (colid == self_col) & (qslot == cslot)
+        d2 = jnp.where(bad | is_self, _F32_MAX, d2)
+        ssum, kth = _k_smallest_sum(d2.reshape(chunk * cap, ncols * cap), k)
+        return ssum.reshape(chunk, cap), kth.reshape(chunk, cap)
+
+    c0s = jnp.arange(nchunks, dtype=jnp.int32) * chunk
+    sums, kths = jax.lax.map(chunk_body, c0s)
+    sums = sums.reshape(nchunks * chunk, cap)[:gyz].reshape(slots)
+    kths = kths.reshape(nchunks * chunk, cap)[:gyz].reshape(slots)
+
+    md_slot = sums / float(k)
+    covered_slot = kths < r_cut * (1.0 - 1e-6)
+
+    # back to the caller's order: md[orig_idx] via scatter from slots;
+    # dropped/overflow points never get a slot and stay uncovered
+    slot_orig = fill(sidx, -1)
+    ok = slot_orig >= 0
+    tgt = jnp.where(ok, slot_orig, n)
+    md = jnp.zeros((n + 1,), jnp.float32).at[tgt].set(jnp.where(ok, md_slot, 0.0))[:n]
+    unc = (
+        jnp.ones((n + 1,), bool)
+        .at[tgt]
+        .set(jnp.where(ok, ~covered_slot, True))[:n]
+    )
+    unc = jnp.where(valid, unc, False)
+    return md, unc
+
+
+@partial(jax.jit, static_argnames=("k", "block"))
+def bruteforce_md_subset(
+    xyz: jax.Array,
+    count: jax.Array,
+    sel: jax.Array,
+    k: int,
+    block: int = 256,
+) -> jax.Array:
+    """Exact md for the selected points only, by blocked brute force.
+    Blocks with no selected rows skip the distance work via lax.cond;
+    output is 0 for non-selected rows."""
+    cap = xyz.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    valid = idx < count
+    sq = jnp.sum(xyz * xyz, axis=-1)
+    col_mask = jnp.where(valid, 0.0, _F32_MAX)
+
+    nblocks = -(-cap // block)
+
+    def row_block(start):
+        rows = jax.lax.dynamic_slice(xyz, (start, 0), (block, 3))
+        row_sq = jax.lax.dynamic_slice(sq, (start,), (block,))
+        row_sel = jax.lax.dynamic_slice(sel.astype(jnp.int32), (start,), (block,))
+        row_idx = start + jnp.arange(block, dtype=jnp.int32)
+
+        def work(_):
+            cross = jnp.dot(rows, xyz.T, preferred_element_type=jnp.float32)
+            d2 = row_sq[:, None] + sq[None, :] - 2.0 * cross
+            d2 = jnp.maximum(d2, 0.0) + col_mask[None, :]
+            self_col = (
+                jax.lax.broadcasted_iota(jnp.int32, (block, cap), 1)
+                == row_idx[:, None]
+            )
+            d2 = jnp.where(self_col, _F32_MAX, d2)
+            neg, _ = jax.lax.top_k(-d2, k)
+            d = jnp.sqrt(jnp.maximum(-neg, 0.0))
+            d = jnp.where(-neg < _F32_MAX / 2, d, 0.0)
+            return d.sum(axis=-1) / float(k)
+
+        return jax.lax.cond(
+            row_sel.sum() > 0, work, lambda _: jnp.zeros((block,), jnp.float32), None
+        )
+
+    starts = jnp.arange(nblocks, dtype=jnp.int32) * block
+    out = jax.lax.map(row_block, starts).reshape(nblocks * block)[:cap]
+    return jnp.where(sel & valid, out, 0.0)

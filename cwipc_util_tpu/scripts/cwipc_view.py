@@ -30,11 +30,23 @@ def make_parser() -> ArgumentParser:
     parser.add_argument("--skeleton", action="store_true", help="Also request and render skeleton metadata (capturers that support it)")
     parser.add_argument("--timestamps", action="store_true", help="Print detailed timestamp information per displayed cloud")
     parser.add_argument("--help_commands", action="store_true", help="List interactive commands and exit")
+    parser.add_argument("--profile", metavar="DIR", help="Write a jax.profiler trace of the run to DIR")
     return parser
 
 
 def main() -> int:
     args = make_parser().parse_args()
+    if args.profile:
+        # device-level tracing for perf work (SURVEY.md 5.1): the whole
+        # run lands in a TensorBoard-loadable trace under DIR
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            return _main_inner(args)
+    return _main_inner(args)
+
+
+def _main_inner(args) -> int:
     if args.help_commands:
         from ..io.visualizer import HELP
 

@@ -141,3 +141,82 @@ class TestChainFuzz:
         np.testing.assert_array_equal(
             np.asarray(fused.rgba[:nf]), np.asarray(staged.rgba[:ns])
         )
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_exact_chain_matches_staged_exact_ops(self, seed):
+        """The EXACT chain variant must reproduce staged downsample ->
+        brute-force-exact outlier removal -> tilefilter: same survivor
+        set, i.e. the fused outlier stage is semantically exact, not an
+        approximation (the keep threshold sits inside the distance
+        distribution, so approximation errors flip decisions)."""
+        import jax.numpy as jnp
+
+        from cwipc_util_tpu.core.buffers import buffer_from_arrays
+        from cwipc_util_tpu.ops import compaction, outliers, voxelize
+        from cwipc_util_tpu.ops.chain import downsample_outliers_tilefilter_exact
+
+        rng = np.random.default_rng(seed + 7)
+        n = int(rng.integers(300, 4000))
+        xyz = rng.random((n, 3), np.float32) * 2.0 - 1.0
+        r, g, b = (rng.integers(0, 256, n, dtype=np.uint8) for _ in range(3))
+        tiles = rng.integers(0, 4, n, dtype=np.uint8)
+        buf = buffer_from_arrays(xyz, r, g, b, tiles)
+        cellsize = jnp.float32(0.07)
+        k, mult, tile = 8, jnp.float32(1.5), jnp.uint32(1)
+
+        fused, resid = downsample_outliers_tilefilter_exact(
+            buf, cellsize, k=k, mult=mult, tile=tile,
+            out_capacity=buf.capacity, gy=64, gz=64, cap=32,
+        )
+
+        down = voxelize.downsample(buf, cellsize)
+        clean = outliers.remove_outliers(down, k, mult, method="exact")
+        staged = compaction.tilefilter(clean, tile)
+
+        nf, ns = int(fused.count), int(staged.count)
+        assert nf == ns, f"exact fused kept {nf}, staged exact kept {ns}"
+        np.testing.assert_allclose(
+            np.asarray(fused.xyz[:nf]), np.asarray(staged.xyz[:ns]),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fused.rgba[:nf]), np.asarray(staged.rgba[:ns])
+        )
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_cols_md_matches_bruteforce(self, seed):
+        """The column-grid exact kNN + brute-force fixup reproduces the
+        brute-force mean distances for every point."""
+        import jax.numpy as jnp
+
+        from cwipc_util_tpu.ops.cols_knn import (
+            bruteforce_md_subset,
+            cols_knn_mean_distance,
+        )
+        from cwipc_util_tpu.ops.outliers import _mean_knn_dist_bruteforce
+
+        rng = np.random.default_rng(seed + 77)
+        n = int(rng.integers(500, 5000))
+        cell = 0.05
+        # voxel-unique cloud: distinct cells with in-cell jitter
+        cells = rng.choice(40**3, n, replace=False)
+        v = np.stack([cells // 1600, (cells // 40) % 40, cells % 40], -1)
+        xyz = ((v + rng.random((n, 3))) * cell).astype(np.float32)
+        cap_n = 8192
+        full = np.zeros((cap_n, 3), np.float32)
+        full[:n] = xyz
+        k = 12
+        md, unc = cols_knn_mean_distance(
+            jnp.asarray(full), jnp.int32(n), jnp.float32(cell), k,
+            gy=64, gz=64, cap=64,
+        )
+        md = np.asarray(md)
+        if bool(np.asarray(unc).any()):
+            fix = np.asarray(
+                bruteforce_md_subset(jnp.asarray(full), jnp.int32(n), unc, k)
+            )
+            md = np.where(np.asarray(unc), fix, md)
+        ref = np.asarray(
+            _mean_knn_dist_bruteforce(jnp.asarray(full), jnp.int32(n), k)
+        )
+        np.testing.assert_allclose(md[:n], ref[:n], rtol=1e-4, atol=2e-6)
