@@ -652,32 +652,55 @@ static std::vector<float> mean_knn_distances(const std::vector<cwipc_point> &pts
     std::vector<uint64_t> skeys(n);
     for (uint32_t i = 0; i < n; i++) skeys[i] = keys[order[i]];
 
+    /* EXACT kNN by shell expansion: collect candidates from cell shells
+     * of growing Chebyshev radius R and stop once the k-th best distance
+     * is within the radius the searched shells GUARANTEE to cover
+     * (R*cell) — the same exactness contract as a KD-tree query, with the
+     * worst case degrading gracefully on adversarial input.  (The old
+     * fixed 3x3x3 ring with surrogate distances for missing neighbors was
+     * silently wrong whenever the true k-th neighbor fell outside the
+     * ring — at bench-cloud density, a third of all points.) */
     std::vector<float> d2s;
     d2s.reserve(1024);
+    /* a generous cap keeps adversarial clouds from scanning everything */
+    int max_R = 1;
+    while ((2 * max_R + 1) * (2 * max_R + 1) * (2 * max_R + 1) < (int64_t)n && max_R < 1024)
+        max_R++;
     for (uint32_t i = 0; i < n; i++) {
         const auto &p = pts[i];
         d2s.clear();
-        for (int dx = -1; dx <= 1; dx++)
-            for (int dy = -1; dy <= 1; dy++)
-                for (int dz = -1; dz <= 1; dz++) {
-                    uint64_t nk = key_of(cx[i] + dx, cy[i] + dy, cz[i] + dz);
-                    auto lo = std::lower_bound(skeys.begin(), skeys.end(), nk);
-                    auto hi = std::upper_bound(lo, skeys.end(), nk);
-                    for (auto it = lo; it != hi; ++it) {
-                        uint32_t j = order[it - skeys.begin()];
-                        if (j == i) continue;
-                        float ddx = p.x - pts[j].x, ddy = p.y - pts[j].y, ddz = p.z - pts[j].z;
-                        d2s.push_back(ddx * ddx + ddy * ddy + ddz * ddz);
+        double kth = std::numeric_limits<double>::infinity();
+        for (int R = 1; R <= max_R; R++) {
+            /* shell: cells with Chebyshev distance exactly R (R==1 also
+             * includes the center cell) */
+            for (int dx = -R; dx <= R; dx++)
+                for (int dy = -R; dy <= R; dy++)
+                    for (int dz = -R; dz <= R; dz++) {
+                        int ch = std::max({abs(dx), abs(dy), abs(dz)});
+                        if (R == 1 ? ch > 1 : ch != R) continue;
+                        uint64_t nk = key_of(cx[i] + dx, cy[i] + dy, cz[i] + dz);
+                        auto lo = std::lower_bound(skeys.begin(), skeys.end(), nk);
+                        auto hi = std::upper_bound(lo, skeys.end(), nk);
+                        for (auto it = lo; it != hi; ++it) {
+                            uint32_t j = order[it - skeys.begin()];
+                            if (j == i) continue;
+                            float ddx = p.x - pts[j].x, ddy = p.y - pts[j].y, ddz = p.z - pts[j].z;
+                            d2s.push_back(ddx * ddx + ddy * ddy + ddz * ddz);
+                        }
                     }
-                }
+            if ((int)d2s.size() >= k) {
+                std::nth_element(d2s.begin(), d2s.begin() + (k - 1), d2s.end());
+                kth = sqrt((double)d2s[k - 1]);
+                /* searched shells cover every point within R*cell of p */
+                if (kth <= (double)R * cell) break;
+            }
+        }
         int kk = std::min<int>(k, (int)d2s.size());
         double sum = 0;
         if (kk > 0) {
             std::nth_element(d2s.begin(), d2s.begin() + (kk - 1), d2s.end());
             for (int j = 0; j < kk; j++) sum += sqrt((double)d2s[j]);
         }
-        /* missing neighbors count as 2*cell away (isolated => outlier) */
-        sum += (k - kk) * 2.0 * cell;
         md[i] = (float)(sum / k);
     }
     return md;

@@ -54,22 +54,22 @@ def fill_tri(tri_ref, quarter: int) -> None:
 
 
 def quarter_prefixes(bf_f, tri_ref, quarter: int):
-    """All per-quarter inclusive prefixes of a [1, B] flag row, computed as
-    INDEPENDENT matmuls with the scalar quarter bases chained only
-    afterwards — interleaving scalar reads between the matmuls serializes
-    the kernel pipeline (measured 2.2 ms vs 1.67 even against the 64-pass
-    full-block prefix).  Returns (pres [list of [1,Q] i32], tbs [list of
-    scalar bases], total boundary count)."""
+    """All per-quarter inclusive prefixes of a [1, B] flag row as ONE
+    batched [nq, Q] @ [Q, Q] matmul (an M=1 operand wastes 127/128 MXU
+    rows and pays pure pass count, so four M=1 calls are 4x the passes of
+    one M=4 call), with the scalar quarter bases chained only afterwards —
+    interleaving scalar reads between matmuls serializes the kernel
+    pipeline (measured 2.2 ms vs 1.67 even against the 64-pass full-block
+    prefix).  Returns (pres [list of [1,Q] i32], tbs [list of scalar
+    bases], total boundary count)."""
     nq = bf_f.shape[1] // quarter
-    pres = [
-        jax.lax.dot_general(
-            bf_f[:, q * quarter : (q + 1) * quarter].astype(jnp.bfloat16),
-            tri_ref[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)
-        for q in range(nq)
-    ]
+    bf4 = bf_f.reshape(nq, quarter).astype(jnp.bfloat16)
+    pre4 = jax.lax.dot_general(
+        bf4, tri_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # [nq, Q]
+    pres = [pre4[q : q + 1, :] for q in range(nq)]
     tbs = [jnp.int32(0)]
     for q in range(nq - 1):
         tbs.append(tbs[-1] + pres[q][0, quarter - 1])

@@ -50,6 +50,10 @@ def native_lib():
     lib.cwipc_pointcloud_free.argtypes = [ctypes.c_void_p]
     lib.cwipc_downsample.restype = ctypes.c_void_p
     lib.cwipc_downsample.argtypes = [ctypes.c_void_p, ctypes.c_float]
+    lib.cwipc_remove_outliers.restype = ctypes.c_void_p
+    lib.cwipc_remove_outliers.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+    ]
     lib.cwipc_dangling_allocations.restype = ctypes.c_int
     lib.cwipc_dangling_allocations.argtypes = [ctypes.c_int]
     return lib
@@ -106,6 +110,40 @@ class TestNativeInterop:
             pc2 = cwipc.cwipc_read(fn2, 0)
             assert list(pc2.get_points()) == list(pc.get_points())
             native_lib.cwipc_pointcloud_free(npc)
+
+    def test_native_remove_outliers_exact(self, native_lib):
+        """The native shell-expansion kNN is EXACT: its keep set equals the
+        scipy-KDTree oracle's (the old fixed-ring surrogate was silently
+        wrong whenever the k-th neighbor fell outside the 3x3x3 ring)."""
+        from scipy.spatial import cKDTree
+
+        gen = cwipc.cwipc_synthetic(0, 9000)
+        gen.start()
+        pc = gen.get()
+        gen.stop()
+        down = cwipc.cwipc_downsample(pc, 0.01)
+        k, mult = 30, 1.0
+        pts_m = down.get_numpy_matrix(onlyGeometry=True).astype(np.float64)
+        tree = cKDTree(pts_m)
+        dist, _ = tree.query(pts_m, k=k + 1, workers=-1)
+        md = dist[:, 1:].mean(axis=1)
+        mu = md.mean()
+        var = ((md * md).sum() - md.sum() ** 2 / len(md)) / (len(md) - 1)
+        keep = md <= mu + mult * np.sqrt(max(var, 0.0))
+
+        pts = bytes(down.get_bytes())
+        err = ctypes.c_char_p()
+        buf = ctypes.create_string_buffer(pts, len(pts))
+        npc = native_lib.cwipc_from_points(
+            buf, len(pts), down.count(), 0, ctypes.byref(err), cwipc.CWIPC_API_VERSION
+        )
+        nclean = native_lib.cwipc_remove_outliers(
+            npc, k, ctypes.c_float(mult), False
+        )
+        n = native_lib.cwipc_pointcloud_count(nclean)
+        assert n == int(keep.sum()), (n, int(keep.sum()))
+        native_lib.cwipc_pointcloud_free(npc)
+        native_lib.cwipc_pointcloud_free(nclean)
 
     def test_native_downsample_matches_python(self, native_lib):
         """The native hash-grid downsample and the TPU kernel agree on the

@@ -151,3 +151,52 @@ def test_public_downsample_small_cloud_on_tpu_default(tpu):
     with jax.default_device(tpu):
         out = cwipc.cwipc_downsample(pc, 0.1)
         assert 0 < out.count() <= 300
+
+
+def test_exact_chain_keep_mask_matches_oracle_on_bench_cloud(tpu):
+    """The round-3 exactness deliverable: on THE bench cloud (1M-point
+    synthetic, bench.py's exact configuration), the exact-outlier chain's
+    keep decisions equal the independent host-side oracle (scipy cKDTree
+    in float64) — 100% keep-mask agreement, not an approximation."""
+    from scipy.spatial import cKDTree
+
+    from cwipc_util_tpu.models.synthetic import _generate
+    from cwipc_util_tpu.ops.chain import downsample_outliers_tilefilter_exact
+    from cwipc_util_tpu.ops.voxelize import downsample
+
+    hsteps = asteps = 1000
+    capacity = 1 << 20
+    out_capacity = 1 << 18
+    cellsize = jnp.float32(2.0 / hsteps * 2.0)
+    k, mult = 30, np.float32(1.0)
+
+    with jax.default_device(tpu):
+        buf = _generate(hsteps, asteps, capacity, jnp.float32(0.5))
+        out, resid = downsample_outliers_tilefilter_exact(
+            buf, cellsize, k=k, mult=jnp.float32(mult), tile=jnp.uint32(0),
+            out_capacity=out_capacity, gy=512, gz=160, cap=32,
+        )
+        n_out = int(out.count)
+        got_xyz = np.asarray(out.xyz[:n_out])
+        # the downsampled cloud (the outlier stage's input) for the oracle
+        down = downsample(buf, cellsize, out_capacity=out_capacity)
+        n_down = int(down.count)
+        pts = np.asarray(down.xyz[:n_down]).astype(np.float64)
+
+    tree = cKDTree(pts)
+    dist, _ = tree.query(pts, k=k + 1, workers=-1)
+    md = dist[:, 1:].mean(axis=1)
+    mu = md.mean()
+    var = ((md * md).sum() - md.sum() ** 2 / len(md)) / (len(md) - 1)
+    thr = mu + mult * np.sqrt(max(var, 0.0))
+    keep = md <= thr
+
+    assert n_out == keep.sum(), (
+        f"exact chain kept {n_out}, oracle keeps {keep.sum()} "
+        f"(residual fixups: {int(resid)})"
+    )
+    # same SET of survivors, not just the same count
+    kept_ref = pts[keep].astype(np.float32)
+    a = kept_ref[np.lexsort(kept_ref.T)]
+    b = got_xyz[np.lexsort(got_xyz.T)]
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
