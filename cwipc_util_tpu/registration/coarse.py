@@ -279,4 +279,24 @@ class MultiCameraCoarseColorTarget(MultiCameraCoarse):
         return {0: corners}
 
 
+class MultiCameraCoarseColorTargetInteractive(MultiCameraCoarseColorTarget):
+    """ColorTarget with the reference's MANUAL workflow: the user
+    shift-clicks the four colored corners (red, green, blue, yellow — in
+    that order) of the target in a viewer window per camera
+    (reference: multicoarse.py:277.., o3d pick window via
+    registration/util.py:244-257).  Headless runs (no display) fall back
+    to the automated color segmentation of the parent class."""
+
+    def _find_markers(self, pc: cwipc_pointcloud_wrapper) -> Dict[int, np.ndarray]:
+        from .util import pick_points
+
+        picked = pick_points(
+            "Pick target corners: red, green, blue, yellow", pc, count=4
+        )
+        if len(picked) != 4:
+            return super()._find_markers(pc)
+        xyz = pc.get_numpy_matrix(onlyGeometry=True).astype(np.float64)
+        return {0: xyz[np.asarray(picked)]}
+
+
 DEFAULT_COARSE_ALGORITHM = MultiCameraCoarseAruco

@@ -278,6 +278,91 @@ class BaseMulticamAlgorithm(MulticamAlgorithm):
         return self.get_pc_for_tilemask(self.tilemask_for_camera_index(camnum))
 
 
+def project_point_indices(
+    xyz: np.ndarray, camera, width: int, height: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Project points with the software renderer's camera model: returns
+    (u, v, depth) screen coordinates per point (NaN u/v for points behind
+    the camera).  Factored out of the renderer so picking is testable
+    without a window."""
+    import math as _math
+
+    view = camera.view_matrix()
+    cam_pts = xyz @ view[:3, :3].T + view[:3, 3]
+    z = -cam_pts[:, 2]
+    f = 0.5 * height / _math.tan(_math.radians(camera.fov_deg) / 2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.where(z > 1e-6, (cam_pts[:, 0] / z) * f + width / 2, np.nan)
+        v = np.where(z > 1e-6, -(cam_pts[:, 1] / z) * f + height / 2, np.nan)
+    return u, v, z
+
+
+def pick_index_at(
+    xyz: np.ndarray, camera, width: int, height: int, x: float, y: float,
+    max_pixel_distance: float = 12.0,
+) -> int:
+    """The point index whose projection is nearest to screen (x, y), with
+    nearer-in-depth winning among candidates inside the pixel radius;
+    -1 when nothing is close enough.  (The deprojection core of the
+    interactive picker, reference util.py:244-257 o3d pick window.)"""
+    u, v, z = project_point_indices(xyz, camera, width, height)
+    d2 = (u - x) ** 2 + (v - y) ** 2
+    near = d2 <= max_pixel_distance**2
+    cand = np.where(np.isfinite(d2) & near)[0]
+    if cand.size == 0:
+        return -1
+    # among pixels within the radius prefer the closest to the camera
+    # (front surface), then the closest to the click
+    zc = z[cand]
+    zmin = zc.min()
+    front = cand[zc <= zmin * 1.02]
+    return int(front[np.argmin(d2[front])])
+
+
+def pick_points(
+    title: str, pc: cwipc_pointcloud_wrapper, count: int = 4,
+    timeout_ms: int = 120000,
+) -> List[int]:
+    """Interactive point picking: show the cloud in the software viewer
+    and let the user shift-click `count` points; returns their indices
+    (reference: registration/util.py:244-257, o3d VisualizerWithEditing).
+    Headless runs (no GUI available) return [] immediately — callers fall
+    back to the automated detector."""
+    import time as _time
+
+    from ..io.visualizer_sink import cwipc_window_sink
+
+    window = cwipc_window_sink(title)
+    try:
+        window.feed(pc, True)
+        if not window._gui:
+            return []
+        import cv2
+
+        m = pc.get_numpy_matrix(onlyGeometry=True).astype(np.float32)
+        picked: List[int] = []
+
+        def on_mouse(event, x, y, flags, _param):
+            if event == cv2.EVENT_LBUTTONDOWN and (flags & cv2.EVENT_FLAG_SHIFTKEY):
+                idx = pick_index_at(m, window.camera, window.width, window.height, x, y)
+                if idx >= 0 and idx not in picked:
+                    picked.append(idx)
+                    print(f"pick_points: picked #{len(picked)}: index {idx} at {m[idx]}")
+            else:
+                window._on_mouse(event, x, y, flags, _param)
+
+        cv2.setMouseCallback(window.title, on_mouse)
+        print(f"pick_points: shift-click {count} points; q aborts")
+        deadline = _time.time() + timeout_ms / 1000.0
+        while len(picked) < count and _time.time() < deadline:
+            key = cv2.waitKey(50)
+            if key >= 0 and chr(key & 0xFF) == "q":
+                break
+        return picked
+    finally:
+        window.free(force=True)
+
+
 def show_pointcloud(title: str, pc: cwipc_pointcloud_wrapper, timeout_ms: int = 5000) -> None:
     """Show a pointcloud in a viewer window until a key is pressed (or the
     timeout elapses in headless runs) — the interactive inspection helper

