@@ -222,7 +222,16 @@ def bruteforce_md_subset(
         row_idx = start + jnp.arange(block, dtype=jnp.int32)
 
         def work(_):
-            cross = jnp.dot(rows, xyz.T, preferred_element_type=jnp.float32)
+            # HIGHEST precision is mandatory: the TPU MXU's default is
+            # bf16 multiplication, whose ~1e-3 relative error on the cross
+            # term turns into ~1e-2 absolute distance error through the
+            # |a|^2+|b|^2-2ab expansion — far beyond the keep threshold's
+            # sensitivity (measured: 112 corrupted md values shifted the
+            # bench threshold enough to flip ~2000 keep decisions).
+            cross = jnp.dot(
+                rows, xyz.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             d2 = row_sq[:, None] + sq[None, :] - 2.0 * cross
             d2 = jnp.maximum(d2, 0.0) + col_mask[None, :]
             self_col = (

@@ -205,6 +205,17 @@ def transform44(buf: PointBuffer, matrix: jax.Array) -> PointBuffer:
     m = matrix.astype(jnp.float32)
     rot = m[:3, :3]
     trans = m[:3, 3]
-    new_xyz = buf.xyz @ rot.T + trans
+    # HIGHEST precision: the MXU's bf16 default would smear transformed
+    # coordinates by ~1e-3 relative (sub-mm at body scale, but visible in
+    # registration residuals and round-trip tests)
+    new_xyz = (
+        jax.lax.dot_general(
+            buf.xyz, rot.T,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + trans
+    )
     new_xyz = jnp.where(buf.valid_mask()[:, None], new_xyz, 0.0)
     return PointBuffer(xyz=new_xyz, rgba=buf.rgba, count=buf.count)

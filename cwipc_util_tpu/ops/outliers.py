@@ -82,8 +82,13 @@ def _mean_knn_dist_bruteforce(
         rows = jax.lax.dynamic_slice(xyz, (start, 0), (block, 3))
         row_sq = jax.lax.dynamic_slice(sq_norms, (start,), (block,))
         row_idx = start + jnp.arange(block, dtype=jnp.int32)
-        # d2[b, j] = |a_b|^2 + |x_j|^2 - 2 a_b . x_j  (the dot is a matmul)
-        cross = jnp.dot(rows, xyz.T, preferred_element_type=jnp.float32)
+        # d2[b, j] = |a_b|^2 + |x_j|^2 - 2 a_b . x_j  (the dot is a matmul;
+        # HIGHEST precision because the MXU's bf16 default corrupts the
+        # cancellation-sensitive expansion — see cols_knn.py)
+        cross = jnp.dot(
+            rows, xyz.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         d2 = row_sq[:, None] + sq_norms[None, :] - 2.0 * cross
         d2 = jnp.maximum(d2, 0.0) + col_mask[None, :]
         # exclude self-distance
