@@ -120,11 +120,19 @@ def _estimate_spacing(pc: cwipc_pointcloud_wrapper) -> float:
     return max(1e-6, float(np.median(nns))) if nns else 1.0
 
 
-def _cols_grid_params(xyz: np.ndarray, cell: float):
+def _cols_grid_params(xyz: np.ndarray, cell: float, budget: int = 8_000_000):
     """Host-side column-grid parameter choice for ops/cols_knn.py: pick
     the column axis minimizing plane*cap, bucket the extents and cap.
-    Returns (perm, gy, gz, cap)."""
-    v = np.floor(xyz / cell).astype(np.int64)
+    Extents are PERCENTILE-clipped so a single far outlier cannot explode
+    the dense plane — out-of-grid points are reported uncovered by the
+    kernel and fixed up exactly by brute force.  Returns
+    (perm, gy, gz, cap) or None when no axis fits the slot budget."""
+    lo = np.percentile(xyz, 0.5, axis=0)
+    hi = np.percentile(xyz, 99.5, axis=0)
+    core = xyz[np.all((xyz >= lo) & (xyz <= hi), axis=1)]
+    if core.shape[0] < 2:
+        core = xyz
+    v = np.floor(core / cell).astype(np.int64)
     v -= v.min(axis=0)
     ext = v.max(axis=0) + 1
 
@@ -141,7 +149,9 @@ def _cols_grid_params(xyz: np.ndarray, cell: float):
         cost = gy * gz * cap
         if best is None or cost < best[0]:
             best = (cost, (ax, a1, a2), gy, gz, cap)
-    _, perm, gy, gz, cap = best
+    cost, perm, gy, gz, cap = best
+    if cost > budget:
+        return None
     return perm, gy, gz, cap
 
 
@@ -156,26 +166,47 @@ def _remove_outliers_single(
     if n <= 4096:
         out = outliers.remove_outliers(buf, k_eff, jnp.float32(mult), method="exact")
         return _wrap(out, pc)
-    # Column-grid exact kNN (ops/cols_knn.py): EXACT for every point —
-    # ring-uncovered points fall back to blocked brute force.  Replaces
-    # the neighborhood-grid method here, whose surrogate distance for
-    # ring-missing neighbors made it inexact whenever the k-th neighbor
-    # fell outside its 3x3x3 ring (at bench-cloud density that is a
-    # third of all points).
-    from .cols_knn import bruteforce_md_subset, cols_knn_mean_distance
+    # EXACT path for large clouds (replacing the neighborhood-grid
+    # method, whose surrogate distance for ring-missing neighbors made
+    # it inexact whenever the k-th neighbor fell outside its 3x3x3 ring
+    # — at bench-cloud density a third of all points):
+    #
+    # * CPU backend: scipy cKDTree — the right exact tool for a host;
+    # * accelerator: the column-grid kernel (ops/cols_knn.py) with
+    #   brute-force fixup for ring-uncovered points; degenerate grids
+    #   (extents beyond the slot budget even after percentile clipping)
+    #   fall back to the KD-tree on host.
+    import jax
 
-    spacing = _estimate_spacing(pc)
-    # ring covers < 4*cell; d_k ~ spacing*sqrt(k/pi) for surfaces
-    cell = max(1.0, float(np.sqrt(k_eff / np.pi)) / 3.0) * spacing
-    xyz_host = np.asarray(buf.xyz[:n])
-    perm, gy, gz, cap = _cols_grid_params(xyz_host, cell)
-    xyz_perm = buf.xyz[:, list(perm)]
-    md, unc = cols_knn_mean_distance(
-        xyz_perm, buf.count, jnp.float32(cell), k_eff, gy=gy, gz=gz, cap=cap
-    )
-    md_fix = bruteforce_md_subset(xyz_perm, buf.count, unc, k_eff)
-    md = jnp.where(unc, md_fix, md)
-    keep = outliers._keep_from_mean_dists(md, buf.valid_mask(), jnp.float32(mult))
+    xyz_host = np.asarray(buf.xyz[:n]).astype(np.float64)
+    params = None
+    if jax.default_backend() != "cpu":
+        from .cols_knn import bruteforce_md_subset, cols_knn_mean_distance
+
+        spacing = _estimate_spacing(pc)
+        # ring covers < 4*cell; d_k ~ spacing*sqrt(k/pi) for surfaces
+        cell = max(1.0, float(np.sqrt(k_eff / np.pi)) / 3.0) * spacing
+        params = _cols_grid_params(xyz_host, cell)
+    if params is not None:
+        perm, gy, gz, cap = params
+        xyz_perm = buf.xyz[:, list(perm)]
+        md, unc = cols_knn_mean_distance(
+            xyz_perm, buf.count, jnp.float32(cell), k_eff, gy=gy, gz=gz, cap=cap
+        )
+        md_fix = bruteforce_md_subset(xyz_perm, buf.count, unc, k_eff)
+        md = jnp.where(unc, md_fix, md)
+        keep = outliers._keep_from_mean_dists(md, buf.valid_mask(), jnp.float32(mult))
+    else:
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(xyz_host)
+        dist, _ = tree.query(xyz_host, k=k_eff + 1, workers=-1)
+        md_host = np.atleast_2d(dist)[:, 1:].sum(axis=1) / k_eff
+        md_full = np.zeros(buf.capacity, np.float32)
+        md_full[:n] = md_host
+        keep = outliers._keep_from_mean_dists(
+            jnp.asarray(md_full), buf.valid_mask(), jnp.float32(mult)
+        )
     out = compaction.compact(buf, keep)
     return _wrap(out, pc)
 

@@ -56,7 +56,11 @@ _SENTINEL = jnp.iinfo(jnp.int32).max
 B = 1024  # points per grid step
 STAGE_CHUNKS = 10  # ring width: 127 leftover + up to B new columns, in 128s
 QUARTER = 256  # emission sub-tile: narrow membership one-hots
-Q_W = QUARTER + 128  # relative target range within a quarter
+# Relative target range within a quarter.  (A [0, Q-1] mapping exists —
+# subtract the quarter's first-lane boundary flag — which would cut the
+# emission matmul to 2 N-tiles, but the per-quarter scalar read it needs
+# on the emission path measured WORSE in-session: 1.53 vs 1.41 ms.)
+Q_W = QUARTER + 128
 STAGE_W = STAGE_CHUNKS * 128
 NCH = 16  # channel rows: 7 sums + 4 packed tile-bit pairs + 2 keys + pad
 # The 8 tile bits ride as 4 base-2048 digit PAIRS (bit j + 2048*bit j+4):

@@ -267,28 +267,42 @@ class RegistrationComputer_ICP_Generalized(RegistrationComputer_ICP_Point2Plane)
         Csum = disc_cov(n_d) + disc_cov(n_s)
         M = np.linalg.inv(Csum)
 
-        r = dst - src  # residuals at the current pose
-        # J_i = [-[s_i]x | I]: linearized motion w*x(s) + t
+        # Gauss-Newton on the Mahalanobis cost with FIXED matches and
+        # weights, iterated a few times: with the disc model's strong
+        # anisotropy (1/eps: 1 weight ratio along the normal) one
+        # linearized step underestimates the motion, which left the pose
+        # short of convergence on noisy pairs (the reference's o3d GICP
+        # also runs an inner optimization per correspondence set).
         m = src.shape[0]
-        S = np.zeros((m, 3, 3))
-        S[:, 0, 1] = -src[:, 2]
-        S[:, 0, 2] = src[:, 1]
-        S[:, 1, 0] = src[:, 2]
-        S[:, 1, 2] = -src[:, 0]
-        S[:, 2, 0] = -src[:, 1]
-        S[:, 2, 1] = src[:, 0]
-        Jw = -S  # [m, 3, 3]
-        J = np.concatenate([Jw, np.broadcast_to(np.identity(3), (m, 3, 3))], axis=2)  # [m,3,6]
-        JtM = np.einsum("mij,mik->mjk", J, M)  # [m, 6, 3]
-        A = np.einsum("mji,mjk->ik", JtM.transpose(0, 2, 1), J)  # 6x6
-        b = np.einsum("mjk,mk->j", JtM, r)
-        # light Levenberg damping keeps degenerate scenes solvable
-        A = A + np.identity(6) * (1e-9 * max(np.trace(A) / 6.0, 1.0))
-        x = np.linalg.solve(A, b)
-        rx, ry, rz, tx, ty, tz = x
         Td = np.identity(4)
-        Td[:3, :3] = _small_rotation(rx, ry, rz)
-        Td[:3, 3] = (tx, ty, tz)
+        cur = src
+        for _ in range(4):
+            r = dst - cur
+            S = np.zeros((m, 3, 3))
+            S[:, 0, 1] = -cur[:, 2]
+            S[:, 0, 2] = cur[:, 1]
+            S[:, 1, 0] = cur[:, 2]
+            S[:, 1, 2] = -cur[:, 0]
+            S[:, 2, 0] = -cur[:, 1]
+            S[:, 2, 1] = cur[:, 0]
+            Jw = -S  # [m, 3, 3]
+            J = np.concatenate(
+                [Jw, np.broadcast_to(np.identity(3), (m, 3, 3))], axis=2
+            )  # [m,3,6]
+            JtM = np.einsum("mij,mik->mjk", J, M)  # [m, 6, 3]
+            A = np.einsum("mji,mjk->ik", JtM.transpose(0, 2, 1), J)  # 6x6
+            b = np.einsum("mjk,mk->j", JtM, r)
+            # light Levenberg damping keeps degenerate scenes solvable
+            A = A + np.identity(6) * (1e-9 * max(np.trace(A) / 6.0, 1.0))
+            x = np.linalg.solve(A, b)
+            rx, ry, rz, tx, ty, tz = x
+            Ts = np.identity(4)
+            Ts[:3, :3] = _small_rotation(rx, ry, rz)
+            Ts[:3, 3] = (tx, ty, tz)
+            Td = Ts @ Td
+            cur = src @ Td[:3, :3].T + Td[:3, 3]
+            if np.abs(x).max() < 1e-9:
+                break
         return Td
 
 
