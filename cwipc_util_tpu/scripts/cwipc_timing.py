@@ -22,7 +22,14 @@ def main() -> int:
     args = parser.parse_args()
     beginOfRun(args)
     source = activesource_factory_from_args(args)()
-    source.request_metadata("timestamps")
+    try:
+        source.request_metadata("timestamps")
+    except Exception:
+        # playback sources have no per-stage timestamps metadata (the
+        # reference raises and crashes here; degrading to frame
+        # timestamps keeps the CSV useful for recordings)
+        print("cwipc_timing: source has no timestamps metadata; "
+              "frame timestamps only", file=sys.stderr)
     source.start()
     out = open(args.output, "w") if args.output else sys.stdout
     out.write("seq,timestamp_ms,received_ms,latency_ms,frame_duration_ms,pointcount,aux\n")
