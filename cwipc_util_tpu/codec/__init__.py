@@ -72,6 +72,20 @@ def _octree_pack(keys: np.ndarray, depth: int) -> np.ndarray:
     return np.concatenate(levels)
 
 
+# Per-byte expansion tables for _octree_unpack: for every occupancy mask
+# value, the count of set bits and the set-bit indices packed as nibbles
+# (ascending).  Turns the per-level child expansion into three vectorized
+# passes (repeat + rank + shift) with no unpackbits/nonzero.
+_OCC_COUNT = np.array([bin(m).count("1") for m in range(256)], np.int64)
+_OCC_PACK = np.array(
+    [
+        sum(b << (4 * i) for i, b in enumerate(j for j in range(8) if m >> j & 1))
+        for m in range(256)
+    ],
+    np.int64,
+)
+
+
 def _octree_unpack(stream: np.ndarray, depth: int, n: int) -> np.ndarray:
     """Inverse of _octree_pack: sorted unique keys from the byte stream."""
     cur = np.zeros(1, np.int64)
@@ -82,10 +96,14 @@ def _octree_unpack(stream: np.ndarray, depth: int, n: int) -> np.ndarray:
             raise CwipcError("cwipc_decoder: truncated octree stream")
         masks = stream[pos : pos + nn]
         pos += nn
-        bits = np.unpackbits(masks[:, None], axis=1, bitorder="little")
-        counts = bits.sum(axis=1).astype(np.int64)
+        counts = _OCC_COUNT[masks]
+        total = int(counts.sum())
         parent_rep = np.repeat(cur << 3, counts)
-        child = np.nonzero(bits)[1].astype(np.int64)
+        pack_rep = np.repeat(_OCC_PACK[masks], counts)
+        # rank of each child within its node: position minus its node's start
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        rank = np.arange(total, dtype=np.int64) - starts
+        child = (pack_rep >> (rank << 2)) & 7
         cur = parent_rep | child
     if pos != len(stream) or len(cur) != n:
         raise CwipcError("cwipc_decoder: inconsistent octree stream")
