@@ -186,6 +186,13 @@ class _NetClientSource(threading.Thread, cwipc_activerawsource_abstract):
             if self.verbose:
                 print(f"netclient: connection to {self.host}:{self.port} refused")
             self._eof = True
+            with self._switch_lock:
+                if self._pending_sock is not None:
+                    try:
+                        self._pending_sock.close()
+                    except OSError:
+                        pass
+                    self._pending_sock = None
             return
         self.sock = sock
         last_ts = 0

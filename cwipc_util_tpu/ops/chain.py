@@ -122,8 +122,11 @@ def downsample_outliers_tilefilter_exact(
 
     x, y, z, rgba, cnt = voxelize.downsample_cm(buf, cellsize, out_capacity)
     xyz = jnp.stack([x, y, z], axis=-1)
+    # voxel_unique: the downsample postcondition enables the per-column
+    # top-9 pre-selection (see cols_knn.py)
     md, unc = cols_knn_mean_distance(
-        xyz, cnt, jnp.asarray(cellsize, jnp.float32), k, gy=gy, gz=gz, cap=cap
+        xyz, cnt, jnp.asarray(cellsize, jnp.float32), k, gy=gy, gz=gz, cap=cap,
+        voxel_unique=True,
     )
     md_fix = bruteforce_md_subset(xyz, cnt, unc, k)
     md = jnp.where(unc, md_fix, md)

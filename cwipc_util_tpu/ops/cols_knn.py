@@ -65,7 +65,7 @@ def _k_smallest_sum(d2: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     return dist.sum(axis=-1), kth
 
 
-@partial(jax.jit, static_argnames=("k", "gy", "gz", "cap", "chunk"))
+@partial(jax.jit, static_argnames=("k", "gy", "gz", "cap", "chunk", "voxel_unique"))
 def cols_knn_mean_distance(
     xyz: jax.Array,
     count: jax.Array,
@@ -75,6 +75,7 @@ def cols_knn_mean_distance(
     gz: int,
     cap: int,
     chunk: int = 256,
+    voxel_unique: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact mean k-NN distance for a voxel-unique cloud.
 
@@ -88,6 +89,8 @@ def cols_knn_mean_distance(
     wrong.
     """
     n = xyz.shape[0]
+    # the rank sort packs the column key and the x-cell into one int32
+    assert gy * gz <= 1_000_000, "column plane too large for the int32 sort key"
     idx = jnp.arange(n, dtype=jnp.int32)
     valid = idx < count
     inv = 1.0 / jnp.asarray(cell, jnp.float32)
@@ -178,11 +181,16 @@ def cols_knn_mean_distance(
         # 81*9 survivors.  (A VMEM-resident Pallas count-bisection was
         # also built and measured 7x SLOWER than XLA's top_k emitter at
         # this shape — negative result, do not re-attempt.)
-        keep_per_col = min(9, cap)
-        neg1, _ = jax.lax.top_k(
-            -d2.reshape(chunk * cap * ncols, cap), keep_per_col
-        )
-        survivors = (-neg1).reshape(chunk * cap, ncols * keep_per_col)
+        # The <=9 bound REQUIRES voxel uniqueness (distinct x-cells per
+        # column); for general clouds every column slot stays a candidate.
+        keep_per_col = min(9, cap) if voxel_unique else cap
+        if keep_per_col < cap:
+            neg1, _ = jax.lax.top_k(
+                -d2.reshape(chunk * cap * ncols, cap), keep_per_col
+            )
+            survivors = (-neg1).reshape(chunk * cap, ncols * keep_per_col)
+        else:
+            survivors = d2.reshape(chunk * cap, ncols * cap)
         ssum, kth = _k_smallest_sum(survivors, k)
         return ssum.reshape(chunk, cap), kth.reshape(chunk, cap)
 

@@ -103,6 +103,48 @@ class TestOpProperties:
         assert np.array_equal(out, np.concatenate([a_arr, b_arr]))
 
 
+class TestCodecFuzz:
+    def test_decoder_rejects_corruption_cleanly(self):
+        """Bit flips, truncations and garbage-with-magic must raise
+        CwipcError (or decode to something) — never crash with an
+        unrelated exception.  Covers the octree/JPEG stream paths."""
+        import cwipc_util_tpu as cwipc
+        from cwipc_util_tpu import codec
+        from cwipc_util_tpu.core.errors import CwipcError
+
+        gen = cwipc.cwipc_synthetic(0, 4000)
+        gen.start()
+        pc = gen.get()
+        gen.stop()
+        enc = codec.cwipc_new_encoder(
+            params=codec.cwipc_encoder_params(octree_bits=9)
+        )
+        enc.feed(pc)
+        data = enc.get_bytes()
+        rng = np.random.default_rng(0)
+        for trial in range(60):
+            buf = bytearray(data)
+            mode = trial % 3
+            if mode == 0:
+                for _ in range(int(rng.integers(1, 8))):
+                    buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+            elif mode == 1:
+                buf = buf[: int(rng.integers(0, len(buf)))]
+            else:
+                buf = bytearray(
+                    rng.integers(0, 256, int(rng.integers(10, 400)), dtype=np.uint8).tobytes()
+                )
+                buf[:4] = b"CTC1"
+            dec = codec.cwipc_new_decoder()
+            try:
+                dec.feed(bytes(buf))
+                out = dec.get()
+                if out is not None:
+                    out.free()
+            except CwipcError:
+                pass  # the contract: corrupt streams raise CwipcError
+
+
 class TestChainFuzz:
     @pytest.mark.parametrize("seed", range(4))
     def test_fused_chain_matches_staged_ops(self, seed):
@@ -208,7 +250,48 @@ class TestChainFuzz:
         k = 12
         md, unc = cols_knn_mean_distance(
             jnp.asarray(full), jnp.int32(n), jnp.float32(cell), k,
-            gy=64, gz=64, cap=64,
+            gy=64, gz=64, cap=64, voxel_unique=True,
+        )
+        md = np.asarray(md)
+        if bool(np.asarray(unc).any()):
+            fix = np.asarray(
+                bruteforce_md_subset(jnp.asarray(full), jnp.int32(n), unc, k)
+            )
+            md = np.where(np.asarray(unc), fix, md)
+        ref = np.asarray(
+            _mean_knn_dist_bruteforce(jnp.asarray(full), jnp.int32(n), k)
+        )
+        np.testing.assert_allclose(md[:n], ref[:n], rtol=1e-4, atol=2e-6)
+
+    @pytest.mark.parametrize("seed", range(2))
+    def test_cols_md_exact_on_duplicate_cells(self, seed):
+        """The public-op path: clouds that are NOT voxel-unique (several
+        points per cell) must still come out exact — the per-column
+        pre-selection is only legal under voxel uniqueness, so
+        voxel_unique=False must keep every slot a candidate."""
+        import jax.numpy as jnp
+
+        from cwipc_util_tpu.ops.cols_knn import (
+            bruteforce_md_subset,
+            cols_knn_mean_distance,
+        )
+        from cwipc_util_tpu.ops.outliers import _mean_knn_dist_bruteforce
+
+        rng = np.random.default_rng(seed + 170)
+        n = 3000
+        cell = 0.05
+        # ~3 points per occupied cell on average
+        cells = rng.choice(20**3, n // 3, replace=False)
+        cells = np.repeat(cells, 3)[:n]
+        v = np.stack([cells // 400, (cells // 20) % 20, cells % 20], -1)
+        xyz = ((v + rng.random((n, 3))) * cell).astype(np.float32)
+        cap_n = 4096
+        full = np.zeros((cap_n, 3), np.float32)
+        full[:n] = xyz
+        k = 10
+        md, unc = cols_knn_mean_distance(
+            jnp.asarray(full), jnp.int32(n), jnp.float32(cell), k,
+            gy=32, gz=32, cap=32, voxel_unique=False,
         )
         md = np.asarray(md)
         if bool(np.asarray(unc).any()):
