@@ -65,29 +65,9 @@ def _k_smallest_sum(d2: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     return dist.sum(axis=-1), kth
 
 
-@partial(jax.jit, static_argnames=("k", "gy", "gz", "cap", "chunk", "voxel_unique"))
-def cols_knn_mean_distance(
-    xyz: jax.Array,
-    count: jax.Array,
-    cell: jax.Array,
-    k: int,
-    gy: int,
-    gz: int,
-    cap: int,
-    chunk: int = 256,
-    voxel_unique: bool = False,
-) -> tuple[jax.Array, jax.Array]:
-    """Exact mean k-NN distance for a voxel-unique cloud.
-
-    Returns (md, uncovered): md [N] is exact for every point where
-    uncovered is False; uncovered entries hold the ring-limited result
-    and must be fixed up by the caller.
-
-    Requirements: rebased y/z extents fit (gy, gz) and no (y, z) column
-    holds more than `cap` points (voxel uniqueness bounds this by the x
-    extent).  Violations are reported via `uncovered`, never silently
-    wrong.
-    """
+def _cols_build(xyz, count, cell, *, gy, gz, cap, chunk):
+    """Phase 1: slot-grid construction.  Returns the padded plane
+    channel arrays plus (sidx-fill, valid) for the finish phase."""
     n = xyz.shape[0]
     # the rank sort packs the column key and the x-cell into one int32
     assert gy * gz <= 1_000_000, "column plane too large for the int32 sort key"
@@ -143,8 +123,17 @@ def cols_knn_mean_distance(
     xs_g = pad_plane(xs)
     ys_g = pad_plane(ys)
     zs_g = pad_plane(zs)
+    slot_orig = fill(sidx, -1)
+    return xs_g, ys_g, zs_g, slot_orig, valid
 
-    r_cut = float(_M) * jnp.asarray(cell, jnp.float32)
+
+def _cols_select(xs_g, ys_g, zs_g, c0s, *, k, gy, gz, cap, chunk, voxel_unique):
+    """Phase 2 (the expensive one): per-chunk candidate distances and
+    exact selection for the plane chunks whose start rows are `c0s`
+    (traced values — a sharded caller passes its own slab's chunks).
+    Returns (sums, kths) stacked per chunk."""
+    gyz = gy * gz
+    off_max = _M * gz + _M
     ncols = (2 * _M + 1) ** 2
 
     def chunk_body(c0):
@@ -194,17 +183,23 @@ def cols_knn_mean_distance(
         ssum, kth = _k_smallest_sum(survivors, k)
         return ssum.reshape(chunk, cap), kth.reshape(chunk, cap)
 
-    c0s = jnp.arange(nchunks, dtype=jnp.int32) * chunk
-    sums, kths = jax.lax.map(chunk_body, c0s)
+    return jax.lax.map(chunk_body, c0s)
+
+
+def _cols_finish(sums, kths, slot_orig, valid, cell, *, k, gy, gz, cap, chunk):
+    """Phase 3: slot results back to the caller's point order."""
+    n = valid.shape[0]
+    gyz = gy * gz
+    nchunks = sums.shape[0]
+    slots = gyz * cap
+    r_cut = float(_M) * jnp.asarray(cell, jnp.float32)
     sums = sums.reshape(nchunks * chunk, cap)[:gyz].reshape(slots)
     kths = kths.reshape(nchunks * chunk, cap)[:gyz].reshape(slots)
 
     md_slot = sums / float(k)
     covered_slot = kths < r_cut * (1.0 - 1e-6)
 
-    # back to the caller's order: md[orig_idx] via scatter from slots;
     # dropped/overflow points never get a slot and stay uncovered
-    slot_orig = fill(sidx, -1)
     ok = slot_orig >= 0
     tgt = jnp.where(ok, slot_orig, n)
     md = jnp.zeros((n + 1,), jnp.float32).at[tgt].set(jnp.where(ok, md_slot, 0.0))[:n]
@@ -215,6 +210,46 @@ def cols_knn_mean_distance(
     )
     unc = jnp.where(valid, unc, False)
     return md, unc
+
+
+@partial(jax.jit, static_argnames=("k", "gy", "gz", "cap", "chunk", "voxel_unique"))
+def cols_knn_mean_distance(
+    xyz: jax.Array,
+    count: jax.Array,
+    cell: jax.Array,
+    k: int,
+    gy: int,
+    gz: int,
+    cap: int,
+    chunk: int = 256,
+    voxel_unique: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact mean k-NN distance over the column grid.
+
+    Returns (md, uncovered): md [N] is exact for every point where
+    uncovered is False; uncovered entries hold the ring-limited result
+    and must be fixed up by the caller.
+
+    Requirements: rebased y/z extents fit (gy, gz) and no (y, z) column
+    holds more than `cap` points.  `voxel_unique` promises distinct
+    cells per point (the downsample postcondition), enabling the
+    per-column pre-selection.  Violations are reported via `uncovered`,
+    never silently wrong.
+    """
+    gyz = gy * gz
+    nchunks = -(-gyz // chunk)
+    xs_g, ys_g, zs_g, slot_orig, valid = _cols_build(
+        xyz, count, cell, gy=gy, gz=gz, cap=cap, chunk=chunk
+    )
+    c0s = jnp.arange(nchunks, dtype=jnp.int32) * chunk
+    sums, kths = _cols_select(
+        xs_g, ys_g, zs_g, c0s, k=k, gy=gy, gz=gz, cap=cap, chunk=chunk,
+        voxel_unique=voxel_unique,
+    )
+    return _cols_finish(
+        sums, kths, slot_orig, valid, cell, k=k, gy=gy, gz=gz, cap=cap,
+        chunk=chunk,
+    )
 
 
 @partial(jax.jit, static_argnames=("k", "block"))

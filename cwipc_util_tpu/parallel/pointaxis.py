@@ -144,3 +144,121 @@ def sharded_chain(
         jnp.float32(mult),
         jnp.uint32(tile),
     )
+
+
+def make_sharded_chain_exact(
+    mesh: Mesh, k: int, gy: int, gz: int, cap: int, chunk: int = 256
+):
+    """The EXACT chain (downsample -> column-grid exact outlier removal ->
+    tilefilter) sharded over the mesh.
+
+    The exact outlier stage's cost is the per-chunk candidate selection
+    (ops/cols_knn.py phase 2, ~95% of the exact chain); the column-grid
+    PLANE chunks shard perfectly — every device builds the (small,
+    replicated) slot grid, selects only its own slab of plane chunks, and
+    an ``all_gather`` over the ICI reassembles the per-slot results.  The
+    downsample shards along the point axis as in make_sharded_chain.
+    Exactness is untouched: the per-chunk computation is independent by
+    construction.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import compaction, outliers, voxelize
+    from ..ops.cols_knn import (
+        _cols_build,
+        _cols_finish,
+        _cols_select,
+        bruteforce_md_subset,
+    )
+    from .fusion import CAMERA_AXIS, shard_map
+
+    n_dev = len(mesh.devices.ravel())
+    gyz = gy * gz
+    nchunks = -(-gyz // chunk)
+    per_dev = -(-nchunks // n_dev)
+
+    def per_device(xyz, rgba, count, cellsize, mult, tile):
+        buf = PointBuffer(xyz=xyz[0], rgba=rgba[0], count=count[0])
+        down = voxelize.downsample(buf, cellsize)
+
+        g_xyz = jax.lax.all_gather(down.xyz, CAMERA_AXIS)  # [D, cap, 3]
+        g_rgba = jax.lax.all_gather(down.rgba, CAMERA_AXIS)
+        g_count = jax.lax.all_gather(down.count, CAMERA_AXIS)
+        d, cap_in = g_rgba.shape
+        slot = jax.lax.broadcasted_iota(jnp.int32, (d, cap_in), 1)
+        mask = (slot < g_count[:, None]).reshape(d * cap_in)
+        merged = compaction.compact(
+            PointBuffer(
+                xyz=g_xyz.reshape(d * cap_in, 3),
+                rgba=g_rgba.reshape(d * cap_in),
+                count=jnp.asarray(d * cap_in, jnp.int32),
+            ),
+            mask,
+        )
+        x, y, z, prgba, cnt = voxelize.downsample_cm(merged, cellsize, d * cap_in)
+        pxyz = jnp.stack([x, y, z], axis=-1)
+
+        # exact outlier stage, plane chunks sharded across the mesh
+        xs_g, ys_g, zs_g, slot_orig, valid0 = _cols_build(
+            pxyz, cnt, cellsize, gy=gy, gz=gz, cap=cap, chunk=chunk
+        )
+        me = jax.lax.axis_index(CAMERA_AXIS)
+        # chunks beyond nchunks read harmlessly into the plane's tail
+        # padding (all-invalid slots) and their results are sliced off
+        c0s = (me * per_dev + jnp.arange(per_dev, dtype=jnp.int32)) * chunk
+        sums_l, kths_l = _cols_select(
+            xs_g, ys_g, zs_g, c0s, k=k, gy=gy, gz=gz, cap=cap, chunk=chunk,
+            voxel_unique=True,
+        )
+        sums = jax.lax.all_gather(sums_l, CAMERA_AXIS).reshape(
+            n_dev * per_dev, chunk, cap
+        )[:nchunks]
+        kths = jax.lax.all_gather(kths_l, CAMERA_AXIS).reshape(
+            n_dev * per_dev, chunk, cap
+        )[:nchunks]
+        md, unc = _cols_finish(
+            sums, kths, slot_orig, valid0, cellsize, k=k, gy=gy, gz=gz,
+            cap=cap, chunk=chunk,
+        )
+        md = jnp.where(unc, bruteforce_md_subset(pxyz, cnt, unc, k), md)
+
+        keep = outliers._keep_from_mean_dists(md, valid0, mult)
+        point_tile = (prgba >> 24) & 0xFF
+        tile_u = jnp.asarray(tile, jnp.uint32)
+        keep = keep & ((tile_u == 0) | (point_tile == tile_u))
+        out = compaction.compact_cm(x, y, z, prgba, keep, cnt)
+        return out.xyz, out.rgba, out.count
+
+    sharded = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(CAMERA_AXIS), P(CAMERA_AXIS), P(CAMERA_AXIS), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(xyz, rgba, counts, cellsize, mult, tile):
+        fx, frgba, fcount = sharded(xyz, rgba, counts, cellsize, mult, tile)
+        return PointBuffer(xyz=fx, rgba=frgba, count=fcount)
+
+    return step
+
+
+def sharded_chain_exact(
+    mesh: Mesh, buf: PointBuffer, cellsize: float, k: int, gy: int, gz: int,
+    cap: int, mult: float = 1.0, tile: int = 0, chunk: int = 256,
+) -> PointBuffer:
+    """Convenience one-shot sharded EXACT chain."""
+    n = len(mesh.devices.ravel())
+    xyz, rgba, counts = shard_pointbuffer(buf, n)
+    sh = camera_sharding(mesh)
+    step = make_sharded_chain_exact(mesh, k=k, gy=gy, gz=gz, cap=cap, chunk=chunk)
+    return step(
+        jax.device_put(xyz, sh),
+        jax.device_put(rgba, sh),
+        jax.device_put(counts, sh),
+        jnp.float32(cellsize),
+        jnp.float32(mult),
+        jnp.uint32(tile),
+    )

@@ -126,3 +126,48 @@ class TestShardedChain:
         # tile selection applied: every survivor carries tile 1
         tiles = (np.asarray(got.rgba[:n_got]) >> 24) & 0xFF
         assert (tiles == 1).all()
+
+
+class TestShardedChainExact:
+    def test_sharded_exact_chain_matches_single_device(self, mesh):
+        """The plane-chunk-sharded EXACT chain must reproduce the
+        single-device exact chain's survivor set identically (the
+        per-chunk selection is independent by construction, so sharding
+        it cannot change results)."""
+        import jax.numpy as jnp
+
+        from cwipc_util_tpu.ops.chain import downsample_outliers_tilefilter_exact
+        from cwipc_util_tpu.parallel.pointaxis import sharded_chain_exact
+
+        gen = cwipc.cwipc_synthetic(0, 4000)
+        gen.start()
+        pc = gen.get()
+        gen.stop()
+        cellsize = 0.05
+        buf = pc._access_buffer()
+        gy, gz, cap = 64, 64, 32
+
+        expected, _resid = downsample_outliers_tilefilter_exact(
+            buf, jnp.float32(cellsize), k=8, mult=jnp.float32(2.0),
+            tile=jnp.uint32(1), out_capacity=buf.capacity,
+            gy=gy, gz=gz, cap=cap,
+        )
+        got = sharded_chain_exact(
+            mesh, buf, cellsize, k=8, gy=gy, gz=gz, cap=cap, mult=2.0, tile=1
+        )
+        n_exp, n_got = int(expected.count), int(got.count)
+        assert n_exp == n_got, (n_exp, n_got)
+        # the sharded downsample merges per-shard partial voxels
+        # (centroid-of-centroids), so coordinates differ at fp scale;
+        # the survivor VOXEL SET must match exactly (same comparison as
+        # the approximate sharded-chain parity test)
+        inv = np.float32(1.0) / np.float32(cellsize)
+        a = {
+            tuple(kk)
+            for kk in np.floor(np.asarray(expected.xyz[:n_exp]) * inv).astype(np.int64)
+        }
+        b = {
+            tuple(kk)
+            for kk in np.floor(np.asarray(got.xyz[:n_got]) * inv).astype(np.int64)
+        }
+        assert a == b, f"{len(a ^ b)} mismatched voxels"
