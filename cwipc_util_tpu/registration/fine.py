@@ -312,5 +312,5 @@ HELP_FINE_ALIGNMENT_ALGORITHMS = """
 Fine alignment algorithms:
     RegistrationComputer_ICP_Point2Point   classic point-to-point ICP
     RegistrationComputer_ICP_Point2Plane   point-to-plane ICP
-    RegistrationComputer_ICP_Generalized   symmetric point-to-plane (default)
+    RegistrationComputer_ICP_Generalized   plane-to-plane GICP (default)
 """

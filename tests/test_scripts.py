@@ -232,6 +232,7 @@ class TestExamples:
             ("example_viewcamera", ["--nodisplay"]),
             ("example_sharded_chain", []),
             ("example_dash_stream", []),
+            ("example_exact_outliers", []),
         ],
     )
     def test_example_runs(self, name, args):
