@@ -470,6 +470,48 @@ STAGES.update({
 })
 
 
+
+
+def stage_sort_narrow(dtype_name, with_payload):
+    """Narrow-key sorts: does XLA's TPU sort price key width, or only
+    operand count?  (Decides whether a 2-pass 15-bit LSD radix could beat
+    the single 30-bit-key sort.)"""
+    import numpy as _np
+
+    dt = {"i16": _np.int16, "i32": _np.int32}[dtype_name]
+
+    def args_fn():
+        rng = np.random.default_rng(0)
+        key = jnp.asarray(rng.integers(0, 32000, CAP, dtype=dt))
+        p1 = jnp.asarray(rng.integers(0, 1 << 30, CAP, dtype=np.int32))
+        p2 = jnp.asarray(rng.integers(0, 1 << 30, CAP, dtype=np.int32))
+        return key, p1, p2
+
+    def body(seed, key, p1, p2):
+        k = key + seed.astype(key.dtype)
+        if with_payload:
+            pc = jax.lax.complex(
+                jax.lax.bitcast_convert_type(p1, jnp.float32),
+                jax.lax.bitcast_convert_type(p2, jnp.float32),
+            )
+            out = jax.lax.sort((k, pc), num_keys=1, is_stable=True)
+            back = jax.lax.bitcast_convert_type(jnp.real(out[1]), jnp.int32)
+            return out[0][0].astype(jnp.float32) + back[0].astype(jnp.float32)
+        out = jax.lax.sort((k,), num_keys=1, is_stable=True)
+        return out[0][0].astype(jnp.float32)
+
+    tag = "stable+c64" if with_payload else "stable keys-only"
+    return timeit(body, args_fn, f"sort {dtype_name} {tag} 1M")
+
+
+STAGES.update({
+    "sort16": lambda: stage_sort_narrow("i16", False),
+    "sort16p": lambda: stage_sort_narrow("i16", True),
+    "sort32s": lambda: stage_sort_narrow("i32", False),
+    "sort32sp": lambda: stage_sort_narrow("i32", True),
+})
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or list(STAGES)
     for name in names:

@@ -412,35 +412,42 @@ class cwipc_encoder_wrapper:
         deltas = np.diff(keys, prepend=np.int64(0))
         occ = _octree_pack(keys, depth)
         pos_octree = zlib.compress(occ.tobytes(), self._zlevel)
-        # adaptive-width delta fallback (kept: it wins on tiny clouds)
-        dmax = int(deltas.max()) if m else 0
-        if dmax < 0x100:
-            width, darr = 1, deltas.astype(np.uint8)
-        elif dmax < 0x10000:
-            width, darr = 2, deltas.astype(np.uint16)
-        elif dmax < 2**32:
-            width, darr = 0, deltas.astype(np.uint32)
-        else:
-            width, darr = 3, deltas.astype(np.uint64)
-        pos_delta = zlib.compress(darr.tobytes(), self._zlevel)
-        if len(pos_octree) < len(pos_delta):
-            flags |= _FLAG_OCTREE
-            pos_blob = pos_octree
-        else:
-            flags |= width
-            pos_blob = pos_delta
+        # adaptive-width delta fallback: only worth COMPUTING for tiny
+        # clouds (above ~2k voxels the occupancy stream wins by many x,
+        # and deflating the delta stream too costs real encode time)
+        pos_blob = pos_octree
+        flags |= _FLAG_OCTREE
+        if m < 2048:
+            dmax = int(deltas.max()) if m else 0
+            if dmax < 0x100:
+                width, darr = 1, deltas.astype(np.uint8)
+            elif dmax < 0x10000:
+                width, darr = 2, deltas.astype(np.uint16)
+            elif dmax < 2**32:
+                width, darr = 0, deltas.astype(np.uint32)
+            else:
+                width, darr = 3, deltas.astype(np.uint64)
+            pos_delta = zlib.compress(darr.tobytes(), self._zlevel)
+            if len(pos_delta) < len(pos_octree):
+                flags = (flags & ~_FLAG_OCTREE) | width
+                pos_blob = pos_delta
 
         rgb = np.empty((m, 3), np.uint8)
         rgb[:, 0] = (drgba >> 16) & 0xFF
         rgb[:, 1] = (drgba >> 8) & 0xFF
         rgb[:, 2] = drgba & 0xFF
-        col_zlib = zlib.compress(rgb.tobytes(), self._zlevel)
         col_jpeg = _jpeg_pack(rgb, p.jpeg_quality) if p.jpeg_quality < 100 else None
-        if col_jpeg is not None and len(col_jpeg) < len(col_zlib):
+        if col_jpeg is not None and len(col_jpeg) < 3 * m // 2:
+            # clearly winning: skip deflating the raw bytes entirely
             flags |= _FLAG_JPEG
             col_blob = col_jpeg
         else:
-            col_blob = col_zlib
+            col_zlib = zlib.compress(rgb.tobytes(), self._zlevel)
+            if col_jpeg is not None and len(col_jpeg) < len(col_zlib):
+                flags |= _FLAG_JPEG
+                col_blob = col_jpeg
+            else:
+                col_blob = col_zlib
 
         tiles = ((drgba >> 24) & 0xFF).astype(np.uint8)
         tile_blob = zlib.compress(tiles.tobytes(), self._zlevel)
