@@ -65,6 +65,10 @@ class RegistrationAnalyzer(BaseAlgorithm, AnalysisAlgorithm):
         self._extra_methods: Tuple[str, ...] = ()
         self.max_correspondence = DEFAULT_MAX_CORRESPONDENCE
         self.min_correspondence = DEFAULT_MIN_CORRESPONDENCE
+        # binsize semantics engage only when the caller SETS a minimum
+        # correspondence (reference: histogram_binsize defaults to 0 and
+        # the default histogram is bincount=400, analyze.py:35-37,148-159)
+        self._histogram_binsize: float | None = None
         self.ignore_nearest = 0
         self.ignore_floor = False
         # Reference parity: the distance density defaults to a gaussian
@@ -85,6 +89,7 @@ class RegistrationAnalyzer(BaseAlgorithm, AnalysisAlgorithm):
 
     def set_min_correspondence_distance(self, correspondence: float) -> None:
         self.min_correspondence = correspondence
+        self._histogram_binsize = correspondence
 
     def set_ignore_nearest(self, ignore_nearest: int) -> None:
         self.ignore_nearest = ignore_nearest
@@ -162,12 +167,12 @@ class RegistrationAnalyzer(BaseAlgorithm, AnalysisAlgorithm):
         return res
 
     def _histogram_bins(self, finite: np.ndarray) -> int:
-        """Reference semantics (analyze.py:141-159): min_correspondence is
-        the minimum meaningful granularity, i.e. the BIN SIZE; without one
-        the default bincount applies."""
+        """Reference semantics (analyze.py:141-159): an EXPLICITLY-set
+        minimum correspondence is the minimum meaningful granularity,
+        i.e. the BIN SIZE; otherwise the default bincount applies."""
         max_d = float(finite.max())
-        if self.min_correspondence and self.min_correspondence > 0 and max_d > 0:
-            bins = int(max_d / self.min_correspondence)
+        if self._histogram_binsize and self._histogram_binsize > 0 and max_d > 0:
+            bins = int(max_d / self._histogram_binsize)
             return max(1, min(bins, 100_000))
         return self.histogram_bincount
 
