@@ -124,7 +124,37 @@ def _cols_build(xyz, count, cell, *, gy, gz, cap, chunk):
     ys_g = pad_plane(ys)
     zs_g = pad_plane(zs)
     slot_orig = fill(sidx, -1)
-    return xs_g, ys_g, zs_g, slot_orig, valid
+
+    # A DROPPED point (column capacity or grid-extent overflow) is absent
+    # from its neighbors' candidate sets, so every query within reach of
+    # a drop must be recomputed, not just the dropped point itself.
+    #
+    # Rank overflows keep their true column (post-sort sck < gy*gz);
+    # extent overflows flag their nearest border column (pre-sort clip:
+    # only drops within _M cells of the border can be true neighbors of
+    # an in-grid covered query, and for those the clamp moves the flag
+    # by at most _M columns).  Dilating by 2*_M covers both the ring
+    # radius and the clamp displacement; jnp.roll's wrap only ever
+    # over-marks.
+    rank_drop = (skey < _SENTINEL) & (rank >= cap)
+    rank_addr = jnp.where(rank_drop, sck, gyz)
+    ext_drop = valid & jnp.logical_not(in_grid)
+    vy_c = jnp.clip(vr[:, 1], 0, gy - 1)
+    vz_c = jnp.clip(vr[:, 2], 0, gz - 1)
+    ext_addr = jnp.where(ext_drop, vy_c * gz + vz_c, gyz)
+    drop_flag = (
+        jnp.zeros((gyz + 1,), jnp.float32)
+        .at[rank_addr].add(1.0)
+        .at[ext_addr].add(1.0)[:gyz]
+        > 0
+    )
+    f = drop_flag.reshape(gy, gz)
+    for j in range(1, 2 * _M + 1):
+        f = f | jnp.roll(f, j, 0) | jnp.roll(f, -j, 0)
+    for j in range(1, 2 * _M + 1):
+        f = f | jnp.roll(f, j, 1) | jnp.roll(f, -j, 1)
+    drop_ring = f.reshape(gyz)
+    return xs_g, ys_g, zs_g, slot_orig, valid, drop_ring
 
 
 def _cols_select(xs_g, ys_g, zs_g, c0s, *, k, gy, gz, cap, chunk, voxel_unique):
@@ -186,7 +216,7 @@ def _cols_select(xs_g, ys_g, zs_g, c0s, *, k, gy, gz, cap, chunk, voxel_unique):
     return jax.lax.map(chunk_body, c0s)
 
 
-def _cols_finish(sums, kths, slot_orig, valid, cell, *, k, gy, gz, cap, chunk):
+def _cols_finish(sums, kths, slot_orig, valid, drop_ring, cell, *, k, gy, gz, cap, chunk):
     """Phase 3: slot results back to the caller's point order."""
     n = valid.shape[0]
     gyz = gy * gz
@@ -198,6 +228,10 @@ def _cols_finish(sums, kths, slot_orig, valid, cell, *, k, gy, gz, cap, chunk):
 
     md_slot = sums / float(k)
     covered_slot = kths < r_cut * (1.0 - 1e-6)
+    # queries whose ring lost a dropped candidate are not trustworthy
+    covered_slot = covered_slot & jnp.logical_not(
+        jnp.repeat(drop_ring, cap, total_repeat_length=slots)
+    )
 
     # dropped/overflow points never get a slot and stay uncovered
     ok = slot_orig >= 0
@@ -238,7 +272,7 @@ def cols_knn_mean_distance(
     """
     gyz = gy * gz
     nchunks = -(-gyz // chunk)
-    xs_g, ys_g, zs_g, slot_orig, valid = _cols_build(
+    xs_g, ys_g, zs_g, slot_orig, valid, drop_ring = _cols_build(
         xyz, count, cell, gy=gy, gz=gz, cap=cap, chunk=chunk
     )
     c0s = jnp.arange(nchunks, dtype=jnp.int32) * chunk
@@ -247,8 +281,8 @@ def cols_knn_mean_distance(
         voxel_unique=voxel_unique,
     )
     return _cols_finish(
-        sums, kths, slot_orig, valid, cell, k=k, gy=gy, gz=gz, cap=cap,
-        chunk=chunk,
+        sums, kths, slot_orig, valid, drop_ring, cell, k=k, gy=gy, gz=gz,
+        cap=cap, chunk=chunk,
     )
 
 

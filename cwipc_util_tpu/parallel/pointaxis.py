@@ -199,7 +199,7 @@ def make_sharded_chain_exact(
         pxyz = jnp.stack([x, y, z], axis=-1)
 
         # exact outlier stage, plane chunks sharded across the mesh
-        xs_g, ys_g, zs_g, slot_orig, valid0 = _cols_build(
+        xs_g, ys_g, zs_g, slot_orig, valid0, drop_ring = _cols_build(
             pxyz, cnt, cellsize, gy=gy, gz=gz, cap=cap, chunk=chunk
         )
         me = jax.lax.axis_index(CAMERA_AXIS)
@@ -217,8 +217,8 @@ def make_sharded_chain_exact(
             n_dev * per_dev, chunk, cap
         )[:nchunks]
         md, unc = _cols_finish(
-            sums, kths, slot_orig, valid0, cellsize, k=k, gy=gy, gz=gz,
-            cap=cap, chunk=chunk,
+            sums, kths, slot_orig, valid0, drop_ring, cellsize, k=k, gy=gy,
+            gz=gz, cap=cap, chunk=chunk,
         )
         md = jnp.where(unc, bruteforce_md_subset(pxyz, cnt, unc, k), md)
 

@@ -263,6 +263,46 @@ class TestChainFuzz:
         )
         np.testing.assert_allclose(md[:n], ref[:n], rtol=1e-4, atol=2e-6)
 
+    def test_cols_exact_despite_dropped_points(self):
+        """An UNDERSIZED grid (tiny cap + clipped extents) drops points;
+        the drops must poison their NEIGHBORS' coverage too — a dropped
+        point is missing from nearby candidate sets, so 'covered' results
+        near a drop would be silently wrong without ring invalidation
+        (the round-3 bug found on the public TPU path)."""
+        import jax.numpy as jnp
+
+        from cwipc_util_tpu.ops.cols_knn import (
+            bruteforce_md_subset,
+            cols_knn_mean_distance,
+        )
+        from cwipc_util_tpu.ops.outliers import _mean_knn_dist_bruteforce
+
+        rng = np.random.default_rng(5)
+        n = 2500
+        cell = 0.05
+        # a dense lump (columns overflow cap=8) plus a surrounding shell
+        lump = rng.normal(0, 0.04, (800, 3))
+        shell = rng.normal(0, 0.3, (n - 800, 3))
+        xyz = np.concatenate([lump, shell]).astype(np.float32)
+        cap_n = 4096
+        full = np.zeros((cap_n, 3), np.float32)
+        full[:n] = xyz
+        k = 10
+        md, unc = cols_knn_mean_distance(
+            jnp.asarray(full), jnp.int32(n), jnp.float32(cell), k,
+            gy=32, gz=32, cap=8,
+        )
+        md = np.asarray(md)
+        unc_j = jnp.asarray(np.asarray(unc))
+        fix = np.asarray(
+            bruteforce_md_subset(jnp.asarray(full), jnp.int32(n), unc_j, k)
+        )
+        md = np.where(np.asarray(unc), fix, md)
+        ref = np.asarray(
+            _mean_knn_dist_bruteforce(jnp.asarray(full), jnp.int32(n), k)
+        )
+        np.testing.assert_allclose(md[:n], ref[:n], rtol=1e-4, atol=2e-6)
+
     @pytest.mark.parametrize("seed", range(2))
     def test_cols_md_exact_on_duplicate_cells(self, seed):
         """The public-op path: clouds that are NOT voxel-unique (several

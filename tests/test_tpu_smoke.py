@@ -200,3 +200,32 @@ def test_exact_chain_keep_mask_matches_oracle_on_bench_cloud(tpu):
     a = kept_ref[np.lexsort(kept_ref.T)]
     b = got_xyz[np.lexsort(got_xyz.T)]
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_public_remove_outliers_exact_on_tpu(tpu):
+    """The public op's accelerator path (column-grid kernel with
+    percentile-clipped grid) must match the host KD-tree oracle."""
+    from scipy.spatial import cKDTree
+
+    import cwipc_util_tpu as cwipc
+
+    with jax.default_device(tpu):
+        gen = cwipc.cwipc_synthetic(0, 40000)
+        gen.start()
+        pc = gen.get()
+        gen.stop()
+        down = cwipc.cwipc_downsample(pc, 0.008)
+        n = down.count()
+        assert n > 4096  # the cols path, not the brute-force one
+        k, mult = 30, 1.0
+        clean = cwipc.cwipc_remove_outliers(down, k, mult, False)
+        kept = clean.count()
+
+    pts = down.get_numpy_matrix(onlyGeometry=True).astype(np.float64)
+    tree = cKDTree(pts)
+    dist, _ = tree.query(pts, k=k + 1, workers=-1)
+    md = dist[:, 1:].mean(axis=1)
+    mu = md.mean()
+    var = ((md * md).sum() - md.sum() ** 2 / len(md)) / (len(md) - 1)
+    keep = md <= mu + mult * np.sqrt(max(var, 0.0))
+    assert kept == int(keep.sum()), (kept, int(keep.sum()))
