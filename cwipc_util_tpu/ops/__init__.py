@@ -144,7 +144,10 @@ def _cols_grid_params(xyz: np.ndarray, cell: float, budget: int = 8_000_000):
         a1, a2 = [i for i in range(3) if i != ax]
         ck = v[:, a1] * (1 << 21) + v[:, a2]
         _, cnt = np.unique(ck, return_counts=True)
-        cap = 1 << max(3, int(np.ceil(np.log2(max(1, cnt.max())))))
+        # multiple-of-4 cap: nothing in the column grid needs a power of
+        # two, and pow2 rounding wastes up to 2x slots (selection cost is
+        # linear in slots)
+        cap = max(8, int(-(-int(cnt.max()) // 4) * 4))
         gy, gz = bucket(ext[a1]), bucket(ext[a2])
         cost = gy * gz * cap
         if best is None or cost < best[0]:
