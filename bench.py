@@ -129,7 +129,7 @@ def main() -> None:
             bi = PointBuffer(xyz=b.xyz + eps, rgba=b.rgba, count=b.count)
             out, resid = downsample_outliers_tilefilter_exact(
                 bi, cellsize, k=k, mult=mult, tile=tile,
-                out_capacity=out_capacity, gy=512, gz=160, cap=28,
+                out_capacity=out_capacity, gy=504, gz=152, cap=28,
             )
             return out.count + resid * 0
 

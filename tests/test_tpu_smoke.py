@@ -174,7 +174,7 @@ def test_exact_chain_keep_mask_matches_oracle_on_bench_cloud(tpu):
         buf = _generate(hsteps, asteps, capacity, jnp.float32(0.5))
         out, resid = downsample_outliers_tilefilter_exact(
             buf, cellsize, k=k, mult=jnp.float32(mult), tile=jnp.uint32(0),
-            out_capacity=out_capacity, gy=512, gz=160, cap=28,
+            out_capacity=out_capacity, gy=504, gz=152, cap=28,
         )
         n_out = int(out.count)
         got_xyz = np.asarray(out.xyz[:n_out])
