@@ -130,6 +130,7 @@ def main() -> None:
             out, resid = downsample_outliers_tilefilter_exact(
                 bi, cellsize, k=k, mult=mult, tile=tile,
                 out_capacity=out_capacity, gy=504, gz=152, cap=28,
+                chunk=int(os.environ.get("CWIPC_EXACT_CHUNK", "256")),
             )
             return out.count + resid * 0
 
