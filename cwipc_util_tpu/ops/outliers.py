@@ -48,8 +48,14 @@ def _keep_from_mean_dists(mean_dist: jax.Array, valid: jax.Array, mult) -> jax.A
     """PCL's global mean/stddev threshold test over per-point mean distances."""
     n = valid.sum(dtype=jnp.float32)
     md = jnp.where(valid, mean_dist, 0.0)
-    s = md.sum()
-    sq = (md * md).sum()
+    return _keep_from_moments(mean_dist, valid, mult, n, md.sum(), (md * md).sum())
+
+
+def _keep_from_moments(mean_dist, valid, mult, n, s, sq) -> jax.Array:
+    """Threshold test from externally-supplied moments (n, sum, sum-of-
+    squares) of the mean-distance population.  Sharded callers psum their
+    per-shard moments over the mesh first so mu/sigma are GLOBAL — the PCL
+    statistics are over the whole cloud, not a shard (parallel/rangemerge)."""
     n_safe = jnp.maximum(n, 1.0)
     mean = s / n_safe
     # PCL: variance = (sq_sum - sum^2/n) / (n-1)

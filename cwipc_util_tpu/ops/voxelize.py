@@ -357,17 +357,25 @@ def _downsample_fast_cm(buf, cellsize, ocap, idx, valid, inv, v, vmin, mkey):
     )
 
 
-def downsample_cm(buf: PointBuffer, cellsize, out_capacity: int):
+def downsample_cm(buf: PointBuffer, cellsize, out_capacity: int, vmin=None):
     """Channel-major fast-path downsample for the fused chain: returns
     (x, y, z, rgba, count) rows, skipping the [N,3] materialization that
-    the chain's window-kNN/compaction stages would immediately undo."""
+    the chain's window-kNN/compaction stages would immediately undo.
+
+    ``vmin`` optionally injects the rebase origin (quantized int32 [3]
+    cell coordinates).  Sharded callers pass a collectively-agreed global
+    minimum so every shard's Morton keys live in ONE key space and the
+    per-shard outputs are globally range-partitionable
+    (parallel/rangemerge.py); the default recomputes the local minimum,
+    which is the single-device behavior."""
     cap = buf.capacity
     idx = jnp.arange(cap, dtype=jnp.int32)
     valid = idx < buf.count
     inv = 1.0 / jnp.asarray(cellsize, jnp.float32)
     v = jnp.floor(buf.xyz * inv).astype(jnp.int32)
     v = jnp.clip(v, -_CLAMP, _CLAMP)
-    vmin = jnp.min(jnp.where(valid[:, None], v, _SENTINEL), axis=0)
+    if vmin is None:
+        vmin = jnp.min(jnp.where(valid[:, None], v, _SENTINEL), axis=0)
     vr = v - jnp.where(vmin == _SENTINEL, 0, vmin)[None, :]
     vm = jnp.clip(vr, 0, _MORTON_MAX)
     mkey = morton3(vm[:, 0], vm[:, 1], vm[:, 2])

@@ -128,6 +128,91 @@ class TestShardedChain:
         assert (tiles == 1).all()
 
 
+class TestShardedChainRangeMerge:
+    def test_rangemerge_chain_matches_single_device(self, mesh):
+        """The range-partitioned sharded chain (sample-sort splitters +
+        all_to_all + per-range merge with halo'd window kNN and psum'd
+        outlier statistics) must reproduce the single-device chain's voxel
+        set, with clean flags."""
+        import jax.numpy as jnp
+
+        from cwipc_util_tpu.ops.chain import downsample_outliers_tilefilter
+        from cwipc_util_tpu.parallel.rangemerge import sharded_chain_rangemerge
+
+        gen = cwipc.cwipc_synthetic(0, 4000)
+        gen.start()
+        pc = gen.get()
+        gen.stop()
+        cellsize = 0.05
+        buf = pc._access_buffer()
+
+        expected = downsample_outliers_tilefilter(
+            buf, jnp.float32(cellsize), k=8, mult=jnp.float32(2.0),
+            tile=jnp.uint32(1),
+        )
+        got, flags = sharded_chain_rangemerge(
+            mesh, buf, cellsize, k=8, mult=2.0, tile=1
+        )
+        assert int(flags) == 0, f"flags {int(flags)}"
+
+        n_exp, n_got = int(expected.count), int(got.count)
+        inv = np.float32(1.0) / np.float32(cellsize)
+        exp_keys = {
+            tuple(kk)
+            for kk in np.floor(np.asarray(expected.xyz[:n_exp]) * inv).astype(np.int64)
+        }
+        got_keys = {
+            tuple(kk)
+            for kk in np.floor(np.asarray(got.xyz[:n_got]) * inv).astype(np.int64)
+        }
+        # the merge averages centroids-of-centroids for voxels fed by
+        # several shards, so near-threshold keep decisions can flip at fp
+        # scale (same tolerance as the all_gather sharded chain)
+        assert abs(n_exp - n_got) <= max(2, n_exp // 50)
+        overlap = len(exp_keys & got_keys) / max(1, len(exp_keys))
+        assert overlap > 0.95, f"only {overlap:.2%} voxel overlap"
+        tiles = (np.asarray(got.rgba[:n_got]) >> 24) & 0xFF
+        assert (tiles == 1).all()
+
+    def test_rangemerge_output_is_morton_ordered(self, mesh):
+        """Range concatenation must preserve the single-device output
+        contract: global Morton order end to end."""
+        from cwipc_util_tpu.ops.voxelize import morton3
+        from cwipc_util_tpu.parallel.rangemerge import sharded_chain_rangemerge
+
+        gen = cwipc.cwipc_synthetic(0, 4000)
+        gen.start()
+        pc = gen.get()
+        gen.stop()
+        cellsize = 0.05
+        got, flags = sharded_chain_rangemerge(
+            mesh, pc._access_buffer(), cellsize, k=8, mult=2.0, tile=0
+        )
+        assert int(flags) == 0
+        n = int(got.count)
+        v = np.floor(np.asarray(got.xyz[:n]) / np.float32(cellsize)).astype(np.int64)
+        v -= v.min(axis=0)
+        assert v.max() < 1024  # within the Morton domain
+        keys = np.asarray(
+            morton3(*(np.ascontiguousarray(v[:, i]).astype(np.int32) for i in range(3)))
+        )
+        assert (np.diff(keys) >= 0).all(), "output not Morton-ordered"
+
+    def test_rangemerge_block_overflow_is_flagged(self, mesh):
+        """A per-target block too small for the split must raise flag bit 0,
+        never silently drop rows."""
+        from cwipc_util_tpu.parallel.rangemerge import sharded_chain_rangemerge
+
+        gen = cwipc.cwipc_synthetic(0, 4000)
+        gen.start()
+        pc = gen.get()
+        gen.stop()
+        _, flags = sharded_chain_rangemerge(
+            mesh, pc._access_buffer(), 0.05, k=8, mult=2.0, tile=0, block=2
+        )
+        assert int(flags) & 1
+
+
 class TestShardedChainExact:
     def test_sharded_exact_chain_matches_single_device(self, mesh):
         """The plane-chunk-sharded EXACT chain must reproduce the
