@@ -1,0 +1,114 @@
+"""On-chip probe: exact column-grid selection, Pallas kernel vs XLA.
+
+Builds the REAL bench-cloud planes (1M synthetic -> 4mm downsample ->
+_cols_build at the bench grid 504x152 cap=28) so occupancy statistics —
+which the Pallas kernel's per-tile occ_q bound exploits — match the
+headline bench.  Times each selection with K-loop differencing
+(tpu-bench-env: ~33 ms fixed relay dispatch, memoized identical runs).
+
+Usage: python benchmarks/probe_colsel.py [pallas] [xla]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+GY, GZ, CAP, K_NN, CHUNK = 504, 152, 28, 30, 256
+
+
+def build_planes():
+    from cwipc_util_tpu.core.buffers import PointBuffer
+    from cwipc_util_tpu.models.synthetic import _generate
+    from cwipc_util_tpu.ops import voxelize
+    from cwipc_util_tpu.ops.cols_knn import _cols_build
+
+    capacity = 1 << 20
+    out_capacity = 1 << 18
+    hsteps = asteps = 1000
+    cellsize = jnp.float32(2.0 / hsteps * 2.0)
+    buf = _generate(hsteps, asteps, capacity, jnp.float32(0.5))
+
+    @jax.jit
+    def prep(b: PointBuffer):
+        x, y, z, rgba, cnt = voxelize.downsample_cm(b, cellsize, out_capacity)
+        xyz = jnp.stack([x, y, z], axis=1)
+        return _cols_build(
+            xyz, cnt, cellsize, gy=GY, gz=GZ, cap=CAP, chunk=CHUNK
+        )
+
+    xs_g, ys_g, zs_g, slot_orig, valid, drop_ring = prep(buf)
+    occ = np.asarray(jnp.sum((xs_g[:, :CAP] < 1e30).astype(jnp.int32)))
+    print(f"planes built: occupied slots {occ} of {GY*GZ*CAP}")
+    return xs_g, ys_g, zs_g
+
+
+def diff_time(fn, args, label, k_loop, reps=3):
+    @jax.jit
+    def program(seed, *a):
+        def body(i, acc):
+            eps = (seed + i).astype(jnp.float32) * 1e-12
+            s, kth = fn(a[0] + eps, a[1], a[2])
+            return acc + s.ravel()[0] + kth.ravel()[1]
+
+        return jax.lax.fori_loop(0, k_loop, body, jnp.float32(0))
+
+    @jax.jit
+    def trivial(seed, *a):
+        return seed.astype(jnp.float32)
+
+    def run(prog, s):
+        t0 = time.perf_counter()
+        np.asarray(prog(jnp.int32(s), *args))
+        return time.perf_counter() - t0
+
+    run(trivial, 0)
+    t_compile = time.perf_counter()
+    run(program, 1)
+    print(f"{label}: compile+first {time.perf_counter()-t_compile:.1f}s")
+    t0 = min(run(trivial, 100 + r) for r in range(reps))
+    tK = min(run(program, 200 + r) for r in range(reps))
+    ms = (tK - t0) / k_loop * 1e3
+    print(f"{label:24s} {ms:9.3f} ms  (K={k_loop})")
+    return ms
+
+
+def main():
+    which = sys.argv[1:] or ["pallas", "xla"]
+    planes = build_planes()
+
+    if "pallas" in which:
+        from cwipc_util_tpu.ops.pallas_cols_select import cols_select_pallas
+
+        def pal(xs, ys, zs):
+            return cols_select_pallas(xs, ys, zs, k=K_NN, gy=GY, gz=GZ, cap=CAP)
+
+        diff_time(pal, planes, "cols_select pallas", k_loop=8)
+
+    if "xla" in which:
+        from cwipc_util_tpu.ops.cols_knn import _cols_select
+
+        nchunks = -(-GY * GZ // CHUNK)
+        c0s = jnp.arange(nchunks, dtype=jnp.int32) * CHUNK
+
+        def xla(xs, ys, zs):
+            return _cols_select(
+                xs, ys, zs, c0s, k=K_NN, gy=GY, gz=GZ, cap=CAP, chunk=CHUNK,
+                voxel_unique=True,
+            )
+
+        diff_time(xla, planes, "cols_select xla", k_loop=2, reps=2)
+
+
+if __name__ == "__main__":
+    main()

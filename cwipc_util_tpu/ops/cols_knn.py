@@ -216,15 +216,15 @@ def _cols_select(xs_g, ys_g, zs_g, c0s, *, k, gy, gz, cap, chunk, voxel_unique):
     return jax.lax.map(chunk_body, c0s)
 
 
-def _cols_finish(sums, kths, slot_orig, valid, drop_ring, cell, *, k, gy, gz, cap, chunk):
-    """Phase 3: slot results back to the caller's point order."""
+def _cols_finish(sums, kths, slot_orig, valid, drop_ring, cell, *, k, gy, gz, cap):
+    """Phase 3: slot results back to the caller's point order.
+    ``sums``/``kths`` are flat [gyz, cap] plane arrays."""
     n = valid.shape[0]
     gyz = gy * gz
-    nchunks = sums.shape[0]
     slots = gyz * cap
     r_cut = float(_M) * jnp.asarray(cell, jnp.float32)
-    sums = sums.reshape(nchunks * chunk, cap)[:gyz].reshape(slots)
-    kths = kths.reshape(nchunks * chunk, cap)[:gyz].reshape(slots)
+    sums = sums.reshape(slots)
+    kths = kths.reshape(slots)
 
     md_slot = sums / float(k)
     covered_slot = kths < r_cut * (1.0 - 1e-6)
@@ -275,14 +275,33 @@ def cols_knn_mean_distance(
     xs_g, ys_g, zs_g, slot_orig, valid, drop_ring = _cols_build(
         xyz, count, cell, gy=gy, gz=gz, cap=cap, chunk=chunk
     )
-    c0s = jnp.arange(nchunks, dtype=jnp.int32) * chunk
-    sums, kths = _cols_select(
-        xs_g, ys_g, zs_g, c0s, k=k, gy=gy, gz=gz, cap=cap, chunk=chunk,
-        voxel_unique=voxel_unique,
+
+    def _sel_xla(xs_g, ys_g, zs_g):
+        c0s = jnp.arange(nchunks, dtype=jnp.int32) * chunk
+        sums, kths = _cols_select(
+            xs_g, ys_g, zs_g, c0s, k=k, gy=gy, gz=gz, cap=cap, chunk=chunk,
+            voxel_unique=voxel_unique,
+        )
+        return (
+            sums.reshape(nchunks * chunk, cap)[:gyz],
+            kths.reshape(nchunks * chunk, cap)[:gyz],
+        )
+
+    def _sel_pallas(xs_g, ys_g, zs_g):
+        from .pallas_cols_select import cols_select_pallas
+
+        return cols_select_pallas(xs_g, ys_g, zs_g, k=k, gy=gy, gz=gz, cap=cap)
+
+    # TPU computations run the fused VMEM selection kernel (the XLA
+    # formulation is HBM-streaming-bound — see pallas_cols_select.py);
+    # CPU computations keep the XLA path (interpret-mode Pallas is far
+    # slower).  Keyed on the LOWERING platform as everywhere else.
+    sums, kths = jax.lax.platform_dependent(
+        xs_g, ys_g, zs_g, cpu=_sel_xla, default=_sel_pallas
     )
     return _cols_finish(
         sums, kths, slot_orig, valid, drop_ring, cell, k=k, gy=gy, gz=gz,
-        cap=cap, chunk=chunk,
+        cap=cap,
     )
 
 

@@ -1,0 +1,212 @@
+"""Pallas TPU kernel: fused column-grid exact k-NN selection.
+
+Replaces the XLA formulation of ops/cols_knn.py phase 2 (ring-slice
+distances + two-stage lax.top_k).  Why the XLA version is slow: every
+selection step streams the [queries, candidates] distance matrix through
+HBM (the matrix is ~20 GB at bench scale across chunks), and top_k's
+emitter runs at ~3 M candidate-elements/ms.  Measured consequence
+(BASELINE.md selection-wall table): exact selection costs 27-64 ms per
+[465k, 343] no matter the formulation — *in XLA*.
+
+This kernel removes the HBM wall: per 128 plane rows it DMAs one
+transposed plane slab into VMEM, builds the full [81*CAP, 128] squared-
+distance matrix for one query slot at a time IN VMEM, and finds the k-th
+smallest via a 31-step count-bisection on the f32 bit patterns — the
+same VPU-rate selection the window-kNN kernel uses
+(pallas_window_knn.py:110-119), but against the COMPLETE exact candidate
+set.  HBM traffic is one read of the plane slabs plus the [plane, cap]
+result write: ~300 MB total at bench scale instead of tens of GB.
+
+Key layout decision: the planes are stored TRANSPOSED ([slot, plane-row]
+— slots on sublanes, plane rows on lanes), so the candidates of ring
+offset (dy, dz) for ALL 128 queries of a tile are one contiguous
+lane-shifted slab read.  A [query, candidate] layout would need a
+per-lane gather, which the ISA does not have.  (An earlier standalone
+VMEM bisection kernel consumed a PRE-MATERIALIZED HBM distance matrix
+and lost 7x to top_k — the fusion of distance construction is the point,
+not the bisection alone.)
+
+Exactness: identical candidate set to the XLA path (full 9x9 column
+ring, self-pair excluded).  Ties at the k-th distance are handled
+arithmetically — sum = sum(d < kth) + (k - count(d < kth)) * kth — so no
+index packing is needed and duplicate distances contribute exactly as
+PCL's ordered scan would (reference semantics:
+/root/reference/src/cwipc_filters.cpp:181-278).  Empty slots carry
+F32_MAX coordinates, so their squared distances overflow to +inf and
+lose every comparison; a query with fewer than k in-ring neighbors gets
+kth >= F32_MAX and is recomputed exactly by the caller's brute-force
+fixup, exactly like the XLA path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_F32_MAX = float(jnp.finfo(jnp.float32).max)
+_INF = float("inf")
+_M = 4  # ring radius in cells (must match cols_knn._M)
+
+TILE = 128  # plane rows (query columns) per grid step
+
+
+def _select_kernel(plane_hbm, sums_ref, kth_ref, slab, d2, sem,
+                   *, cap: int, capp: int, gz: int, k: int, off_al: int,
+                   sw: int):
+    # off_al is the lane offset of the queries inside the slab — a
+    # multiple of 128 (Mosaic requires aligned lanes for dynamic-sublane
+    # loads; the wrapper pads the plane front accordingly).  Ring reads
+    # use static unaligned offsets, which are supported.
+    t = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        plane_hbm.at[:, pl.ds(t * TILE, sw)], slab, sem
+    )
+    dma.start()
+    dma.wait()
+
+    offsets = [dy * gz + dz for dy in range(-_M, _M + 1) for dz in range(-_M, _M + 1)]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (capp, TILE), 0)
+
+    # The query block, read ONCE per tile with static (aligned) indices —
+    # Mosaic has no dynamic single-sublane load, so per_slot extracts its
+    # row in-register with a masked reduce (three [capp, TILE] passes,
+    # noise next to the bisection).
+    q_all_x = slab[0:capp, pl.ds(off_al, TILE)]
+    q_all_y = slab[capp : 2 * capp, pl.ds(off_al, TILE)]
+    q_all_z = slab[2 * capp : 3 * capp, pl.ds(off_al, TILE)]
+
+    # Occupancy bound: slots are rank-compacted per column, so every real
+    # query in this tile has slot index < the tile's max column occupancy
+    # — the mean occupancy is a small fraction of CAP (3.3 of 28 on the
+    # bench cloud), so bounding the slot loop by the tile's own maximum
+    # skips the bulk of the empty-slot selection work on interior tiles.
+    occ_q = jnp.max(
+        jnp.sum((q_all_x < _F32_MAX / 2).astype(jnp.int32), axis=0)
+    )
+
+    def per_slot(s_q, acc):
+        hit = row_iota == s_q
+        qx = jnp.sum(jnp.where(hit, q_all_x, 0.0), axis=0, keepdims=True)
+        qy = jnp.sum(jnp.where(hit, q_all_y, 0.0), axis=0, keepdims=True)
+        qz = jnp.sum(jnp.where(hit, q_all_z, 0.0), axis=0, keepdims=True)
+        for j, oj in enumerate(offsets):
+            lane0 = off_al + oj
+            cx = slab[0:capp, pl.ds(lane0, TILE)]
+            cy = slab[capp : 2 * capp, pl.ds(lane0, TILE)]
+            cz = slab[2 * capp : 3 * capp, pl.ds(lane0, TILE)]
+            dx = cx - qx
+            dy_ = cy - qy
+            dz_ = cz - qz
+            d2j = dx * dx + dy_ * dy_ + dz_ * dz_
+            if oj == 0:  # the query's own slot in the center column
+                d2j = jnp.where(row_iota == s_q, _INF, d2j)
+            d2[j * capp : (j + 1) * capp, :] = d2j
+
+        bits = jax.lax.bitcast_convert_type(d2[:], jnp.int32)  # [81*capp, TILE]
+
+        # 31-step count-bisection on the (non-negative, order-preserving)
+        # f32 bit patterns: smallest v with count(d2 <= v) >= k is the
+        # k-th smallest squared distance.  +inf (empty slots) always
+        # loses; a query with < k real candidates converges onto inf and
+        # is flagged for the caller's exact fixup via kth.
+        def bis(_i, lh):
+            lo, hi = lh
+            mid = lo + ((hi - lo) >> 1)
+            cnt = jnp.sum((bits <= mid).astype(jnp.int32), axis=0, keepdims=True)
+            ge = cnt >= k
+            return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+        lo0 = jnp.zeros((1, TILE), jnp.int32)
+        hi0 = jnp.full((1, TILE), jnp.iinfo(jnp.int32).max, jnp.int32)
+        _lo, hi = jax.lax.fori_loop(0, 31, bis, (lo0, hi0))
+
+        lt = bits < hi
+        cnt_lt = jnp.sum(lt.astype(jnp.int32), axis=0, keepdims=True)
+        dist = jnp.sqrt(jnp.maximum(d2[:], 0.0))
+        ssum = jnp.sum(jnp.where(lt, dist, 0.0), axis=0, keepdims=True)
+        kth_d = jnp.sqrt(jax.lax.bitcast_convert_type(hi, jnp.float32))
+        extra = (k - cnt_lt).astype(jnp.float32)
+        ssum = ssum + jnp.where(extra > 0.0, extra * kth_d, 0.0)
+
+        # accumulate into the carried result blocks (dynamic single-
+        # sublane stores are as unsupported as the loads)
+        acc_s, acc_k = acc
+        acc_s = jnp.where(hit, ssum, acc_s)
+        acc_k = jnp.where(hit, jnp.minimum(kth_d, _F32_MAX), acc_k)
+        return acc_s, acc_k
+
+    zero = jnp.zeros((capp, TILE), jnp.float32)
+    # Every real query slot s_q satisfies s_q < its column's occupancy
+    # <= occ_q (columns are rank-compacted), so slots >= occ_q can be
+    # skipped: their results are never read back by _cols_finish.
+    acc_s, acc_k = jax.lax.fori_loop(
+        0, jnp.minimum(occ_q, cap), per_slot, (zero, zero)
+    )
+    sums_ref[:, :] = acc_s
+    kth_ref[:, :] = acc_k
+
+
+@partial(jax.jit, static_argnames=("k", "gy", "gz", "cap", "interpret"))
+def cols_select_pallas(
+    xs_g: jax.Array,
+    ys_g: jax.Array,
+    zs_g: jax.Array,
+    k: int,
+    gy: int,
+    gz: int,
+    cap: int,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact (sum of k smallest distances, k-th distance) for every slot
+    of the column grid, as [gyz, cap] arrays.  Inputs are the padded
+    channel planes produced by cols_knn._cols_build (halo ``off`` rows of
+    F32_MAX on both sides of the [gyz, cap] plane)."""
+    gyz = gy * gz
+    off = _M * gz + _M
+    off_al = TILE * (-(-off // TILE))  # 128-aligned query-lane offset
+    capp = -(-cap // 8) * 8
+    ntiles = -(-gyz // TILE)
+    sw = TILE * (-(-(TILE + off_al + off) // TILE))
+    lp = (ntiles - 1) * TILE + sw
+
+    def prep(a):
+        at = a[:, :cap].T  # [cap, L0] with an `off`-lane front halo
+        at = jnp.pad(
+            at,
+            ((0, capp - cap), (off_al - off, max(0, lp - at.shape[1] - (off_al - off)))),
+            constant_values=_F32_MAX,
+        )
+        return at[:, :lp]
+
+    plane = jnp.concatenate([prep(xs_g), prep(ys_g), prep(zs_g)], axis=0)
+
+    kernel = partial(
+        _select_kernel, cap=cap, capp=capp, gz=gz, k=k, off_al=off_al, sw=sw
+    )
+    sums_t, kth_t = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(ntiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=(
+                pl.BlockSpec((capp, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((capp, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((3 * capp, sw), jnp.float32),
+                pltpu.VMEM(((2 * _M + 1) ** 2 * capp, TILE), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((capp, ntiles * TILE), jnp.float32),
+            jax.ShapeDtypeStruct((capp, ntiles * TILE), jnp.float32),
+        ),
+    )(plane)
+    return sums_t[:cap, :gyz].T, kth_t[:cap, :gyz].T

@@ -211,14 +211,14 @@ def make_sharded_chain_exact(
             voxel_unique=True,
         )
         sums = jax.lax.all_gather(sums_l, CAMERA_AXIS).reshape(
-            n_dev * per_dev, chunk, cap
-        )[:nchunks]
+            n_dev * per_dev * chunk, cap
+        )[:gyz]
         kths = jax.lax.all_gather(kths_l, CAMERA_AXIS).reshape(
-            n_dev * per_dev, chunk, cap
-        )[:nchunks]
+            n_dev * per_dev * chunk, cap
+        )[:gyz]
         md, unc = _cols_finish(
             sums, kths, slot_orig, valid0, drop_ring, cellsize, k=k, gy=gy,
-            gz=gz, cap=cap, chunk=chunk,
+            gz=gz, cap=cap,
         )
         md = jnp.where(unc, bruteforce_md_subset(pxyz, cnt, unc, k), md)
 

@@ -38,6 +38,96 @@ class TestWindowKnnKernel:
         assert np.array_equal(na, nb)
 
 
+class TestColsSelectKernel:
+    """The fused exact-selection kernel must reproduce the XLA column-grid
+    selection (full candidate ring, no pre-selection) slot for slot."""
+
+    def _planes(self, n, gy, gz, cap, seed, spread=0.3):
+        from cwipc_util_tpu.ops.cols_knn import _cols_build
+
+        rng = np.random.default_rng(seed)
+        capn = 1 << int(np.ceil(np.log2(max(n, 2))))
+        xyz = np.zeros((capn, 3), np.float32)
+        xyz[:n] = rng.random((n, 3), dtype=np.float32) * spread
+        cell = jnp.float32(0.02)
+        built = _cols_build(
+            jnp.asarray(xyz), jnp.int32(n), cell, gy=gy, gz=gz, cap=cap,
+            chunk=64,
+        )
+        return built[:3], cell
+
+    @pytest.mark.parametrize("n,k", [(900, 8), (300, 5), (40, 30)])
+    def test_matches_xla_selection(self, n, k):
+        from cwipc_util_tpu.ops.cols_knn import _cols_select
+        from cwipc_util_tpu.ops.pallas_cols_select import cols_select_pallas
+
+        gy = gz = 24
+        cap = 12
+        (xs_g, ys_g, zs_g), _cell = self._planes(n, gy, gz, cap, seed=n + k)
+        gyz = gy * gz
+        chunk = 64
+        c0s = jnp.arange(gyz // chunk, dtype=jnp.int32) * chunk
+        sums_x, kth_x = _cols_select(
+            xs_g, ys_g, zs_g, c0s, k=k, gy=gy, gz=gz, cap=cap, chunk=chunk,
+            voxel_unique=False,
+        )
+        sums_x = np.asarray(sums_x).reshape(gyz, cap)
+        kth_x = np.asarray(kth_x).reshape(gyz, cap)
+        sums_p, kth_p = cols_select_pallas(
+            xs_g, ys_g, zs_g, k=k, gy=gy, gz=gz, cap=cap, interpret=True
+        )
+        sums_p, kth_p = np.asarray(sums_p), np.asarray(kth_p)
+
+        # Only OCCUPIED query slots carry defined results (empty-slot
+        # values are never read back — _cols_finish scatters via
+        # slot_orig); compare those.  The k-th distance is selected from
+        # the identical candidate multiset in both paths: bit-equal,
+        # F32_MAX marking a deficit in both.
+        off = 4 * gz + 4
+        occ = np.asarray(xs_g)[off : off + gyz, :] < 1e30
+        np.testing.assert_array_equal(kth_p[occ], kth_x[occ])
+        # sums differ only in fp accumulation order
+        real = occ & (kth_x < 1e30)
+        np.testing.assert_allclose(
+            sums_p[real], sums_x[real], rtol=1e-5, atol=1e-5
+        )
+
+    def test_end_to_end_md_parity(self):
+        """cols_knn md via the kernel == via XLA on covered points."""
+        from cwipc_util_tpu.ops.cols_knn import (
+            _cols_build,
+            _cols_finish,
+            cols_knn_mean_distance,
+        )
+        from cwipc_util_tpu.ops.pallas_cols_select import cols_select_pallas
+
+        rng = np.random.default_rng(5)
+        n, gy, gz, cap, k = 700, 24, 24, 12, 6
+        capn = 1024
+        xyz = np.zeros((capn, 3), np.float32)
+        xyz[:n] = rng.random((n, 3), dtype=np.float32) * 0.3
+        cell = jnp.float32(0.02)
+        md_x, unc_x = cols_knn_mean_distance(
+            jnp.asarray(xyz), jnp.int32(n), cell, k, gy=gy, gz=gz, cap=cap
+        )
+        xs_g, ys_g, zs_g, slot_orig, valid, drop_ring = _cols_build(
+            jnp.asarray(xyz), jnp.int32(n), cell, gy=gy, gz=gz, cap=cap,
+            chunk=64,
+        )
+        sums, kth = cols_select_pallas(
+            xs_g, ys_g, zs_g, k=k, gy=gy, gz=gz, cap=cap, interpret=True
+        )
+        md_p, unc_p = _cols_finish(
+            sums, kth, slot_orig, valid, drop_ring, cell, k=k, gy=gy, gz=gz,
+            cap=cap,
+        )
+        md_x, unc_x, md_p, unc_p = map(np.asarray, (md_x, unc_x, md_p, unc_p))
+        np.testing.assert_array_equal(unc_p, unc_x)
+        cov = ~unc_x & (np.arange(capn) < n)
+        assert cov.sum() > 100
+        np.testing.assert_allclose(md_p[cov], md_x[cov], rtol=1e-5, atol=1e-6)
+
+
 class TestSegmentReduceKernel:
     @pytest.mark.parametrize(
         "count,nruns",
