@@ -83,8 +83,97 @@ def diff_time(fn, args, label, k_loop, reps=3):
     return ms
 
 
+def stage_residual():
+    """Time the exact chain's non-selection stages on the bench cloud:
+    full cols_knn (build+select+finish), the brute fixup on the real
+    uncovered mask, and the compaction tail — to locate the residual
+    (chain total minus selection) measured by bench.py --exact."""
+    from cwipc_util_tpu.core.buffers import PointBuffer
+    from cwipc_util_tpu.models.synthetic import _generate
+    from cwipc_util_tpu.ops import voxelize
+    from cwipc_util_tpu.ops.cols_knn import (
+        bruteforce_md_subset,
+        cols_knn_mean_distance,
+    )
+
+    capacity = 1 << 20
+    out_capacity = 1 << 18
+    cell = jnp.float32(2.0 / 1000 * 2.0)
+    buf = _generate(1000, 1000, capacity, jnp.float32(0.5))
+
+    @jax.jit
+    def down(b: PointBuffer):
+        x, y, z, rgba, cnt = voxelize.downsample_cm(b, cell, out_capacity)
+        return jnp.stack([x, y, z], axis=1), cnt
+
+    xyz, cnt = down(buf)
+    xyz, cnt = jax.device_get((xyz, cnt))
+    xyz, cnt = jnp.asarray(xyz), jnp.asarray(cnt)
+
+    @jax.jit
+    def knn_full(xyz, cnt, seed):
+        md, unc = cols_knn_mean_distance(
+            xyz + seed.astype(jnp.float32) * 1e-12, cnt, cell, K_NN,
+            gy=GY, gz=GZ, cap=CAP, chunk=CHUNK, voxel_unique=True,
+        )
+        return md, unc
+
+    t0 = time.perf_counter()
+    md, unc = knn_full(xyz, cnt, jnp.int32(0))
+    n_unc = int(np.asarray(unc).sum())
+    print(f"cols_knn full: compile+first {time.perf_counter()-t0:.1f}s; "
+          f"uncovered {n_unc} of {int(cnt)}")
+
+    def t_of(fn, args, label, k_loop=4, reps=3):
+        @jax.jit
+        def program(seed, *a):
+            def body(i, acc):
+                r = fn(*a, seed + i)
+                return acc + jnp.sum(jnp.asarray(r[0]).ravel()[:1])
+
+            return jax.lax.fori_loop(0, k_loop, body, jnp.float32(0))
+
+        @jax.jit
+        def trivial(seed, *a):
+            return seed.astype(jnp.float32)
+
+        def run(prog, s):
+            t0 = time.perf_counter()
+            np.asarray(prog(jnp.int32(s), *args))
+            return time.perf_counter() - t0
+
+        run(trivial, 0)
+        run(program, 1)
+        t0 = min(run(trivial, 100 + r) for r in range(reps))
+        tK = min(run(program, 200 + r) for r in range(reps))
+        print(f"{label:28s} {(tK - t0) / k_loop * 1e3:9.3f} ms")
+
+    def knn_body(xyz, cnt, seed):
+        md, unc = cols_knn_mean_distance(
+            xyz + seed.astype(jnp.float32) * 1e-12, cnt, cell, K_NN,
+            gy=GY, gz=GZ, cap=CAP, chunk=CHUNK, voxel_unique=True,
+        )
+        return (md,)
+
+    t_of(knn_body, (xyz, cnt), "cols_knn full (b+sel+fin)")
+
+    unc_j = jnp.asarray(np.asarray(unc))
+
+    def fix_body(xyz, cnt, unc, seed):
+        return (bruteforce_md_subset(
+            xyz + seed.astype(jnp.float32) * 1e-12, cnt, unc, K_NN
+        ),)
+
+    t_of(fix_body, (xyz, cnt, unc_j), "brute fixup (real mask)")
+
+
 def main():
     which = sys.argv[1:] or ["pallas", "xla"]
+    if "residual" in which:
+        stage_residual()
+        which = [w for w in which if w != "residual"]
+        if not which:
+            return
     planes = build_planes()
 
     if "pallas" in which:

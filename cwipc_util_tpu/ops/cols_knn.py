@@ -313,50 +313,64 @@ def bruteforce_md_subset(
     k: int,
     block: int = 256,
 ) -> jax.Array:
-    """Exact md for the selected points only, by blocked brute force.
-    Blocks with no selected rows skip the distance work via lax.cond;
-    output is 0 for non-selected rows."""
+    """Exact md for the selected points only, by compacted brute force.
+
+    The selected row indices are compacted to the front of an index
+    list (one cheap scatter), then processed in gathered blocks of
+    ``block`` queries with a dynamic trip count of ceil(n_sel / block) —
+    so the cost scales with the number of SELECTED points, not with the
+    cloud size.  (The previous formulation mapped over every cloud
+    block with a lax.cond skip; ~100 scattered uncovered points touched
+    ~100 blocks and cost 171 ms at bench scale — the compacted form is
+    one block, ~2 ms.)  Output is 0 for non-selected rows."""
     cap = xyz.shape[0]
     idx = jnp.arange(cap, dtype=jnp.int32)
     valid = idx < count
+    sel = sel & valid
     sq = jnp.sum(xyz * xyz, axis=-1)
     col_mask = jnp.where(valid, 0.0, _F32_MAX)
 
-    nblocks = -(-cap // block)
+    # compact the selected indices to the front of ilist [cap]
+    pos = jnp.cumsum(sel.astype(jnp.int32)) - 1
+    n_sel = jnp.maximum(pos[-1] + 1, 0)
+    ilist = (
+        jnp.full((cap + 1,), -1, jnp.int32)
+        .at[jnp.where(sel, pos, cap)]
+        .set(jnp.where(sel, idx, -1))[:cap]
+    )
 
-    def row_block(start):
-        rows = jax.lax.dynamic_slice(xyz, (start, 0), (block, 3))
-        row_sq = jax.lax.dynamic_slice(sq, (start,), (block,))
-        row_sel = jax.lax.dynamic_slice(sel.astype(jnp.int32), (start,), (block,))
-        row_idx = start + jnp.arange(block, dtype=jnp.int32)
-
-        def work(_):
-            # HIGHEST precision is mandatory: the TPU MXU's default is
-            # bf16 multiplication, whose ~1e-3 relative error on the cross
-            # term turns into ~1e-2 absolute distance error through the
-            # |a|^2+|b|^2-2ab expansion — far beyond the keep threshold's
-            # sensitivity (measured: 112 corrupted md values shifted the
-            # bench threshold enough to flip ~2000 keep decisions).
-            cross = jnp.dot(
-                rows, xyz.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            d2 = row_sq[:, None] + sq[None, :] - 2.0 * cross
-            d2 = jnp.maximum(d2, 0.0) + col_mask[None, :]
-            self_col = (
-                jax.lax.broadcasted_iota(jnp.int32, (block, cap), 1)
-                == row_idx[:, None]
-            )
-            d2 = jnp.where(self_col, _F32_MAX, d2)
-            neg, _ = jax.lax.top_k(-d2, k)
-            d = jnp.sqrt(jnp.maximum(-neg, 0.0))
-            d = jnp.where(-neg < _F32_MAX / 2, d, 0.0)
-            return d.sum(axis=-1) / float(k)
-
-        return jax.lax.cond(
-            row_sel.sum() > 0, work, lambda _: jnp.zeros((block,), jnp.float32), None
+    def row_block(b, md_acc):
+        bidx = jax.lax.dynamic_slice(ilist, (b * block,), (block,))
+        bval = bidx >= 0
+        bidx_c = jnp.maximum(bidx, 0)
+        rows = xyz[bidx_c]  # gather: `block` rows, cheap at this scale
+        row_sq = sq[bidx_c]
+        # HIGHEST precision is mandatory: the TPU MXU's default is
+        # bf16 multiplication, whose ~1e-3 relative error on the cross
+        # term turns into ~1e-2 absolute distance error through the
+        # |a|^2+|b|^2-2ab expansion — far beyond the keep threshold's
+        # sensitivity (measured: 112 corrupted md values shifted the
+        # bench threshold enough to flip ~2000 keep decisions).
+        cross = jnp.dot(
+            rows, xyz.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
+        d2 = row_sq[:, None] + sq[None, :] - 2.0 * cross
+        d2 = jnp.maximum(d2, 0.0) + col_mask[None, :]
+        self_col = (
+            jax.lax.broadcasted_iota(jnp.int32, (block, cap), 1)
+            == bidx_c[:, None]
+        )
+        d2 = jnp.where(self_col, _F32_MAX, d2)
+        neg, _ = jax.lax.top_k(-d2, k)
+        d = jnp.sqrt(jnp.maximum(-neg, 0.0))
+        d = jnp.where(-neg < _F32_MAX / 2, d, 0.0)
+        mdb = d.sum(axis=-1) / float(k)
+        tgt = jnp.where(bval, bidx, cap)  # sink slot absorbs padding
+        return md_acc.at[tgt].set(jnp.where(bval, mdb, 0.0))
 
-    starts = jnp.arange(nblocks, dtype=jnp.int32) * block
-    out = jax.lax.map(row_block, starts).reshape(nblocks * block)[:cap]
-    return jnp.where(sel & valid, out, 0.0)
+    nblk = -(-n_sel // block)
+    md = jax.lax.fori_loop(
+        0, nblk, row_block, jnp.zeros((cap + 1,), jnp.float32)
+    )[:cap]
+    return jnp.where(sel, md, 0.0)

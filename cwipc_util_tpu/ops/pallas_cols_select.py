@@ -54,14 +54,19 @@ _M = 4  # ring radius in cells (must match cols_knn._M)
 TILE = 128  # plane rows (query columns) per grid step
 
 
-def _select_kernel(plane_hbm, sums_ref, kth_ref, slab, d2, sem,
+def _select_kernel(tile0_ref, plane_hbm, sums_ref, kth_ref, slab, d2, sem,
                    *, cap: int, capp: int, gz: int, k: int, off_al: int,
-                   sw: int):
+                   sw: int, nt_max: int):
     # off_al is the lane offset of the queries inside the slab — a
     # multiple of 128 (Mosaic requires aligned lanes for dynamic-sublane
     # loads; the wrapper pads the plane front accordingly).  Ring reads
     # use static unaligned offsets, which are supported.
-    t = pl.program_id(0)
+    # tile0 shifts the tile range: a sharded caller passes its shard's
+    # first plane tile so each device selects only its own slab.  The
+    # clamp keeps over-the-end ranges (per-device rounding) reading
+    # in-bounds — they recompute the last tile, and the caller slices
+    # the duplicate trailing rows off after its gather.
+    t = jnp.minimum(tile0_ref[0] + pl.program_id(0), nt_max - 1)
     dma = pltpu.make_async_copy(
         plane_hbm.at[:, pl.ds(t * TILE, sw)], slab, sem
     )
@@ -150,7 +155,7 @@ def _select_kernel(plane_hbm, sums_ref, kth_ref, slab, d2, sem,
     kth_ref[:, :] = acc_k
 
 
-@partial(jax.jit, static_argnames=("k", "gy", "gz", "cap", "interpret"))
+@partial(jax.jit, static_argnames=("k", "gy", "gz", "cap", "ntiles_run", "interpret"))
 def cols_select_pallas(
     xs_g: jax.Array,
     ys_g: jax.Array,
@@ -159,12 +164,20 @@ def cols_select_pallas(
     gy: int,
     gz: int,
     cap: int,
+    tile0: jax.Array | None = None,
+    ntiles_run: int | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact (sum of k smallest distances, k-th distance) for every slot
     of the column grid, as [gyz, cap] arrays.  Inputs are the padded
     channel planes produced by cols_knn._cols_build (halo ``off`` rows of
-    F32_MAX on both sides of the [gyz, cap] plane)."""
+    F32_MAX on both sides of the [gyz, cap] plane).
+
+    ``tile0``/``ntiles_run`` select a contiguous range of 128-row plane
+    tiles (for mesh-sharded callers: every device passes the full
+    replicated planes and its own tile range; results come back as
+    [ntiles_run * 128, cap] plane rows starting at tile0 * 128).  The
+    default covers the whole plane and returns [gyz, cap]."""
     gyz = gy * gz
     off = _M * gz + _M
     off_al = TILE * (-(-off // TILE))  # 128-aligned query-lane offset
@@ -172,6 +185,14 @@ def cols_select_pallas(
     ntiles = -(-gyz // TILE)
     sw = TILE * (-(-(TILE + off_al + off) // TILE))
     lp = (ntiles - 1) * TILE + sw
+    full = ntiles_run is None
+    if full:
+        ntiles_run = ntiles
+    t0 = (
+        jnp.zeros((1,), jnp.int32)
+        if tile0 is None
+        else jnp.asarray(tile0, jnp.int32).reshape(1)
+    )
 
     def prep(a):
         at = a[:, :cap].T  # [cap, L0] with an `off`-lane front halo
@@ -185,18 +206,19 @@ def cols_select_pallas(
     plane = jnp.concatenate([prep(xs_g), prep(ys_g), prep(zs_g)], axis=0)
 
     kernel = partial(
-        _select_kernel, cap=cap, capp=capp, gz=gz, k=k, off_al=off_al, sw=sw
+        _select_kernel, cap=cap, capp=capp, gz=gz, k=k, off_al=off_al, sw=sw,
+        nt_max=ntiles,
     )
     sums_t, kth_t = pl.pallas_call(
         kernel,
         interpret=interpret,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=(ntiles,),
+            num_scalar_prefetch=1,
+            grid=(ntiles_run,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=(
-                pl.BlockSpec((capp, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((capp, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((capp, TILE), lambda i, t0: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((capp, TILE), lambda i, t0: (0, i), memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
                 pltpu.VMEM((3 * capp, sw), jnp.float32),
@@ -205,8 +227,10 @@ def cols_select_pallas(
             ],
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((capp, ntiles * TILE), jnp.float32),
-            jax.ShapeDtypeStruct((capp, ntiles * TILE), jnp.float32),
+            jax.ShapeDtypeStruct((capp, ntiles_run * TILE), jnp.float32),
+            jax.ShapeDtypeStruct((capp, ntiles_run * TILE), jnp.float32),
         ),
-    )(plane)
-    return sums_t[:cap, :gyz].T, kth_t[:cap, :gyz].T
+    )(t0, plane)
+    if full:
+        return sums_t[:cap, :gyz].T, kth_t[:cap, :gyz].T
+    return sums_t[:cap].T, kth_t[:cap].T

@@ -203,19 +203,51 @@ def make_sharded_chain_exact(
             pxyz, cnt, cellsize, gy=gy, gz=gz, cap=cap, chunk=chunk
         )
         me = jax.lax.axis_index(CAMERA_AXIS)
-        # chunks beyond nchunks read harmlessly into the plane's tail
-        # padding (all-invalid slots) and their results are sliced off
-        c0s = (me * per_dev + jnp.arange(per_dev, dtype=jnp.int32)) * chunk
-        sums_l, kths_l = _cols_select(
-            xs_g, ys_g, zs_g, c0s, k=k, gy=gy, gz=gz, cap=cap, chunk=chunk,
-            voxel_unique=True,
+
+        def _sel_xla(xs_g, ys_g, zs_g, me):
+            # chunks beyond nchunks read harmlessly into the plane's tail
+            # padding (all-invalid slots); their results are sliced off
+            c0s = (me * per_dev + jnp.arange(per_dev, dtype=jnp.int32)) * chunk
+            sums_l, kths_l = _cols_select(
+                xs_g, ys_g, zs_g, c0s, k=k, gy=gy, gz=gz, cap=cap, chunk=chunk,
+                voxel_unique=True,
+            )
+            return (
+                jax.lax.all_gather(sums_l, CAMERA_AXIS).reshape(
+                    n_dev * per_dev * chunk, cap
+                )[:gyz],
+                jax.lax.all_gather(kths_l, CAMERA_AXIS).reshape(
+                    n_dev * per_dev * chunk, cap
+                )[:gyz],
+            )
+
+        def _sel_pallas(xs_g, ys_g, zs_g, me):
+            # each device runs the fused VMEM selection kernel
+            # (ops/pallas_cols_select.py) over its own range of 128-row
+            # plane tiles; over-the-end ranges recompute the last tile
+            # and the slice below drops the duplicates
+            from ..ops.pallas_cols_select import TILE, cols_select_pallas
+
+            ntiles = -(-gyz // TILE)
+            pdt = -(-ntiles // n_dev)
+            sums_l, kths_l = cols_select_pallas(
+                xs_g, ys_g, zs_g, k=k, gy=gy, gz=gz, cap=cap,
+                tile0=me * pdt, ntiles_run=pdt,
+            )
+            return (
+                jax.lax.all_gather(sums_l, CAMERA_AXIS).reshape(
+                    n_dev * pdt * TILE, cap
+                )[:gyz],
+                jax.lax.all_gather(kths_l, CAMERA_AXIS).reshape(
+                    n_dev * pdt * TILE, cap
+                )[:gyz],
+            )
+
+        # same platform keying as the single-device chain: the Pallas
+        # kernel on TPU meshes, the XLA formulation on CPU meshes
+        sums, kths = jax.lax.platform_dependent(
+            xs_g, ys_g, zs_g, me, cpu=_sel_xla, default=_sel_pallas
         )
-        sums = jax.lax.all_gather(sums_l, CAMERA_AXIS).reshape(
-            n_dev * per_dev * chunk, cap
-        )[:gyz]
-        kths = jax.lax.all_gather(kths_l, CAMERA_AXIS).reshape(
-            n_dev * per_dev * chunk, cap
-        )[:gyz]
         md, unc = _cols_finish(
             sums, kths, slot_orig, valid0, drop_ring, cellsize, k=k, gy=gy,
             gz=gz, cap=cap,

@@ -92,6 +92,37 @@ class TestColsSelectKernel:
             sums_p[real], sums_x[real], rtol=1e-5, atol=1e-5
         )
 
+    def test_tile_range_matches_full(self):
+        """Sharded-caller contract: running the kernel over tile ranges
+        and concatenating equals the full-plane run (incl. an
+        over-the-end range, which recomputes the last tile)."""
+        import jax.numpy as jnp
+
+        from cwipc_util_tpu.ops.pallas_cols_select import TILE, cols_select_pallas
+
+        gy = gz = 24  # gyz = 576 -> 5 tiles of 128
+        cap = 12
+        k = 7
+        (xs_g, ys_g, zs_g), _cell = self._planes(800, gy, gz, cap, seed=3)
+        gyz = gy * gz
+        ntiles = -(-gyz // TILE)
+        sums_f, kth_f = cols_select_pallas(
+            xs_g, ys_g, zs_g, k=k, gy=gy, gz=gz, cap=cap, interpret=True
+        )
+        # two devices' worth of ranges, pdt = 3 -> second range overruns
+        pdt = 3
+        parts = []
+        for me in range(2):
+            s, kt = cols_select_pallas(
+                xs_g, ys_g, zs_g, k=k, gy=gy, gz=gz, cap=cap,
+                tile0=jnp.int32(me * pdt), ntiles_run=pdt, interpret=True,
+            )
+            parts.append((np.asarray(s), np.asarray(kt)))
+        sums_r = np.concatenate([p[0] for p in parts])[:gyz]
+        kth_r = np.concatenate([p[1] for p in parts])[:gyz]
+        np.testing.assert_array_equal(kth_r, np.asarray(kth_f))
+        np.testing.assert_array_equal(sums_r, np.asarray(sums_f))
+
     def test_end_to_end_md_parity(self):
         """cols_knn md via the kernel == via XLA on covered points."""
         from cwipc_util_tpu.ops.cols_knn import (
