@@ -156,12 +156,18 @@ class RegistrationAnalyzer(BaseAlgorithm, AnalysisAlgorithm):
         elif method.startswith("q="):
             measure = float(np.percentile(finite, int(method[2:])))
         else:
-            measure = {
+            known = {
                 "mean": res.mean,
                 "median": res.median,
                 "tmean": res.tmean,
                 "mode": res.mode,
-            }.get(method, res.mean)
+            }
+            if method not in known:
+                # reference rejects unknown measures (analyze.py:240
+                # `assert False`); a silent fallback would quietly change
+                # the multicamera accept/reject thresholds
+                raise ValueError(f"Unknown correspondence measure '{method}'")
+            measure = known[method]
         res.minCorrespondence = float(measure)
         res.minCorrespondenceCount = int((finite <= res.minCorrespondence).sum())
         return res

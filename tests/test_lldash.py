@@ -175,7 +175,9 @@ def test_cli_dash_loopback(fake_signals, tmp_path):
     env["SIGNALS_SMD_PATH"] = str(fake_signals)
     rv = subprocess.run(
         [sys.executable, "-m", "cwipc_util_tpu", "forward", "--synthetic",
-         "--npoints", "1000", "--count", "5", "--fps", "10", "--lldpkg", url],
+         "--npoints", "1000", "--count", "5", "--fps", "10",
+         "--seg_dur", "2000", "--timeshift_buffer", "5000",
+         "--lldpkg", url],
         capture_output=True, text=True, timeout=240, env=env,
     )
     assert rv.returncode == 0, rv.stderr[-500:]

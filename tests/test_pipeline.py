@@ -165,6 +165,22 @@ class TestPlayback:
             assert pc is not None
         src.stop()
 
+    def test_retimestamp_wall_clock(self, tmp_path, small_pc):
+        """--retimestamp replaces file timestamps with the wall clock
+        (reference: playback.py retimestamp option; driven end-to-end as
+        `cwipc view --playback DIR --retimestamp`)."""
+        import time
+
+        d = self._make_dir(tmp_path, small_pc, ".ply")
+        src = cwipc_playback(d, ext=".ply", retimestamp=True)
+        src.start()
+        now_ms = time.time() * 1000.0
+        ts = src.get().timestamp()
+        src.stop()
+        # file timestamps in the fixture are tiny (1000-1002); wall clock
+        # is ~1.8e12 — any sane tolerance separates them
+        assert abs(ts - now_ms) < 60_000
+
     def test_inpoint_outpoint(self, tmp_path, small_pc):
         d = self._make_dir(tmp_path, small_pc, ".ply")
         src = cwipc_playback(d, ext=".ply", inpoint=1001, outpoint=1001)

@@ -650,6 +650,19 @@ class TestAnalyzeRegistrationModes:
         assert "count: 0" not in rv.stdout
         assert rv.stdout.count("self, nth=1") == 3
 
+    def test_measure_variants_and_rejection(self, scene):
+        """Every documented correspondence measure drives the CLI; an
+        unknown measure is rejected (reference analyze.py:240 asserts —
+        a silent mean fallback would quietly change multicamera
+        accept/reject thresholds)."""
+        for m in ("tmean", "2mode", "q=30"):
+            rv = run_cwipc("analyze_registration", "--measure", m, scene)
+            assert rv.returncode == 0, rv.stderr[-400:]
+            assert rv.stdout.count("Alignment") == 3
+        rv = run_cwipc("analyze_registration", "--measure", "garbage", scene)
+        assert rv.returncode != 0
+        assert "Unknown correspondence measure" in rv.stderr
+
     def test_totile_overlap_occupancy_plot(self, scene, tmp_path):
         rv = run_cwipc("analyze_registration", "--totile", "1", "--overlap",
                        "--occupancy", "0.01", "--plot", str(tmp_path / "a.png"),
