@@ -487,8 +487,90 @@ class cwipc_encodergroup_wrapper:
         return enc
 
     def feed(self, pc: cwipc_pointcloud_wrapper) -> None:
+        # Shared-core multi-quality encode: group members that differ
+        # only in octree depth / jpeg quality share ONE device geometry
+        # pass at the deepest level, and every coarser level is derived
+        # on the host — morton(x >> d) == morton(x) >> 3d, so ancestor
+        # keys are a shift away, colors become unweighted child means
+        # and tiles OR together.  Derived streams decode to the same
+        # cell-center positions a direct encode would produce on the
+        # deep grid's origin (quantization error is identically bounded
+        # by half the coarse voxel).  A 4-quality DASH/TCP server thus
+        # pays one chip dispatch per frame instead of four.  (The
+        # reference's group runs N independent MPEG encoders; this is
+        # the TPU-native equivalent, and CTC1 is already documented as
+        # not anchor-bit-compatible.)
+        groups: dict = {}
         for enc in self._encoders:
-            enc.feed(pc)
+            p = enc.params
+            if 0 < p.octree_bits <= 10 and p.voxelsize <= 0:
+                key = (int(p.tilenumber), float(max(p.exp_factor, 1.0)))
+                groups.setdefault(key, []).append(enc)
+            else:
+                enc.feed(pc)  # wide / voxelsize-bound: independent path
+        for (tilemask, expf), encs in groups.items():
+            if len(encs) == 1:
+                encs[0].feed(pc)
+            else:
+                self._feed_group(pc, encs, tilemask, expf)
+
+    def _feed_group(self, pc, encs, tilemask: int, expf: float) -> None:
+        import jax
+
+        ob_max = max(e.params.octree_bits for e in encs)
+        buf = pc._access_buffer()
+        m_dev, deltas_all, drgba_all, step_dev, vmin_dev = jax.device_get(
+            _encode_device(
+                buf.xyz, buf.rgba, buf.count, octree_bits=ob_max,
+                exp_factor=expf, voxelsize=0.0, tilemask=tilemask,
+            )
+        )
+        m = int(m_dev)
+        step = float(step_dev)
+        origin = vmin_dev.astype(np.float64) * step
+        ts = pc.timestamp()
+        if m == 0:
+            for e in encs:
+                e._result = struct.pack(
+                    _HDR_FMT, MAGIC, e.params.octree_bits, 0, 0, 0, ts,
+                    pc.cellsize(), 0.0, 0.0, 0.0, 0, 0, 0,
+                )
+            return
+        # sorted-unique fine keys (same cleanup _pack applies)
+        keys = np.cumsum(
+            deltas_all[:m].astype(np.uint32), dtype=np.uint32
+        ).astype(np.int64)
+        drgba = np.asarray(drgba_all[:m])
+        uniq, first = np.unique(keys, return_index=True)
+        if len(uniq) != m or not np.array_equal(uniq, keys):
+            keys, drgba, m = uniq, drgba[first], len(uniq)
+        for e in encs:
+            p = e.params
+            d = ob_max - p.octree_bits
+            if d == 0:
+                ke, rg, me = keys, drgba, m
+            else:
+                ck = keys >> (3 * d)  # ancestor keys, still sorted
+                starts = np.flatnonzero(np.diff(ck, prepend=ck[0] - 1))
+                me = len(starts)
+                counts = np.diff(np.append(starts, m))
+                r = np.add.reduceat((drgba >> 16) & 0xFF, starts) / counts
+                g = np.add.reduceat((drgba >> 8) & 0xFF, starts) / counts
+                b = np.add.reduceat(drgba & 0xFF, starts) / counts
+                t = np.bitwise_or.reduceat(
+                    ((drgba >> 24) & 0xFF).astype(np.uint32), starts
+                )
+                rg = (
+                    (t.astype(np.uint32) << 24)
+                    | (np.round(r).astype(np.uint32) << 16)
+                    | (np.round(g).astype(np.uint32) << 8)
+                    | np.round(b).astype(np.uint32)
+                )
+                ke = ck[starts]
+            de = np.diff(ke, prepend=np.int64(0))
+            e._result = e._pack(
+                p, me, ts, step * (1 << d), origin, de, rg, wide=False
+            )
 
     def close(self) -> None:
         self._encoders = []

@@ -73,6 +73,54 @@ class TestCodec:
         assert 0 < t1.count() < all_.count()
         assert (t1.get_numpy_array()["tile"] == 1).all()
 
+    def test_encodergroup_multiquality_shared_core(self, small_pc):
+        """Qualities in one group share the deep geometry pass: the
+        deepest member must stay bit-identical to an independent encode,
+        and a derived coarse stream must decode inside the coarse
+        quantization bound (ancestor voxel centers of the deep grid)."""
+        group = codec.cwipc_new_encodergroup()
+        e9 = group.addencoder(params=codec.cwipc_encoder_params(octree_bits=9))
+        e7 = group.addencoder(params=codec.cwipc_encoder_params(octree_bits=7))
+        group.feed(small_pc)
+        b9, b7 = e9.get_bytes(), e7.get_bytes()
+        solo = codec.cwipc_new_encoder(
+            params=codec.cwipc_encoder_params(octree_bits=9)
+        )
+        solo.feed(small_pc)
+        assert b9 == solo.get_bytes()
+        assert len(b7) < len(b9)
+        dec = codec.cwipc_new_decoder()
+        dec.feed(b9)
+        p9 = dec.get()
+        dec.feed(b7)
+        p7 = dec.get()
+        assert 0 < p7.count() <= p9.count()
+        assert p7.timestamp() == small_pc.timestamp()
+        a = small_pc.get_numpy_matrix(onlyGeometry=True)
+        b = p7.get_numpy_matrix(onlyGeometry=True)
+        step7 = (a.max(axis=0) - a.min(axis=0)).max() / (1 << 7)
+        d = np.sqrt(((b[:, None, :] - a[None, :, :]) ** 2).sum(-1)).min(axis=1)
+        assert (d <= step7).all()
+
+    def test_encodergroup_multiquality_tiled(self, small_pc):
+        """Tiles x qualities: members group per tile; each derived
+        stream keeps its tile filter."""
+        group = codec.cwipc_new_encodergroup()
+        encs = {
+            (t, ob): group.addencoder(
+                params=codec.cwipc_encoder_params(octree_bits=ob, tilenumber=t)
+            )
+            for t in (1, 2)
+            for ob in (9, 7)
+        }
+        group.feed(small_pc)
+        dec = codec.cwipc_new_decoder()
+        for (t, ob), e in encs.items():
+            dec.feed(e.get_bytes())
+            out = dec.get()
+            assert out.count() > 0, (t, ob)
+            assert (out.get_numpy_array()["tile"] == t).all()
+
     def test_empty_cloud(self):
         pc = cwipc.cwipc_from_points([], 7)
         enc = codec.cwipc_new_encoder()
