@@ -83,16 +83,19 @@ def cwipc_from_points(points, timestamp: int) -> cwipc_pointcloud_wrapper:
     if not isinstance(points, _ctypes.Array):
         points = cwipc_point_array(values=points)
     data = bytes(memoryview(points).cast("B")) if len(points) else b""
-    arr = _np.frombuffer(data, POINT_DTYPE)
-    buf = _buffer_from_numpy(arr)
-    return cwipc_pointcloud_wrapper(buf, timestamp, 0.0, _count_hint=len(points))
+    arr = _np.frombuffer(data, POINT_DTYPE).copy()
+    return cwipc_pointcloud_wrapper(None, timestamp, 0.0, _host_points=arr)
 
 
 def cwipc_from_numpy_array(np_points, timestamp: int) -> cwipc_pointcloud_wrapper:
-    """Create a pointcloud from a structured numpy array (POINT_DTYPE fields)."""
-    buf = _buffer_from_numpy(np_points)
+    """Create a pointcloud from a structured numpy array (POINT_DTYPE fields).
+
+    Host-backed: the device buffer materializes lazily on first op use
+    (the input is copied, so later caller mutations do not leak in)."""
+    if np_points.dtype != POINT_DTYPE:
+        np_points = np_points.astype(POINT_DTYPE)
     return cwipc_pointcloud_wrapper(
-        buf, timestamp, 0.0, _count_hint=int(np_points.shape[0])
+        None, timestamp, 0.0, _host_points=np_points.copy()
     )
 
 

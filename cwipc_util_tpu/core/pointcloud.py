@@ -165,16 +165,28 @@ class cwipc_pointcloud_wrapper:
         timestamp: int = 0,
         cellsize: float = 0.0,
         _count_hint: Optional[int] = None,
+        _host_points: Optional[np.ndarray] = None,
     ):
+        """``_host_points`` (a POINT_DTYPE structured array) makes the
+        wrapper HOST-backed: the device buffer materializes lazily on
+        first ``_access_buffer``.  Host-only flows — decode -> view,
+        file -> serialize — then never touch the accelerator (on the
+        relay topology an eager upload costs ~50 ms per 1M-point cloud
+        each way).  The array doubles as the host accessor cache and
+        must not be mutated by the caller afterwards (same contract as
+        the cached ``get_numpy_array`` result)."""
         self._buffer = buffer
         self._timestamp = int(timestamp)
         self._cellsize = float(cellsize)
         self._metadata: Optional[cwipc_metadata] = None
         self._points: Optional[ctypes.Array[cwipc_point]] = None
         self._bytes: Optional[bytearray] = None
-        self._np_cache: Optional[np.ndarray] = None
+        self._lazy_host: Optional[np.ndarray] = _host_points
+        self._np_cache: Optional[np.ndarray] = _host_points
+        if _host_points is not None and _count_hint is None:
+            _count_hint = int(_host_points.shape[0])
         self._count_cache: Optional[int] = _count_hint
-        self._owned = buffer is not None
+        self._owned = buffer is not None or _host_points is not None
         if self._owned:
             _track_alloc()
 
@@ -191,6 +203,7 @@ class cwipc_pointcloud_wrapper:
             self._owned = False
             _track_dealloc()
         self._buffer = None
+        self._lazy_host = None
 
     def detach(self) -> "cwipc_pointcloud_wrapper":
         """Hand ownership to a new wrapper; self no longer frees the data."""
@@ -198,25 +211,28 @@ class cwipc_pointcloud_wrapper:
         rv.__dict__.update(self.__dict__)
         self._owned = False
         self._buffer = None
+        self._lazy_host = None
         return rv
 
     def clone(self) -> "cwipc_pointcloud_wrapper":
-        """Shallow copy: shares the (immutable) device buffer, new identity."""
+        """Shallow copy: shares the (immutable) buffer(s), new identity."""
         self._assert_alive()
         rv = cwipc_pointcloud_wrapper(
-            self._buffer, self._timestamp, self._cellsize, _count_hint=self._count_cache
+            self._buffer, self._timestamp, self._cellsize,
+            _count_hint=self._count_cache, _host_points=self._lazy_host,
         )
         return rv
 
     def _assert_alive(self) -> None:
-        if self._buffer is None:
+        if self._buffer is None and self._lazy_host is None:
             raise CwipcError("cwipc: pointcloud already freed")
 
     # -- accessors ---------------------------------------------------------
 
     def _access_buffer(self) -> PointBuffer:
         self._assert_alive()
-        assert self._buffer is not None
+        if self._buffer is None:
+            self._buffer = buffer_from_numpy(self._lazy_host)
         return self._buffer
 
     def timestamp(self) -> int:
@@ -232,7 +248,7 @@ class cwipc_pointcloud_wrapper:
         "adjacent point" scan never advances its prev iterator, so the guess
         is the minimum distance from any point to the FIRST point.
         """
-        if cellsize < 0 and self._buffer is not None:
+        if cellsize < 0 and (self._buffer is not None or self._lazy_host is not None):
             arr = self._numpy()
             if arr.shape[0] >= 2:
                 xyz = np.stack([arr["x"], arr["y"], arr["z"]], axis=-1)

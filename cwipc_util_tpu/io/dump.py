@@ -16,7 +16,9 @@ from __future__ import annotations
 
 import struct
 
-from ..core.buffers import POINT_SIZE, buffer_from_bytes
+import numpy as np
+
+from ..core.buffers import POINT_DTYPE, POINT_SIZE
 from ..core.errors import CwipcError
 from ..core.pointcloud import cwipc_pointcloud_wrapper
 
@@ -55,8 +57,11 @@ def pointcloud_from_packet(packet: bytes) -> cwipc_pointcloud_wrapper:
     data = bytes(packet[_HDR_SIZE:])
     if len(data) != size or size % POINT_SIZE != 0:
         raise CwipcError("cwipc_from_packet: inconsistent size")
-    buf = buffer_from_bytes(data)
-    return cwipc_pointcloud_wrapper(buf, timestamp, cellsize, _count_hint=size // POINT_SIZE)
+    # host-backed: the raw packet bytes ARE the POINT_DTYPE layout
+    pts = np.frombuffer(data, dtype=POINT_DTYPE).copy()
+    return cwipc_pointcloud_wrapper(
+        None, timestamp, cellsize, _host_points=pts
+    )
 
 
 def write_debugdump(filename: str, pc: cwipc_pointcloud_wrapper) -> int:

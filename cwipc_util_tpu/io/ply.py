@@ -20,7 +20,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..core.buffers import buffer_from_arrays
+from ..core.buffers import POINT_DTYPE
 from ..core.errors import CwipcError
 from ..core.pointcloud import cwipc_pointcloud_wrapper
 
@@ -145,14 +145,17 @@ def read_ply(filename: str, timestamp: int) -> cwipc_pointcloud_wrapper:
     elif "mask" in names:
         tile = arr["mask"].astype(np.uint8)
 
-    buf = buffer_from_arrays(
-        xyz,
-        np.asarray(r, np.uint8),
-        np.asarray(g, np.uint8),
-        np.asarray(b, np.uint8),
-        tile,
-    )
-    return cwipc_pointcloud_wrapper(buf, timestamp, 0.0, _count_hint=n)
+    # host-backed cloud: the device buffer materializes only when an op
+    # needs it, so file -> serialize/view pipelines stay off the chip
+    pts = np.empty(n, POINT_DTYPE)
+    pts["x"] = xyz[:, 0]
+    pts["y"] = xyz[:, 1]
+    pts["z"] = xyz[:, 2]
+    pts["r"] = np.asarray(r, np.uint8)
+    pts["g"] = np.asarray(g, np.uint8)
+    pts["b"] = np.asarray(b, np.uint8)
+    pts["tile"] = tile
+    return cwipc_pointcloud_wrapper(None, timestamp, 0.0, _host_points=pts)
 
 
 def write_ply(filename: str, pc: cwipc_pointcloud_wrapper, flags: int = 0) -> int:
