@@ -28,6 +28,25 @@ def _verify_pointcloud(pc, tiled=False):
         assert points[0].tile != points[-1].tile
 
 
+class TestModulePathParity:
+    """Import-path parity with the reference package layout."""
+
+    def test_hardware_plugin_modules_raise_like_reference(self):
+        # reference: cwipc/kinect.py is `from _cwipc_kinect import *`,
+        # which ImportErrors when the plugin repo is not installed
+        import importlib
+
+        for mod in ("kinect", "orbbec", "realsense2"):
+            with pytest.raises(ImportError):
+                importlib.import_module(f"cwipc_util_tpu.{mod}")
+
+    def test_multicoarse_alias(self):
+        from cwipc_util_tpu.registration import multicoarse
+
+        assert multicoarse.MultiCameraCoarseAruco is not None
+        assert multicoarse.MultiCameraCoarse is not None
+
+
 class TestPointStructs:
     def test_point(self):
         p = cwipc.cwipc_point(1, 2, 3, 0x10, 0x20, 0x30, 0)
