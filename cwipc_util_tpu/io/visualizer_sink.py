@@ -117,14 +117,32 @@ class cwipc_window_sink:
         return True
 
     def _render(self) -> None:
-        img = render_points(
-            self._points_xyz,
-            self._points_rgb,
-            self.width,
-            self.height,
-            self.camera,
-            point_size=self.point_size,
-        )
+        # OpenGL path when an EGL context initializes (the reference's
+        # viewer is fixed-function GL, src/cwipc_window.cpp:74-134);
+        # numpy splat fallback otherwise, identical camera/pinhole
+        # contract (parity within half-pixel rounding: tests/test_gl.py)
+        from .gl_render import gl_available
+
+        if gl_available():
+            from .gl_render import render_points_gl
+
+            img = render_points_gl(
+                self._points_xyz,
+                self._points_rgb,
+                self.width,
+                self.height,
+                self.camera,
+                point_size=self.point_size,
+            )
+        else:
+            img = render_points(
+                self._points_xyz,
+                self._points_rgb,
+                self.width,
+                self.height,
+                self.camera,
+                point_size=self.point_size,
+            )
         if self._skeletons and self.render_skeleton:
             from .render import fuse_skeletons, render_skeleton_overlay
 
