@@ -204,6 +204,11 @@ class cwipc_pointcloud_wrapper:
             _track_dealloc()
         self._buffer = None
         self._lazy_host = None
+        # freed means freed: host caches go too, so accessors raise like
+        # the reference's use-after-free instead of serving stale data
+        self._np_cache = None
+        self._points = None
+        self._bytes = None
 
     def detach(self) -> "cwipc_pointcloud_wrapper":
         """Hand ownership to a new wrapper; self no longer frees the data."""
@@ -212,6 +217,9 @@ class cwipc_pointcloud_wrapper:
         self._owned = False
         self._buffer = None
         self._lazy_host = None
+        self._np_cache = None
+        self._points = None
+        self._bytes = None
         return rv
 
     def clone(self) -> "cwipc_pointcloud_wrapper":

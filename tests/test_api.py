@@ -40,6 +40,37 @@ class TestModulePathParity:
             with pytest.raises(ImportError):
                 importlib.import_module(f"cwipc_util_tpu.{mod}")
 
+    def test_lazy_host_ownership_protocol(self):
+        """Host-backed clouds (file/decode/from_points path) follow the
+        same ownership protocol as device-backed ones: the leak oracle
+        counts them, clone/detach transfer correctly, ops materialize
+        the device buffer on demand, and freed access raises."""
+        import cwipc_util_tpu as cwipc
+
+        base = cwipc.cwipc_dangling_allocations(False)
+        pc = cwipc.cwipc_from_points(
+            [(0.0, 0.0, 0.0, 1, 2, 3, 1), (1.0, 0.0, 0.0, 4, 5, 6, 1)], 5
+        )
+        assert cwipc.cwipc_dangling_allocations(False) == base + 1
+        c = pc.clone()
+        assert cwipc.cwipc_dangling_allocations(False) == base + 2
+        d = c.detach()
+        assert cwipc.cwipc_dangling_allocations(False) == base + 2
+        # detached original is dead: count() warn-returns 0 (reference
+        # freed-object semantics), point access raises
+        assert c.count() == 0
+        with pytest.raises(cwipc.CwipcError):
+            c._access_buffer()
+        # an op materializes the device buffer lazily
+        down = cwipc.cwipc_downsample(d, 10.0)
+        assert down.count() == 1
+        assert d.count() == 2  # host view still intact
+        for x in (pc, d, down):
+            x.free()
+        with pytest.raises(cwipc.CwipcError):
+            d.get_points()
+        assert cwipc.cwipc_dangling_allocations(False) == base
+
     def test_multicoarse_alias(self):
         from cwipc_util_tpu.registration import multicoarse
 

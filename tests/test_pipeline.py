@@ -102,6 +102,51 @@ class TestCodec:
         d = np.sqrt(((b[:, None, :] - a[None, :, :]) ** 2).sum(-1)).min(axis=1)
         assert (d <= step7).all()
 
+    def test_encodergroup_fuzz_random_quality_sets(self, small_pc):
+        """Random quality/tile member sets: the deepest member of every
+        (tile, exp) group stays bit-identical to a solo encode and every
+        derived stream decodes within its own quantization bound."""
+        rng = np.random.default_rng(11)
+        a = small_pc.get_numpy_matrix(onlyGeometry=True)
+        extent = (a.max(axis=0) - a.min(axis=0)).max()
+        for trial in range(4):
+            obs = sorted(
+                rng.choice(np.arange(5, 11), size=rng.integers(2, 5), replace=False),
+                reverse=True,
+            )
+            tile = int(rng.choice([0, 1, 2]))
+            group = codec.cwipc_new_encodergroup()
+            encs = [
+                group.addencoder(
+                    params=codec.cwipc_encoder_params(
+                        octree_bits=int(ob), tilenumber=tile
+                    )
+                )
+                for ob in obs
+            ]
+            group.feed(small_pc)
+            blobs = [e.get_bytes() for e in encs]
+            solo = codec.cwipc_new_encoder(
+                params=codec.cwipc_encoder_params(
+                    octree_bits=int(obs[0]), tilenumber=tile
+                )
+            )
+            solo.feed(small_pc)
+            assert blobs[0] == solo.get_bytes(), (trial, obs, tile)
+            dec = codec.cwipc_new_decoder()
+            for ob, blob in zip(obs, blobs):
+                dec.feed(blob)
+                out = dec.get()
+                assert out.count() > 0, (trial, obs, tile)
+                b = out.get_numpy_matrix(onlyGeometry=True)
+                step = extent / (1 << int(ob))
+                d = np.sqrt(
+                    ((b[:100, None, :] - a[None, :, :]) ** 2).sum(-1)
+                ).min(axis=1)
+                assert (d <= step).all(), (trial, int(ob), tile)
+                if tile:
+                    assert (out.get_numpy_array()["tile"] == tile).all()
+
     def test_encodergroup_multiquality_tiled(self, small_pc):
         """Tiles x qualities: members group per tile; each derived
         stream keeps its tile filter."""
