@@ -69,7 +69,6 @@ from .version import __version__
 
 import numpy as _np
 
-from .core.buffers import buffer_from_numpy as _buffer_from_numpy
 
 
 def cwipc_get_version() -> str:
@@ -93,9 +92,11 @@ def cwipc_from_numpy_array(np_points, timestamp: int) -> cwipc_pointcloud_wrappe
     Host-backed: the device buffer materializes lazily on first op use
     (the input is copied, so later caller mutations do not leak in)."""
     if np_points.dtype != POINT_DTYPE:
-        np_points = np_points.astype(POINT_DTYPE)
+        np_points = np_points.astype(POINT_DTYPE)  # already a fresh copy
+    else:
+        np_points = np_points.copy()
     return cwipc_pointcloud_wrapper(
-        None, timestamp, 0.0, _host_points=np_points.copy()
+        None, timestamp, 0.0, _host_points=np_points
     )
 
 

@@ -112,12 +112,19 @@ class _EGLState:
         self.rbo_depth = ctypes.c_uint(0)
 
     def make_current(self) -> None:
-        """Contexts are thread-affine; rebinding per frame keeps the
-        renderer correct if the caller's render loop changes threads."""
+        """Contexts are thread-affine; render_points_gl binds on entry
+        and releases on exit (release_current), so render loops may
+        migrate threads between frames — a context still current on
+        another thread would make this bind fail with EGL_BAD_ACCESS."""
         if not self.egl.eglMakeCurrent(
             self.dpy, ctypes.c_void_p(0), ctypes.c_void_p(0), self.ctx
         ):
             raise RuntimeError("eglMakeCurrent failed")
+
+    def release_current(self) -> None:
+        self.egl.eglMakeCurrent(
+            self.dpy, ctypes.c_void_p(0), ctypes.c_void_p(0), ctypes.c_void_p(0)
+        )
 
     def _declare_gl(self) -> None:
         gl = self.gl
@@ -210,6 +217,15 @@ def render_points_gl(
     st = _state
     gl = st.gl
     st.make_current()
+    try:
+        return _render_bound(st, gl, xyz, rgb, width, height, camera,
+                             point_size, background)
+    finally:
+        st.release_current()
+
+
+def _render_bound(st, gl, xyz, rgb, width, height, camera, point_size,
+                  background) -> np.ndarray:
     st.ensure_fbo(width, height)
     gl.glBindFramebuffer(_GL_FRAMEBUFFER, st.fbo)
     gl.glViewport(0, 0, width, height)

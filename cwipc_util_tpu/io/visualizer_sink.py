@@ -123,18 +123,24 @@ class cwipc_window_sink:
         # contract (parity within half-pixel rounding: tests/test_gl.py)
         from .gl_render import gl_available
 
-        if gl_available():
+        img = None
+        if gl_available() and not getattr(self, "_gl_broken", False):
             from .gl_render import render_points_gl
 
-            img = render_points_gl(
-                self._points_xyz,
-                self._points_rgb,
-                self.width,
-                self.height,
-                self.camera,
-                point_size=self.point_size,
-            )
-        else:
+            try:
+                img = render_points_gl(
+                    self._points_xyz,
+                    self._points_rgb,
+                    self.width,
+                    self.height,
+                    self.camera,
+                    point_size=self.point_size,
+                )
+            except Exception:
+                # a runtime GL failure must not kill the viewer loop:
+                # degrade permanently to the splat renderer
+                self._gl_broken = True
+        if img is None:
             img = render_points(
                 self._points_xyz,
                 self._points_rgb,

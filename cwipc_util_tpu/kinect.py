@@ -16,6 +16,6 @@ if "kinect" not in cwipc_capturer_registry():
 
 
 def cwipc_kinect(configFilename=None):
-    from .models.capturer import cwipc_capturer
+    from .models.capturer import cwipc_capturer_of_type
 
-    return cwipc_capturer(configFilename)
+    return cwipc_capturer_of_type("kinect", configFilename)

@@ -134,27 +134,48 @@ def cwipc_capturer(conffile: Optional[str] = None):
         name = present[0][0]
         config: Dict[str, Any] = {"type": name}
     else:
-        if conffile.strip().startswith("{"):
-            try:
-                config = json.loads(conffile)
-            except json.JSONDecodeError as e:
-                raise CwipcError(f"cwipc_capturer: invalid inline JSON: {e}") from e
-        elif conffile.endswith(".json"):
-            if not os.path.exists(conffile):
-                raise CwipcError(f"cwipc_capturer: no such config file: {conffile}")
-            with open(conffile) as fp:
-                try:
-                    config = json.load(fp)
-                except json.JSONDecodeError as e:
-                    raise CwipcError(f"cwipc_capturer: invalid JSON in {conffile}: {e}") from e
-            # per-camera relative filenames resolve against the config's dir
-            config.setdefault("_config_dir", os.path.dirname(os.path.abspath(conffile)))
-        else:
-            raise CwipcError(
-                f"cwipc_capturer: config must be 'auto', inline JSON or a .json file: {conffile}"
-            )
+        config = _load_capturer_config(conffile)
         name = config.get("type", "")
+    return _dispatch_capturer(name, config)
+
+
+def _load_capturer_config(conffile: str) -> Dict[str, Any]:
+    if conffile.strip().startswith("{"):
+        try:
+            return json.loads(conffile)
+        except json.JSONDecodeError as e:
+            raise CwipcError(f"cwipc_capturer: invalid inline JSON: {e}") from e
+    if conffile.endswith(".json"):
+        if not os.path.exists(conffile):
+            raise CwipcError(f"cwipc_capturer: no such config file: {conffile}")
+        with open(conffile) as fp:
+            try:
+                config = json.load(fp)
+            except json.JSONDecodeError as e:
+                raise CwipcError(f"cwipc_capturer: invalid JSON in {conffile}: {e}") from e
+        # per-camera relative filenames resolve against the config's dir
+        config.setdefault("_config_dir", os.path.dirname(os.path.abspath(conffile)))
+        return config
+    raise CwipcError(
+        f"cwipc_capturer: config must be 'auto', inline JSON or a .json file: {conffile}"
+    )
+
+
+def _dispatch_capturer(name: str, config: Dict[str, Any]):
     for reg_name, _count, factory in _capturers:
         if reg_name == name:
             return factory(config)
     raise CwipcError(f'cwipc_capturer: unknown capturer type "{name}"')
+
+
+def cwipc_capturer_of_type(name: str, conffile: Optional[str] = None):
+    """Create a capturer of a SPECIFIC registered type — the typed
+    plugin factories (cwipc_kinect()/cwipc_realsense2()/...) use this so
+    they open THEIR camera kind regardless of what else is attached
+    (the reference's per-plugin factory never auto-probes)."""
+    if conffile is None or conffile == "auto":
+        config: Dict[str, Any] = {"type": name}
+    else:
+        config = _load_capturer_config(conffile)
+        config["type"] = name
+    return _dispatch_capturer(name, config)

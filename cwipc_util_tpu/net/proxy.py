@@ -15,8 +15,10 @@ import struct
 import threading
 from typing import Optional
 
+import numpy as np
+
 from ..abstract import cwipc_activesource_abstract
-from ..core.buffers import POINT_SIZE, buffer_from_bytes
+from ..core.buffers import POINT_DTYPE, POINT_SIZE
 from ..core.errors import CwipcError
 from ..core.pointcloud import cwipc_pointcloud_wrapper
 
@@ -121,9 +123,12 @@ class _ProxySource(threading.Thread, cwipc_activesource_abstract):
                 payload = self._recv_all(conn, dataCount)
                 if payload is None or dataCount % POINT_SIZE != 0:
                     break
-                buf = buffer_from_bytes(payload)
+                # host-backed: the packet bytes ARE the POINT_DTYPE
+                # layout; the device buffer materializes only if an op
+                # needs it (a proxy -> view pipeline stays off the chip)
+                pts = np.frombuffer(payload, dtype=POINT_DTYPE).copy()
                 pc = cwipc_pointcloud_wrapper(
-                    buf, timestamp, cellsize, _count_hint=dataCount // POINT_SIZE
+                    None, timestamp, cellsize, _host_points=pts
                 )
                 with self._cond:
                     # latest-wins: replace an unconsumed cloud

@@ -16,6 +16,6 @@ if "orbbec" not in cwipc_capturer_registry():
 
 
 def cwipc_orbbec(configFilename=None):
-    from .models.capturer import cwipc_capturer
+    from .models.capturer import cwipc_capturer_of_type
 
-    return cwipc_capturer(configFilename)
+    return cwipc_capturer_of_type("orbbec", configFilename)

@@ -16,6 +16,6 @@ if "realsense2" not in cwipc_capturer_registry():
 
 
 def cwipc_realsense2(configFilename=None):
-    from .models.capturer import cwipc_capturer
+    from .models.capturer import cwipc_capturer_of_type
 
-    return cwipc_capturer(configFilename)
+    return cwipc_capturer_of_type("realsense2", configFilename)
