@@ -90,7 +90,7 @@ def _octree_unpack(stream: np.ndarray, depth: int, n: int) -> np.ndarray:
     """Inverse of _octree_pack: sorted unique keys from the byte stream."""
     cur = np.zeros(1, np.int64)
     pos = 0
-    for _ in range(depth):
+    for level in range(depth):
         nn = len(cur)
         if pos + nn > len(stream):
             raise CwipcError("cwipc_decoder: truncated octree stream")
@@ -98,13 +98,20 @@ def _octree_unpack(stream: np.ndarray, depth: int, n: int) -> np.ndarray:
         pos += nn
         counts = _OCC_COUNT[masks]
         total = int(counts.sum())
-        parent_rep = np.repeat(cur << 3, counts)
-        pack_rep = np.repeat(_OCC_PACK[masks], counts)
         # rank of each child within its node: position minus its node's start
         starts = np.repeat(np.cumsum(counts) - counts, counts)
         rank = np.arange(total, dtype=np.int64) - starts
-        child = (pack_rep >> (rank << 2)) & 7
-        cur = parent_rep | child
+        if level <= 9:
+            # parent keys fit above the 32-bit nibble pack (parents have
+            # <= 3*level+3 <= 30 bits here): ONE repeat carries both
+            combo = np.repeat((cur << 35) | _OCC_PACK[masks], counts)
+            child = (combo >> (rank << 2)) & 7
+            cur = (combo >> 32) | child
+        else:  # deep wide-key levels: parents would overflow the combo
+            parent_rep = np.repeat(cur << 3, counts)
+            pack_rep = np.repeat(_OCC_PACK[masks], counts)
+            child = (pack_rep >> (rank << 2)) & 7
+            cur = parent_rep | child
     if pos != len(stream) or len(cur) != n:
         raise CwipcError("cwipc_decoder: inconsistent octree stream")
     return cur
