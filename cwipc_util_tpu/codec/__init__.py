@@ -148,7 +148,9 @@ def _jpeg_unpack(blob: bytes, n: int) -> np.ndarray:
     rgb = img.reshape(-1, 3)[:, ::-1]
     if rgb.shape[0] < n:
         raise CwipcError("cwipc_decoder: JPEG color plane too small")
-    return np.ascontiguousarray(rgb[:n])
+    # a (negative-strided) view: consumers read per-column, so the
+    # BGR->RGB materialization copy is pure waste
+    return rgb[:n]
 
 
 def _spread1by4_64(x: np.ndarray) -> np.ndarray:
