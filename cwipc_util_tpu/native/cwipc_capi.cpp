@@ -670,6 +670,7 @@ static std::vector<float> mean_knn_distances(const std::vector<cwipc_point> &pts
         const auto &p = pts[i];
         d2s.clear();
         double kth = std::numeric_limits<double>::infinity();
+        bool certified = false;
         for (int R = 1; R <= max_R; R++) {
             /* shell: cells with Chebyshev distance exactly R (R==1 also
              * includes the center cell) */
@@ -692,7 +693,21 @@ static std::vector<float> mean_knn_distances(const std::vector<cwipc_point> &pts
                 std::nth_element(d2s.begin(), d2s.begin() + (k - 1), d2s.end());
                 kth = sqrt((double)d2s[k - 1]);
                 /* searched shells cover every point within R*cell of p */
-                if (kth <= (double)R * cell) break;
+                if (kth <= (double)R * cell) { certified = true; break; }
+            }
+        }
+        if (!certified) {
+            /* shells exhausted without the coverage guarantee (isolated
+             * point, or a k-th neighbor beyond max_R shells): brute
+             * force for exactness.  A deficit divided by k would bias
+             * md toward 0 and KEEP exactly the flying pixels this
+             * filter exists to remove; an uncertified k-th from the
+             * shell subset could overestimate and remove good points. */
+            d2s.clear();
+            for (uint32_t j = 0; j < n; j++) {
+                if (j == i) continue;
+                float ddx = p.x - pts[j].x, ddy = p.y - pts[j].y, ddz = p.z - pts[j].z;
+                d2s.push_back(ddx * ddx + ddy * ddy + ddz * ddz);
             }
         }
         int kk = std::min<int>(k, (int)d2s.size());

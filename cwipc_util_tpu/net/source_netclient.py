@@ -101,15 +101,27 @@ class _NetClientSource(threading.Thread, cwipc_activerawsource_abstract):
         and frames older than the last delivered timestamp are dropped at
         the seam, so a switch is an ordered stream event with no gap.
         """
+        # Dial OUTSIDE the lock: the reader takes _switch_lock every loop
+        # iteration, so a blocking connect under the lock would stall the
+        # live stream for up to the 5 s dial timeout — exactly the dark
+        # window make-before-break exists to remove.
         with self._switch_lock:
             if port == self.port and self._pending_sock is None:
                 return
-            try:
-                new_sock = socket.create_connection((self.host, port), timeout=5)
-                new_sock.settimeout(None)
-            except OSError:
-                if self.verbose:
-                    print(f"netclient: switch to port {port} refused; keeping {self.port}")
+        try:
+            new_sock = socket.create_connection((self.host, port), timeout=5)
+            new_sock.settimeout(None)
+        except OSError:
+            if self.verbose:
+                print(f"netclient: switch to port {port} refused; keeping {self.port}")
+            return
+        with self._switch_lock:
+            if port == self.port and self._pending_sock is None:
+                # a concurrent cutover landed us on this port already
+                try:
+                    new_sock.close()
+                except OSError:
+                    pass
                 return
             if self._pending_sock is not None:
                 # a switch superseding an un-cut-over switch: replace it

@@ -126,14 +126,19 @@ def _cols_grid_params(xyz: np.ndarray, cell: float, budget: int = 8_000_000):
     Extents are PERCENTILE-clipped so a single far outlier cannot explode
     the dense plane — out-of-grid points are reported uncovered by the
     kernel and fixed up exactly by brute force.  Returns
-    (perm, gy, gz, cap) or None when no axis fits the slot budget."""
+    (perm, gy, gz, cap, origin_cells) or None when no axis fits the slot
+    budget; origin_cells (absolute cell coords, UNPERMUTED [3]) must be
+    passed to the kernel so the grid anchors at the clipped core — a
+    global-min rebase would let one far-negative outlier shift the whole
+    core out of the grid (every point uncovered -> O(N^2) fixup)."""
     lo = np.percentile(xyz, 0.5, axis=0)
     hi = np.percentile(xyz, 99.5, axis=0)
     core = xyz[np.all((xyz >= lo) & (xyz <= hi), axis=1)]
     if core.shape[0] < 2:
         core = xyz
     v = np.floor(core / cell).astype(np.int64)
-    v -= v.min(axis=0)
+    origin_cells = v.min(axis=0)
+    v -= origin_cells
     ext = v.max(axis=0) + 1
 
     def bucket(x, step=32):
@@ -155,7 +160,7 @@ def _cols_grid_params(xyz: np.ndarray, cell: float, budget: int = 8_000_000):
     cost, perm, gy, gz, cap = best
     if cost > budget:
         return None
-    return perm, gy, gz, cap
+    return perm, gy, gz, cap, origin_cells
 
 
 def _remove_outliers_single(
@@ -191,10 +196,11 @@ def _remove_outliers_single(
         cell = max(1.0, float(np.sqrt(k_eff / np.pi)) / 3.0) * spacing
         params = _cols_grid_params(xyz_host, cell)
     if params is not None:
-        perm, gy, gz, cap = params
+        perm, gy, gz, cap, origin_cells = params
         xyz_perm = buf.xyz[:, list(perm)]
         md, unc = cols_knn_mean_distance(
-            xyz_perm, buf.count, jnp.float32(cell), k_eff, gy=gy, gz=gz, cap=cap
+            xyz_perm, buf.count, jnp.float32(cell), k_eff, gy=gy, gz=gz, cap=cap,
+            vmin_override=jnp.asarray(origin_cells[list(perm)], jnp.int32),
         )
         md_fix = bruteforce_md_subset(xyz_perm, buf.count, unc, k_eff)
         md = jnp.where(unc, md_fix, md)

@@ -65,9 +65,17 @@ def _k_smallest_sum(d2: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     return dist.sum(axis=-1), kth
 
 
-def _cols_build(xyz, count, cell, *, gy, gz, cap, chunk):
+def _cols_build(xyz, count, cell, *, gy, gz, cap, chunk, vmin_override=None):
     """Phase 1: slot-grid construction.  Returns the padded plane
-    channel arrays plus (sidx-fill, valid) for the finish phase."""
+    channel arrays plus (sidx-fill, valid) for the finish phase.
+
+    ``vmin_override`` ([3] int32, absolute cell coordinates) anchors the
+    grid explicitly — callers that size gy/gz from percentile-clipped
+    extents MUST pass the matching clipped origin, otherwise one
+    far-negative outlier rebases the grid away from the core and every
+    point lands uncovered (an O(N^2) brute-force stall).  Points below
+    the origin are out-of-grid: reported uncovered, exactly like
+    points beyond the upper extents."""
     n = xyz.shape[0]
     # the rank sort packs the column key and the x-cell into one int32
     assert gy * gz <= 1_000_000, "column plane too large for the int32 sort key"
@@ -76,9 +84,13 @@ def _cols_build(xyz, count, cell, *, gy, gz, cap, chunk):
     inv = 1.0 / jnp.asarray(cell, jnp.float32)
 
     v = jnp.floor(xyz * inv).astype(jnp.int32)
-    vmin = jnp.min(jnp.where(valid[:, None], v, _SENTINEL), axis=0)
-    vr = v - jnp.where(vmin == _SENTINEL, 0, vmin)[None, :]
-    in_grid = valid & (vr[:, 1] < gy) & (vr[:, 2] < gz)
+    if vmin_override is None:
+        vmin = jnp.min(jnp.where(valid[:, None], v, _SENTINEL), axis=0)
+        vmin = jnp.where(vmin == _SENTINEL, 0, vmin)
+    else:
+        vmin = jnp.asarray(vmin_override, jnp.int32)
+    vr = v - vmin[None, :]
+    in_grid = valid & (vr[:, 1] >= 0) & (vr[:, 1] < gy) & (vr[:, 2] >= 0) & (vr[:, 2] < gz)
     ck = jnp.where(in_grid, vr[:, 1] * gz + vr[:, 2], gy * gz)  # overflow col
 
     # rank within column by x-cell: sort by (ck, vx); rank = i - run_start
@@ -148,11 +160,17 @@ def _cols_build(xyz, count, cell, *, gy, gz, cap, chunk):
         .at[ext_addr].add(1.0)[:gyz]
         > 0
     )
-    f = drop_flag.reshape(gy, gz)
+    # separable box dilation by EXACTLY radius 2*_M per axis: each pass
+    # rolls the PRE-DILATION base (accumulating rolls of the running
+    # result would compound the radius to sum(1..2*_M) and over-mark
+    # ~18x the area, multiplying the brute-fixup cost)
+    base = drop_flag.reshape(gy, gz)
+    f = base
     for j in range(1, 2 * _M + 1):
-        f = f | jnp.roll(f, j, 0) | jnp.roll(f, -j, 0)
+        f = f | jnp.roll(base, j, 0) | jnp.roll(base, -j, 0)
+    base = f
     for j in range(1, 2 * _M + 1):
-        f = f | jnp.roll(f, j, 1) | jnp.roll(f, -j, 1)
+        f = f | jnp.roll(base, j, 1) | jnp.roll(base, -j, 1)
     drop_ring = f.reshape(gyz)
     return xs_g, ys_g, zs_g, slot_orig, valid, drop_ring
 
@@ -257,6 +275,7 @@ def cols_knn_mean_distance(
     cap: int,
     chunk: int = 256,
     voxel_unique: bool = False,
+    vmin_override: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact mean k-NN distance over the column grid.
 
@@ -273,7 +292,8 @@ def cols_knn_mean_distance(
     gyz = gy * gz
     nchunks = -(-gyz // chunk)
     xs_g, ys_g, zs_g, slot_orig, valid, drop_ring = _cols_build(
-        xyz, count, cell, gy=gy, gz=gz, cap=cap, chunk=chunk
+        xyz, count, cell, gy=gy, gz=gz, cap=cap, chunk=chunk,
+        vmin_override=vmin_override,
     )
 
     def _sel_xla(xs_g, ys_g, zs_g):
@@ -324,6 +344,7 @@ def bruteforce_md_subset(
     ~100 blocks and cost 171 ms at bench scale — the compacted form is
     one block, ~2 ms.)  Output is 0 for non-selected rows."""
     cap = xyz.shape[0]
+    block = min(block, cap)  # tiny clouds: one block covers everything
     idx = jnp.arange(cap, dtype=jnp.int32)
     valid = idx < count
     sel = sel & valid

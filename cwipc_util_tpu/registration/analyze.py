@@ -154,7 +154,11 @@ class RegistrationAnalyzer(BaseAlgorithm, AnalysisAlgorithm):
         if method == "2mode":
             measure = 2.0 * res.mode
         elif method.startswith("q="):
-            measure = float(np.percentile(finite, int(method[2:])))
+            try:
+                q = float(method[2:])  # superset of the reference's int
+            except ValueError:
+                raise ValueError(f"Unknown correspondence measure '{method}'")
+            measure = float(np.percentile(finite, q))
         else:
             known = {
                 "mean": res.mean,

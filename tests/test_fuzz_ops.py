@@ -263,6 +263,62 @@ class TestChainFuzz:
         )
         np.testing.assert_allclose(md[:n], ref[:n], rtol=1e-4, atol=2e-6)
 
+    def test_cols_clipped_origin_far_outlier(self):
+        """A grid sized from percentile-clipped extents must ANCHOR at
+        the clipped origin (vmin_override): with the default global-min
+        rebase, one far-negative outlier shifts the whole core out of
+        the grid (every point uncovered -> the O(N^2) fixup).  The
+        override keeps the core covered and the result exact."""
+        import jax.numpy as jnp
+
+        from cwipc_util_tpu.ops.cols_knn import (
+            bruteforce_md_subset,
+            cols_knn_mean_distance,
+        )
+        from cwipc_util_tpu.ops.outliers import _mean_knn_dist_bruteforce
+
+        rng = np.random.default_rng(9)
+        n = 3000
+        cell = 0.05
+        cells = rng.choice(40**3, n - 1, replace=False)
+        v = np.stack([cells // 1600, (cells // 40) % 40, cells % 40], -1)
+        xyz = ((v + rng.random((n - 1, 3))) * cell).astype(np.float32)
+        far = np.array([[-30.0, -30.0, -30.0]], np.float32)  # 600 cells away
+        full = np.zeros((4096, 3), np.float32)
+        full[: n - 1] = xyz
+        full[n - 1 : n] = far
+        k = 12
+        # origin from the core (the outlier is outside any percentile clip)
+        origin = np.floor(xyz.min(axis=0) / cell).astype(np.int32)
+        md, unc = cols_knn_mean_distance(
+            jnp.asarray(full), jnp.int32(n), jnp.float32(cell), k,
+            gy=64, gz=64, cap=64,
+            vmin_override=jnp.asarray(origin),
+        )
+        unc_np = np.asarray(unc)
+        assert unc_np[n - 1]
+        # the core stays in-grid: the uncovered rate must match the
+        # no-outlier control (ring-limited points only) — without the
+        # anchored origin the outlier rebases the grid and EVERYTHING
+        # comes back uncovered
+        ctrl = np.zeros((4096, 3), np.float32)
+        ctrl[: n - 1] = xyz
+        _, unc_ctrl = cols_knn_mean_distance(
+            jnp.asarray(ctrl), jnp.int32(n - 1), jnp.float32(cell), k,
+            gy=64, gz=64, cap=64,
+        )
+        ctrl_rate = float(np.asarray(unc_ctrl)[: n - 1].mean())
+        assert unc_np[: n - 1].mean() <= ctrl_rate + 0.05
+        md = np.asarray(md)
+        fix = np.asarray(
+            bruteforce_md_subset(jnp.asarray(full), jnp.int32(n), unc, k)
+        )
+        md = np.where(unc_np, fix, md)
+        ref = np.asarray(
+            _mean_knn_dist_bruteforce(jnp.asarray(full), jnp.int32(n), k)
+        )
+        np.testing.assert_allclose(md[:n], ref[:n], rtol=1e-4, atol=2e-6)
+
     def test_cols_exact_despite_dropped_points(self):
         """An UNDERSIZED grid (tiny cap + clipped extents) drops points;
         the drops must poison their NEIGHBORS' coverage too — a dropped

@@ -145,6 +145,43 @@ class TestNativeInterop:
         native_lib.cwipc_pointcloud_free(npc)
         native_lib.cwipc_pointcloud_free(nclean)
 
+    def test_native_remove_outliers_flying_pixel(self, native_lib):
+        """An isolated far point must be REMOVED: the shell expansion
+        runs out of shells with < k neighbors there, and the old code
+        divided the deficit by k, scoring the most-isolated point as the
+        strongest inlier (md=0).  Keep set must equal the KD-tree
+        oracle's, which removes it."""
+        from scipy.spatial import cKDTree
+
+        rng = np.random.default_rng(3)
+        n = 800
+        m = np.zeros((n, 7))
+        m[: n - 1, :3] = rng.random((n - 1, 3)) * 0.5
+        m[n - 1, :3] = (50.0, 50.0, 50.0)  # flying pixel, far outside
+        pc = cwipc.cwipc_from_numpy_matrix(m, 0)
+        k, mult = 12, 1.0
+        tree = cKDTree(m[:, :3])
+        dist, _ = tree.query(m[:, :3], k=k + 1, workers=-1)
+        md = dist[:, 1:].mean(axis=1)
+        mu = md.mean()
+        var = ((md * md).sum() - md.sum() ** 2 / n) / (n - 1)
+        keep = md <= mu + mult * np.sqrt(max(var, 0.0))
+        assert not keep[n - 1]  # the oracle removes the flying pixel
+
+        pts = bytes(pc.get_bytes())
+        err = ctypes.c_char_p()
+        buf = ctypes.create_string_buffer(pts, len(pts))
+        npc = native_lib.cwipc_from_points(
+            buf, len(pts), n, 0, ctypes.byref(err), cwipc.CWIPC_API_VERSION
+        )
+        nclean = native_lib.cwipc_remove_outliers(
+            npc, k, ctypes.c_float(mult), False
+        )
+        got = native_lib.cwipc_pointcloud_count(nclean)
+        assert got == int(keep.sum()), (got, int(keep.sum()))
+        native_lib.cwipc_pointcloud_free(npc)
+        native_lib.cwipc_pointcloud_free(nclean)
+
     def test_native_downsample_matches_python(self, native_lib):
         """The native hash-grid downsample and the TPU kernel agree on the
         voxel set (order-independent)."""
