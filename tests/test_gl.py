@@ -64,6 +64,24 @@ class TestGLRenderer:
         assert img.shape == (48, 64, 3)
         assert (img == (10, 20, 30)).all()
 
+    def test_runtime_gl_failure_degrades_to_splat(self, monkeypatch):
+        """A GL failure mid-run must not kill the viewer loop: the sink
+        falls back to the numpy splat permanently."""
+        import cwipc_util_tpu as cwipc
+        from cwipc_util_tpu.io import gl_render
+        from cwipc_util_tpu.io.visualizer_sink import cwipc_window_sink
+
+        def boom(*a, **kw):
+            raise RuntimeError("synthetic GL loss")
+
+        monkeypatch.setattr(gl_render, "render_points_gl", boom)
+        win = cwipc_window_sink("t2")
+        pc = cwipc.cwipc_from_points([(0.0, 1.0, 0.0, 255, 0, 0, 1)], 0)
+        assert win.feed(pc, True)
+        assert win.get_image() is not None
+        assert getattr(win, "_gl_broken", False)
+        assert win.feed(pc, True)  # stays on the splat path
+
     def test_visualizer_sink_uses_gl(self):
         """The cv2-less visualizer sink renders through the GL path and
         exposes the frame via get_image()."""
