@@ -229,3 +229,49 @@ def test_public_remove_outliers_exact_on_tpu(tpu):
     var = ((md * md).sum() - md.sum() ** 2 / len(md)) / (len(md) - 1)
     keep = md <= mu + mult * np.sqrt(max(var, 0.0))
     assert kept == int(keep.sum()), (kept, int(keep.sum()))
+
+
+def test_registration_icp_on_tpu(tpu):
+    """Fine registration on the real chip: the ICP loop's nn_search runs
+    on-chip per iteration (the full `cwipc register` flow was driven
+    end-to-end on hardware in round 3; this pins the core of it as a
+    regression).  A small known transform must be recovered."""
+    import cwipc_util_tpu as cwipc
+    from cwipc_util_tpu.registration.fine import (
+        RegistrationComputer_ICP_Point2Point,
+    )
+    from cwipc_util_tpu.registration.util import (
+        cwipc_transform,
+        transformation_compare,
+        transformation_identity,
+    )
+
+    rng = np.random.default_rng(4)
+    npts = 3000
+    # a bumpy sheet: enough structure for p2point to lock all 6 DoF
+    xy = rng.random((npts, 2)) * 0.5
+    z = 0.05 * np.sin(xy[:, 0] * 20) + 0.05 * np.cos(xy[:, 1] * 17)
+    m = np.zeros((npts, 7))
+    m[:, 0] = xy[:, 0]
+    m[:, 1] = 1.0 + z
+    m[:, 2] = xy[:, 1]
+    ref = cwipc.cwipc_from_numpy_matrix(m, 0)
+    c, s = np.cos(0.03), np.sin(0.03)
+    true_T = np.array(
+        [[c, 0, s, 0.01], [0, 1, 0, 0.005], [-s, 0, c, -0.008], [0, 0, 0, 1]]
+    )
+    moved = cwipc_transform(ref, true_T)
+
+    with jax.default_device(tpu):
+        aligner = RegistrationComputer_ICP_Point2Point()
+        aligner.max_iterations = 15
+        aligner.set_source_pointcloud(moved)
+        aligner.set_reference_pointcloud(ref)
+        aligner.set_correspondence(0.05)
+        assert aligner.run()
+        est = aligner.get_result_transformation()
+
+    residual = est @ true_T
+    dt, dr = transformation_compare(residual, transformation_identity())
+    assert dt < 0.004, f"translation residual {dt}"
+    assert dr < 0.02, f"rotation residual {dr}"
