@@ -23,8 +23,11 @@ optional per-iteration callback mirrors the tensor-ICP variant's hook
 
 from __future__ import annotations
 
+import os
+from functools import partial
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,10 +40,194 @@ DEFAULT_MAX_ITERATIONS = 30
 DEFAULT_RELATIVE_TOLERANCE = 1e-6
 
 
+# ---------------------------------------------------------------------------
+# Fused device ICP: the whole loop as ONE XLA program.
+#
+# The host loop below dispatches one NN-search program per iteration; on a
+# relay-attached TPU every dispatch costs ~33 ms, so a 30-iteration aligner
+# run pays ~1 s of pure latency.  This variant puts the loop under
+# lax.while_loop — compiler-friendly control flow, one dispatch per aligner
+# run.  f32 throughout (x64 is disabled); the solves operate on residual /
+# centered quantities, so final-pose precision is set by the last
+# iteration's small residuals rather than absolute-coordinate cancellation
+# (validated against the host-loop thresholds in tests/test_registration.py).
+# Break semantics mirror the host loop exactly: stop with the pose
+# unchanged when matches < 3, stop after applying the step when the rmse
+# stabilizes within the relative tolerance.
+# ---------------------------------------------------------------------------
+
+
+def _small_rotation_j(x):
+    """Rodrigues rotation from small-angle parameters ([3] f32)."""
+    theta = jnp.sqrt(jnp.sum(x * x))
+    k = x / jnp.maximum(theta, 1e-20)
+    K = jnp.array(
+        [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]], jnp.float32
+    )
+    K = K.at[0, 1].set(-k[2]).at[0, 2].set(k[1])
+    K = K.at[1, 0].set(k[2]).at[1, 2].set(-k[0])
+    K = K.at[2, 0].set(-k[1]).at[2, 1].set(k[0])
+    R = (
+        jnp.eye(3, dtype=jnp.float32)
+        + jnp.sin(theta) * K
+        + (1.0 - jnp.cos(theta)) * (K @ K)
+    )
+    return jnp.where(theta < 1e-12, jnp.eye(3, dtype=jnp.float32), R)
+
+
+def _delta_from_x(x):
+    T = jnp.eye(4, dtype=jnp.float32)
+    T = T.at[:3, :3].set(_small_rotation_j(x[:3]))
+    return T.at[:3, 3].set(x[3:6])
+
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@partial(jax.jit, static_argnames=("variant", "max_iters"))
+def _icp_fused(
+    src0, src_count, ref_xyz, ref_count, corr, tol,
+    ref_normals, src_normals, gicp_eps,
+    *, variant: str, max_iters: int,
+):
+    cap = src0.shape[0]
+    rcap = ref_xyz.shape[0]
+    row = jnp.arange(cap, dtype=jnp.int32)
+    I3 = jnp.eye(3, dtype=jnp.float32)
+    I6 = jnp.eye(6, dtype=jnp.float32)
+
+    def delta_p2point(src, dst, w, m, T):
+        wn = jnp.maximum(m, 1.0)
+        cs = jnp.sum(src * w[:, None], axis=0) / wn
+        cd = jnp.sum(dst * w[:, None], axis=0) / wn
+        H = jnp.matmul(
+            ((src - cs) * w[:, None]).T, dst - cd, precision=_HI
+        )
+        U, _s, Vt = jnp.linalg.svd(H)
+        d = jnp.sign(jnp.linalg.det(jnp.matmul(Vt.T, U.T, precision=_HI)))
+        D = jnp.diag(jnp.array([1.0, 1.0, 0.0], jnp.float32)) + jnp.diag(
+            jnp.array([0.0, 0.0, 1.0], jnp.float32)
+        ) * d
+        R = jnp.matmul(jnp.matmul(Vt.T, D, precision=_HI), U.T, precision=_HI)
+        t = cd - R @ cs
+        T4 = jnp.eye(4, dtype=jnp.float32)
+        return T4.at[:3, :3].set(R).at[:3, 3].set(t)
+
+    def delta_p2plane(src, dst, idx_c, w, m, T):
+        n = ref_normals[idx_c]
+        c = jnp.cross(src, n)
+        A = jnp.concatenate([c, n], axis=1)  # [cap, 6]
+        b = jnp.sum((dst - src) * n, axis=1)
+        Aw = A * w[:, None]
+        G = jnp.matmul(Aw.T, A, precision=_HI)
+        g = jnp.matmul(Aw.T, b, precision=_HI)
+        # tiny Tikhonov term stands in for lstsq's min-norm behavior on
+        # (near-)degenerate scenes; well-conditioned solves are unchanged
+        G = G + I6 * (1e-8 * jnp.maximum(jnp.trace(G) / 6.0, 1.0))
+        return _delta_from_x(jnp.linalg.solve(G, g))
+
+    def delta_gicp(src, dst, idx_c, w, m, T):
+        eps = gicp_eps
+        n_d = ref_normals[idx_c]
+        n_s = src_normals @ T[:3, :3].T
+
+        def disc(nrm):
+            nn = nrm[:, :, None] * nrm[:, None, :]
+            okn = jnp.sum(nrm * nrm, axis=1) > 0.5
+            return jnp.where(okn[:, None, None], I3[None] - (1.0 - eps) * nn, I3[None])
+
+        # closed-form batched 3x3 inverse: jnp.linalg.inv lowers batched
+        # small-matrix LU catastrophically on TPU (measured: it made the
+        # fused loop slower than the per-iteration host loop)
+        C = disc(n_d) + disc(n_s)
+        a, b, c = C[:, 0, 0], C[:, 0, 1], C[:, 0, 2]
+        d, e, f = C[:, 1, 0], C[:, 1, 1], C[:, 1, 2]
+        g, h, i = C[:, 2, 0], C[:, 2, 1], C[:, 2, 2]
+        co00 = e * i - f * h
+        co01 = c * h - b * i
+        co02 = b * f - c * e
+        co10 = f * g - d * i
+        co11 = a * i - c * g
+        co12 = c * d - a * f
+        co20 = d * h - e * g
+        co21 = b * g - a * h
+        co22 = a * e - b * d
+        det = a * co00 + b * co10 + c * co20
+        inv_det = w / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+        M = jnp.stack(
+            [
+                jnp.stack([co00, co01, co02], axis=1),
+                jnp.stack([co10, co11, co12], axis=1),
+                jnp.stack([co20, co21, co22], axis=1),
+            ],
+            axis=1,
+        ) * inv_det[:, None, None]
+
+        def inner(_i, carry):
+            Td = carry
+            cur = src @ Td[:3, :3].T + Td[:3, 3]
+            r = dst - cur
+            Z = jnp.zeros((cap,), jnp.float32)
+            S = jnp.stack(
+                [
+                    jnp.stack([Z, -cur[:, 2], cur[:, 1]], axis=1),
+                    jnp.stack([cur[:, 2], Z, -cur[:, 0]], axis=1),
+                    jnp.stack([-cur[:, 1], cur[:, 0], Z], axis=1),
+                ],
+                axis=1,
+            )  # [cap, 3, 3]
+            J = jnp.concatenate(
+                [-S, jnp.broadcast_to(I3, (cap, 3, 3))], axis=2
+            )  # [cap, 3, 6]
+            JtM = jnp.einsum("mij,mik->mjk", J, M, precision=_HI)  # [cap,6,3]
+            A6 = jnp.einsum("mji,mjk->ik", JtM.transpose(0, 2, 1), J, precision=_HI)
+            b6 = jnp.einsum("mjk,mk->j", JtM, r, precision=_HI)
+            A6 = A6 + I6 * (1e-9 * jnp.maximum(jnp.trace(A6) / 6.0, 1.0))
+            x = jnp.linalg.solve(A6, b6)
+            return _delta_from_x(x) @ Td
+
+        return jax.lax.fori_loop(0, 4, inner, jnp.eye(4, dtype=jnp.float32))
+
+    def cond(carry):
+        _T, _prev, it, done = carry
+        return (it < max_iters) & jnp.logical_not(done)
+
+    def body(carry):
+        T, prev_err, it, _done = carry
+        src = src0 @ T[:3, :3].T + T[:3, 3]
+        dist, idx = nn_search(src, src_count, ref_xyz, ref_count, corr)
+        valid = jnp.isfinite(dist) & (row < src_count)
+        w = valid.astype(jnp.float32)
+        m = jnp.sum(w)
+        err = jnp.sqrt(
+            jnp.sum(jnp.where(valid, dist * dist, 0.0)) / jnp.maximum(m, 1.0)
+        )
+        idx_c = jnp.clip(idx, 0, rcap - 1)
+        dst = ref_xyz[idx_c]
+        if variant == "p2point":
+            delta = delta_p2point(src, dst, w, m, T)
+        elif variant == "p2plane":
+            delta = delta_p2plane(src, dst, idx_c, w, m, T)
+        else:
+            delta = delta_gicp(src, dst, idx_c, w, m, T)
+        too_few = m < 3.0
+        delta = jnp.where(too_few, jnp.eye(4, dtype=jnp.float32), delta)
+        T2 = delta @ T
+        conv = jnp.abs(prev_err - err) < tol * jnp.maximum(prev_err, 1e-12)
+        return (T2, err, it + 1, too_few | conv)
+
+    T0 = jnp.eye(4, dtype=jnp.float32)
+    T, _e, _i, _d = jax.lax.while_loop(
+        cond, body, (T0, jnp.float32(jnp.inf), jnp.int32(0), jnp.bool_(False))
+    )
+    return T
+
+
 class RegistrationComputer(BaseAlgorithm, AlignmentAlgorithm):
     """Base class for the pairwise aligners."""
 
     max_iterations = DEFAULT_MAX_ITERATIONS
+    _fused_variant: Optional[str] = None  # set by subclasses that fuse
 
     def __init__(self) -> None:
         BaseAlgorithm.__init__(self)
@@ -116,6 +303,37 @@ class RegistrationComputer(BaseAlgorithm, AlignmentAlgorithm):
         self._prepare_reference()
 
         src0 = src_pc.get_numpy_matrix(onlyGeometry=True).astype(np.float64)
+
+        # fused path: the whole loop as ONE device program (see
+        # _icp_fused).  The host loop remains for per-iteration callbacks
+        # (the tensor-ICP hook) and as an escape hatch (CWIPC_FUSED_ICP=0).
+        if (
+            self._fused_variant is not None
+            and self.per_iteration_callback is None
+            and os.environ.get("CWIPC_FUSED_ICP", "1") != "0"
+        ):
+            sbuf = src_pc._access_buffer()
+            rbuf = self._ref_buf
+            rcap = rbuf.xyz.shape[0]
+            scap = sbuf.xyz.shape[0]
+            refn = np.zeros((rcap, 3), np.float32)
+            srcn = np.zeros((scap, 3), np.float32)
+            if self._fused_variant in ("p2plane", "gicp"):
+                refn[: self._ref_normals.shape[0]] = self._ref_normals
+            if self._fused_variant == "gicp":
+                srcn[: self._src_normals.shape[0]] = self._src_normals
+            T_dev = _icp_fused(
+                sbuf.xyz, sbuf.count, rbuf.xyz, rbuf.count,
+                jnp.float32(corr), jnp.float32(DEFAULT_RELATIVE_TOLERANCE),
+                jnp.asarray(refn), jnp.asarray(srcn),
+                jnp.float32(getattr(self, "gicp_epsilon", 1e-3)),
+                variant=self._fused_variant,
+                max_iters=self.max_iterations,
+            )
+            self._transformation = np.asarray(T_dev, np.float64)
+            self._result_pc = None
+            return True
+
         T = np.identity(4)
         prev_err = np.inf
         for it in range(self.max_iterations):
@@ -160,6 +378,8 @@ def _kabsch(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
 class RegistrationComputer_ICP_Point2Point(RegistrationComputer):
     """Point-to-point ICP (reference: fine.py:81-133)."""
 
+    _fused_variant = "p2point"
+
     def _solve_step(self, src, dst, dst_idx, src_idx, T):
         return _kabsch(src, dst)
 
@@ -176,6 +396,7 @@ class RegistrationComputer_ICP_Point2Plane(RegistrationComputer):
     0.02 / 30 neighbors, outward orientation)."""
 
     normal_radius = 0.02  # reference default; raised to cover sparse clouds
+    _fused_variant = "p2plane"
 
     def _effective_normal_radius(self, pc: cwipc_pointcloud_wrapper) -> float:
         """The neighborhood must span a few points: max(configured radius,
@@ -236,6 +457,7 @@ class RegistrationComputer_ICP_Generalized(RegistrationComputer_ICP_Point2Plane)
     step solves the 6x6 normal equations."""
 
     gicp_epsilon = 1e-3  # Segal's disc regularization along the normal
+    _fused_variant = "gicp"
 
     def _prepare_reference(self) -> None:
         super()._prepare_reference()

@@ -184,6 +184,35 @@ class TestICP:
         assert dt < 0.004, f"translation residual {dt}"
         assert dr < 0.02, f"rotation residual {dr}"
 
+    @pytest.mark.parametrize(
+        "cls",
+        [
+            RegistrationComputer_ICP_Point2Point,
+            RegistrationComputer_ICP_Point2Plane,
+            RegistrationComputer_ICP_Generalized,
+        ],
+    )
+    def test_fused_matches_host_loop(self, synth_pc, cls, monkeypatch):
+        """The single-dispatch lax.while_loop ICP (fine.py:_icp_fused) must
+        land on the same pose as the per-iteration host loop — same NN
+        kernel, same break rules; only f32-vs-f64 solve arithmetic may
+        differ."""
+        true_T = _translation(0.008, -0.004, 0.006) @ _rotation_y(-0.025)
+        moved = cwipc_transform(synth_pc, true_T)
+
+        def run(fused):
+            monkeypatch.setenv("CWIPC_FUSED_ICP", "1" if fused else "0")
+            aligner = cls()
+            aligner.set_source_pointcloud(moved)
+            aligner.set_reference_pointcloud(synth_pc)
+            aligner.set_correspondence(0.05)
+            assert aligner.run()
+            return aligner.get_result_transformation()
+
+        dt, dr = transformation_compare(run(True), run(False))
+        assert dt < 1e-3, f"fused-vs-host translation drift {dt}"
+        assert dr < 5e-3, f"fused-vs-host rotation drift {dr}"
+
     def test_result_pointcloud(self, synth_pc):
         moved = cwipc_transform(synth_pc, _translation(0.01, 0, 0))
         aligner = RegistrationComputer_ICP_Point2Point()
