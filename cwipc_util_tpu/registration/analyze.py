@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,6 +53,44 @@ def _nn_distances(src: cwipc_pointcloud_wrapper, ref: cwipc_pointcloud_wrapper, 
         return d[np.isfinite(d) & (d <= max_distance)].astype(np.float32)
     dist, _ = nn_search(sbuf.xyz, sbuf.count, rbuf.xyz, rbuf.count, jnp.float32(max_distance))
     return np.asarray(dist[: src.count()])
+
+
+# One device program for a whole batch of same-capacity NN queries: the
+# multicamera pre/post analysis sweeps run K (camera vs union-of-others)
+# analyses back to back, and on a relay-attached TPU every dispatch costs
+# ~33 ms — vmapping the queries turns 2K dispatches into 2.
+_nn_search_batch = jax.jit(jax.vmap(nn_search, in_axes=(0, 0, 0, 0, None)))
+
+
+def nn_distances_batch(
+    src_pts: "list[np.ndarray]",
+    ref_pts: "list[np.ndarray]",
+    max_distance: float,
+) -> "list[np.ndarray]":
+    """Finite-or-inf NN distances for K (source, reference) point-set pairs,
+    computed in ONE device dispatch.  Entry i of the result has length
+    len(src_pts[i])."""
+    from ..core.buffers import bucket_capacity
+
+    k = len(src_pts)
+    assert k == len(ref_pts)
+    scap = bucket_capacity(max(max((len(p) for p in src_pts), default=1), 1))
+    rcap = bucket_capacity(max(max((len(p) for p in ref_pts), default=1), 1))
+    sx = np.zeros((k, scap, 3), np.float32)
+    rx = np.zeros((k, rcap, 3), np.float32)
+    sc = np.empty(k, np.int32)
+    rc = np.empty(k, np.int32)
+    for i, (s, r) in enumerate(zip(src_pts, ref_pts)):
+        sx[i, : len(s)] = s
+        rx[i, : len(r)] = r
+        sc[i] = len(s)
+        rc[i] = len(r)
+    dist, _ = _nn_search_batch(
+        jnp.asarray(sx), jnp.asarray(sc), jnp.asarray(rx), jnp.asarray(rc),
+        jnp.float32(max_distance),
+    )
+    dist = np.asarray(dist)
+    return [dist[i, : len(s)] for i, s in enumerate(src_pts)]
 
 
 class RegistrationAnalyzer(BaseAlgorithm, AnalysisAlgorithm):
@@ -208,6 +247,19 @@ class RegistrationAnalyzer(BaseAlgorithm, AnalysisAlgorithm):
         assert self._results is not None
         return self._results
 
+    def run_precomputed(
+        self,
+        d_fwd: np.ndarray,
+        d_rev: Optional[np.ndarray],
+        n_src: int,
+        n_ref: int,
+    ) -> bool:
+        """run() with externally-computed NN distances (the multicamera
+        batcher, which evaluates a whole analysis sweep in one device
+        dispatch).  Statistics are identical to run()'s."""
+        self._results = self._compute_results(d_fwd, n_src, n_ref)
+        return True
+
 
 class RegistrationAnalyzerSymmetric(RegistrationAnalyzer):
     """Analyzes both directions, keeping the worse (larger) correspondence —
@@ -225,6 +277,25 @@ class RegistrationAnalyzerSymmetric(RegistrationAnalyzer):
         )
         self._results.sourcePointCount = src.count()
         self._results.referencePointCount = ref.count()
+        self._results.tilemask = self.source_tilemask
+        self._results.referenceTilemask = self.reference_tilemask
+        return True
+
+    def run_precomputed(
+        self,
+        d_fwd: np.ndarray,
+        d_rev: Optional[np.ndarray],
+        n_src: int,
+        n_ref: int,
+    ) -> bool:
+        assert d_rev is not None
+        r_fwd = self._compute_results(d_fwd, n_src, n_ref)
+        r_rev = self._compute_results(d_rev, n_ref, n_src)
+        self._results = (
+            r_fwd if r_fwd.minCorrespondence >= r_rev.minCorrespondence else r_rev
+        )
+        self._results.sourcePointCount = n_src
+        self._results.referencePointCount = n_ref
         self._results.tilemask = self.source_tilemask
         self._results.referenceTilemask = self.reference_tilemask
         return True

@@ -34,7 +34,14 @@ from .abstract import (
     MulticamAlignmentAlgorithm,
     RegistrationTransformation,
 )
-from .analyze import DEFAULT_ANALYZER_ALGORITHM, OverlapAnalyzer
+from .analyze import (
+    DEFAULT_ANALYZER_ALGORITHM,
+    DEFAULT_MAX_CORRESPONDENCE,
+    OverlapAnalyzer,
+    RegistrationAnalyzer,
+    RegistrationAnalyzerSymmetric,
+    nn_distances_batch,
+)
 from .fine import DEFAULT_FINE_ALIGNMENT_ALGORITHM
 from .util import BaseMulticamAlgorithm, cwipc_transform, transformation_identity
 
@@ -96,15 +103,43 @@ class BaseMulticamAlignmentAlgorithm(BaseMulticamAlgorithm, MulticamAlignmentAlg
         analyzer.run()
         return analyzer.get_results()
 
-    def _pre_analyse(self) -> None:
-        self.pre_analysis_results = [
-            self._analyse_camera(i) for i in range(self.camera_count())
+    def _analyse_all_cameras(self) -> List[AnalysisResults]:
+        """The K per-camera analyses of a pre/post sweep, evaluated with the
+        batched NN kernel: one device dispatch per direction instead of one
+        (or two, symmetric) per camera.  Statistics are identical to
+        _analyse_camera's — same kernel, same per-pair shapes semantics.
+        Falls back to the sequential path for custom analyzer classes."""
+        n = self.camera_count()
+        cls = self.analyzer_class or DEFAULT_ANALYZER_ALGORITHM
+        if n < 2 or cls not in (RegistrationAnalyzer, RegistrationAnalyzerSymmetric):
+            return [self._analyse_camera(i) for i in range(n)]
+        self._ensure_transforms()
+        moved = [self._moved_pc(i) for i in range(n)]
+        pts = []
+        for pc in moved:
+            buf = pc._access_buffer()
+            pts.append(np.asarray(buf.xyz[: pc.count()]))
+        unions = [
+            np.concatenate([pts[j] for j in range(n) if j != i]) for i in range(n)
         ]
+        maxd = self.max_correspondence or DEFAULT_MAX_CORRESPONDENCE
+        d_fwd = nn_distances_batch(pts, unions, maxd)
+        symmetric = issubclass(cls, RegistrationAnalyzerSymmetric)
+        d_rev = nn_distances_batch(unions, pts, maxd) if symmetric else [None] * n
+        results = []
+        for i in range(n):
+            analyzer = self._analyzer()
+            if self.max_correspondence:
+                analyzer.set_max_correspondence_distance(self.max_correspondence)
+            analyzer.run_precomputed(d_fwd[i], d_rev[i], len(pts[i]), len(unions[i]))
+            results.append(analyzer.get_results())
+        return results
+
+    def _pre_analyse(self) -> None:
+        self.pre_analysis_results = self._analyse_all_cameras()
 
     def _post_analyse(self) -> None:
-        self.post_analysis_results = [
-            self._analyse_camera(i) for i in range(self.camera_count())
-        ]
+        self.post_analysis_results = self._analyse_all_cameras()
         # proposed capture cellsize: worst final correspondence x sqrt(2)
         # (reference: multicamera.py:244-252)
         corrs = [r.minCorrespondence for r in self.post_analysis_results]
@@ -261,6 +296,27 @@ class MultiCameraIterative(BaseMulticamAlignmentAlgorithm):
         an.run()
         return an.get_results().fitness
 
+    def _overlaps_batched(
+        self, cams: List[int], registered: cwipc_pointcloud_wrapper
+    ) -> List[float]:
+        """Fitness of every candidate camera against the registered set in
+        ONE device dispatch (OverlapAnalyzer semantics: fraction of source
+        points with a registered neighbor within the correspondence)."""
+        if len(cams) == 1:
+            return [self._overlap(self._moved_pc(cams[0]), registered)]
+        pts = []
+        for i in cams:
+            pc = self._moved_pc(i)
+            buf = pc._access_buffer()
+            pts.append(np.asarray(buf.xyz[: pc.count()]))
+        rbuf = registered._access_buffer()
+        rpts = np.asarray(rbuf.xyz[: registered.count()])
+        dists = nn_distances_batch(pts, [rpts] * len(cams), self.max_correspondence or 0.1)
+        return [
+            float(np.isfinite(d).sum() / len(p)) if len(p) else 0.0
+            for d, p in zip(dists, pts)
+        ]
+
     def _correspondence(self, pc: cwipc_pointcloud_wrapper, registered: cwipc_pointcloud_wrapper) -> float:
         an = self._analyzer()
         an.set_source_pointcloud(pc)
@@ -288,7 +344,7 @@ class MultiCameraIterative(BaseMulticamAlignmentAlgorithm):
         attempts = {i: 0 for i in todo}
 
         while todo:
-            overlaps = [(self._overlap(self._moved_pc(i), registered_pc), i) for i in todo]
+            overlaps = list(zip(self._overlaps_batched(todo, registered_pc), todo))
             overlaps.sort(reverse=True)
             _, cam = overlaps[0]
             moved = self._moved_pc(cam)

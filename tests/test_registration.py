@@ -331,6 +331,38 @@ class TestMulticamera:
         assert algo.run()
         assert len(algo.get_result_transformations()) == algo.camera_count()
 
+    def test_batched_analysis_matches_sequential(self, tiled_pc):
+        """The batched pre/post analysis sweep (one vmapped NN dispatch,
+        multicamera._analyse_all_cameras) must reproduce the per-camera
+        sequential analyses exactly — same kernel, same shapes semantics."""
+        perturbed, _ = self._perturbed(tiled_pc, magnitude=0.005)
+        algo = MultiCameraIterative()
+        algo.set_tiled_pointcloud(perturbed)
+        algo.set_max_correspondence(0.05)
+        batched = algo._analyse_all_cameras()
+        sequential = [algo._analyse_camera(i) for i in range(algo.camera_count())]
+        assert len(batched) == len(sequential) == 3
+        for b, s in zip(batched, sequential):
+            assert b.sourcePointCount == s.sourcePointCount
+            assert b.referencePointCount == s.referencePointCount
+            np.testing.assert_allclose(b.minCorrespondence, s.minCorrespondence, rtol=1e-5)
+            np.testing.assert_allclose(b.mean, s.mean, rtol=1e-5)
+            np.testing.assert_allclose(b.mode, s.mode, rtol=1e-5)
+
+    def test_batched_overlaps_match_analyzer(self, tiled_pc):
+        """_overlaps_batched must reproduce OverlapAnalyzer fitness per
+        candidate camera."""
+        perturbed, _ = self._perturbed(tiled_pc, magnitude=0.005)
+        algo = MultiCameraIterative()
+        algo.set_tiled_pointcloud(perturbed)
+        algo.set_max_correspondence(0.05)
+        registered = algo._moved_pc(0)
+        cams = [1, 2]
+        batched = algo._overlaps_batched(cams, registered)
+        for f, i in zip(batched, cams):
+            expected = algo._overlap(algo._moved_pc(i), registered)
+            np.testing.assert_allclose(f, expected, rtol=1e-6)
+
     def test_camera_index_mapping(self, tiled_pc):
         algo = MultiCameraIterative()
         algo.set_tiled_pointcloud(tiled_pc)
