@@ -4,6 +4,7 @@ Reference: python/cwipc/scripts/cwipc_copy.py — the same FileWriter
 machinery as grab, with a positional input.
 """
 
+import os
 import sys
 
 from . import cwipc_grab
@@ -55,13 +56,42 @@ def _positionals(argv, value_flags):
 
 
 def main() -> int:
+    """Reference stream/single dispatch (cwipc_copy.py:220-258): a .json or
+    directory input is a stream, a .ply/.cwipcdump/.cwicpc output is a single
+    file; stream<->single mixes are rejected, a missing output directory is
+    created, and single-file outputs get their format from the extension."""
     argv = sys.argv[1:]
     positional = _positionals(argv, GRAB_VALUE_FLAGS)
     if len(positional) >= 2:
-        inp = positional[0]
+        inp, outp = positional[0], positional[1]
+        stream_input = inp.endswith(".json") or os.path.isdir(inp)
+        single_output = outp.lower().endswith((".ply", ".cwipcdump", ".cwicpc"))
+        prog = "cwipc copy"
+        if stream_input and single_output:
+            print(
+                f"{prog}: Cannot convert stream input to single point cloud output file",
+                file=sys.stderr,
+            )
+            return 1
+        if not stream_input and not single_output:
+            print(
+                f"{prog}: Cannot convert single point cloud input to stream output",
+                file=sys.stderr,
+            )
+            return 1
         idx = argv.index(inp)
         argv = argv[:idx] + argv[idx + 1 :]
-        argv = ["--playback", inp] + argv
+        src_flag = "--cameraconfig" if inp.endswith(".json") else "--playback"
+        argv = [src_flag, inp] + argv
+        if single_output:
+            oidx = argv.index(outp)
+            argv = argv[:oidx] + argv[oidx + 1 :]
+            argv = ["--single_output", outp] + argv
+        elif not os.path.isdir(outp):
+            if os.path.exists(outp):
+                print(f"{prog}: unknown extension in output file: {outp}", file=sys.stderr)
+                return 2
+            os.mkdir(outp)  # reference cwipc_copy.py:252
     sys.argv = [sys.argv[0].replace("copy", "grab")] + argv
     return cwipc_grab.main()
 

@@ -5,6 +5,7 @@ Re-implementation of the reference's grab script
 writing ply / cwipcdump / cwicpc files named by a pattern.
 """
 
+import argparse
 import os
 import sys
 import threading
@@ -30,7 +31,9 @@ class FileWriter:
                  rgb: Optional[str] = None, depth: Optional[str] = None,
                  skeleton: Optional[str] = None, nopointclouds: bool = False,
                  fpattern: str = "timestamp", incore: bool = False,
-                 compress_params: Optional[dict] = None):
+                 compress_params: Optional[dict] = None,
+                 exact_name: Optional[str] = None):
+        self.exact_name = exact_name  # single-file mode: literal output name
         self.dirname = dirname
         self.pattern = pattern
         self.flags = flags
@@ -121,7 +124,8 @@ class FileWriter:
     def _write_one(self, pc: cwipc_pointcloud_wrapper) -> None:
         self._write_aux(pc)
         if not self.nopointclouds:
-            filename = os.path.join(self.dirname, self.pattern % self._stem(pc))
+            name = self.exact_name if self.exact_name else self.pattern % self._stem(pc)
+            filename = os.path.join(self.dirname, name)
             if filename.endswith(".cwipcdump"):
                 cwipc_write_debugdump(filename, pc)
             elif filename.endswith(".cwicpc"):
@@ -160,14 +164,25 @@ def make_parser() -> ArgumentParser:
     parser.add_argument("--skeleton", metavar="EXT", help="Save skeleton metadata as files of type EXT")
     parser.add_argument("--fpattern", metavar="VAR", default="timestamp", help="Name files by VAR: count or timestamp (default)")
     parser.add_argument("--incore", action="store_true", help="Buffer all captures in memory and write at the end (requires --count)")
-    parser.add_argument("outputdir", help="Directory to write the files to")
+    # internal (used by cwipc copy's single-file conversion path): write ONE
+    # output file with exactly this name instead of pattern-named files
+    parser.add_argument("--single_output", help=argparse.SUPPRESS)
+    parser.add_argument("outputdir", nargs="?", help="Directory to write the files to")
     return parser
 
 
 def main() -> int:
     args = make_parser().parse_args()
     beginOfRun(args)
-    if not os.path.isdir(args.outputdir):
+    exact_name = None
+    if args.single_output:
+        # single-file conversion mode (cwipc copy): the output format comes
+        # from the target extension (reference cwipc_copy.py:234-245)
+        args.outputdir = os.path.dirname(args.single_output) or "."
+        exact_name = os.path.basename(args.single_output)
+        args.cwipcdump = exact_name.endswith(".cwipcdump")
+        args.compress = exact_name.endswith(".cwicpc")
+    if not args.outputdir or not os.path.isdir(args.outputdir):
         print(f"{sys.argv[0]}: no such directory: {args.outputdir}")
         return -1
     if args.incore and not args.count:
@@ -200,6 +215,7 @@ def main() -> int:
         rgb=args.rgb, depth=args.depth, skeleton=args.skeleton,
         nopointclouds=args.nopointclouds, fpattern=args.fpattern,
         incore=args.incore, compress_params=compress_params,
+        exact_name=exact_name,
     )
     server = SourceServer(source, writer, args)
     thread = threading.Thread(target=server.run, name="cwipc_grab.source", daemon=True)

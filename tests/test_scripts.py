@@ -143,17 +143,35 @@ class TestNetworkPipelines:
         assert "fused_tiles" in rv.stdout
 
     def test_copy_conversion(self, tmp_path):
-        """cwipc copy converts between formats via the FileWriter machinery."""
-        r = run_cwipc("grab", "--synthetic", "--npoints", "1000", "--count", "1",
-                      str(tmp_path))
+        """cwipc copy: single file -> single file (format from the output
+        extension), stream dir -> stream dir with the output directory
+        auto-created, and stream<->single mixes rejected (reference
+        cwipc_copy.py:220-258)."""
+        rec = tmp_path / "rec"
+        rec.mkdir()
+        r = run_cwipc("grab", "--synthetic", "--npoints", "1000", "--count", "2",
+                      str(rec))
         assert r.returncode == 0, r.stderr
-        src = next(tmp_path.glob("*.ply"))
+        src = next(rec.glob("*.ply"))
+
+        # single -> single, format inferred from extension
+        out = tmp_path / "one.cwipcdump"
+        r = run_cwipc("copy", str(src), str(out))
+        assert r.returncode == 0, r.stderr
+        assert out.stat().st_size > 32
+
+        # stream dir -> stream dir; output directory is created
         outdir = tmp_path / "converted"
-        outdir.mkdir()
-        r = run_cwipc("copy", "--cwipcdump", str(src), str(outdir))
+        r = run_cwipc("copy", "--cwipcdump", str(rec), str(outdir))
         assert r.returncode == 0, r.stderr
         dumps = list(outdir.glob("*.cwipcdump"))
-        assert len(dumps) == 1 and dumps[0].stat().st_size > 32
+        assert len(dumps) == 2 and all(d.stat().st_size > 32 for d in dumps)
+
+        # mixes are rejected like the reference
+        r = run_cwipc("copy", str(rec), str(tmp_path / "single.ply"))
+        assert r.returncode == 1 and "Cannot convert stream input" in r.stderr + r.stdout
+        r = run_cwipc("copy", str(src), str(tmp_path / "somedir"))
+        assert r.returncode == 1 and "Cannot convert single point cloud input" in r.stderr + r.stdout
 
     def test_timing_csv(self, tmp_path):
         """cwipc timing prints per-cloud timestamp/latency CSV."""
