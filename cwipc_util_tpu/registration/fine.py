@@ -306,11 +306,23 @@ class RegistrationComputer(BaseAlgorithm, AlignmentAlgorithm):
 
         # fused path: the whole loop as ONE device program (see
         # _icp_fused).  The host loop remains for per-iteration callbacks
-        # (the tensor-ICP hook) and as an escape hatch (CWIPC_FUSED_ICP=0).
+        # (the tensor-ICP hook) and for accelerator backends, where the
+        # while_loop-wrapped NN search is very expensive to COMPILE: on the
+        # relay-attached v5e the fused program's remote compile did not
+        # finish within 50 minutes (measured; the host loop's nn_search
+        # program compiles in normal time), so one-shot tools must not pay
+        # it.  CWIPC_FUSED_ICP=1 opts in (long-running registration services
+        # on directly-attached TPUs, where the compile amortizes);
+        # CWIPC_FUSED_ICP=0 forces the host loop everywhere.
+        fused_env = os.environ.get("CWIPC_FUSED_ICP", "")
+        use_fused = (
+            fused_env == "1"
+            or (fused_env != "0" and jax.default_backend() == "cpu")
+        )
         if (
             self._fused_variant is not None
             and self.per_iteration_callback is None
-            and os.environ.get("CWIPC_FUSED_ICP", "1") != "0"
+            and use_fused
         ):
             sbuf = src_pc._access_buffer()
             rbuf = self._ref_buf
