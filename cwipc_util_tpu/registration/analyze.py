@@ -61,6 +61,11 @@ def _nn_distances(src: cwipc_pointcloud_wrapper, ref: cwipc_pointcloud_wrapper, 
 # ~33 ms — vmapping the queries turns 2K dispatches into 2.
 _nn_search_batch = jax.jit(jax.vmap(nn_search, in_axes=(0, 0, 0, 0, None)))
 
+# variant with ONE shared reference cloud (the iterative strategy's
+# candidate-overlap scan): avoids replicating the registered set k times
+# and keeps its capacity out of the batch dimension
+_nn_search_batch_shared = jax.jit(jax.vmap(nn_search, in_axes=(0, 0, None, None, None)))
+
 
 def nn_distances_batch(
     src_pts: "list[np.ndarray]",
@@ -88,6 +93,33 @@ def nn_distances_batch(
     dist, _ = _nn_search_batch(
         jnp.asarray(sx), jnp.asarray(sc), jnp.asarray(rx), jnp.asarray(rc),
         jnp.float32(max_distance),
+    )
+    dist = np.asarray(dist)
+    return [dist[i, : len(s)] for i, s in enumerate(src_pts)]
+
+
+def nn_distances_batch_shared_ref(
+    src_pts: "list[np.ndarray]",
+    ref_pts: np.ndarray,
+    max_distance: float,
+) -> "list[np.ndarray]":
+    """nn_distances_batch with ONE reference point set shared by every
+    query — the reference cloud is not replicated across the batch."""
+    from ..core.buffers import bucket_capacity
+
+    k = len(src_pts)
+    scap = bucket_capacity(max(max((len(p) for p in src_pts), default=1), 1))
+    rcap = bucket_capacity(max(len(ref_pts), 1))
+    sx = np.zeros((k, scap, 3), np.float32)
+    sc = np.empty(k, np.int32)
+    for i, s in enumerate(src_pts):
+        sx[i, : len(s)] = s
+        sc[i] = len(s)
+    rx = np.zeros((rcap, 3), np.float32)
+    rx[: len(ref_pts)] = ref_pts
+    dist, _ = _nn_search_batch_shared(
+        jnp.asarray(sx), jnp.asarray(sc), jnp.asarray(rx),
+        jnp.int32(len(ref_pts)), jnp.float32(max_distance),
     )
     dist = np.asarray(dist)
     return [dist[i, : len(s)] for i, s in enumerate(src_pts)]
@@ -270,16 +302,7 @@ class RegistrationAnalyzerSymmetric(RegistrationAnalyzer):
         ref = self._maybe_drop_floor(self.get_filtered_reference_pointcloud())
         d_fwd = _nn_distances(src, ref, self.max_correspondence, self.ignore_nearest)
         d_rev = _nn_distances(ref, src, self.max_correspondence, self.ignore_nearest)
-        r_fwd = self._compute_results(d_fwd, src.count(), ref.count())
-        r_rev = self._compute_results(d_rev, ref.count(), src.count())
-        self._results = (
-            r_fwd if r_fwd.minCorrespondence >= r_rev.minCorrespondence else r_rev
-        )
-        self._results.sourcePointCount = src.count()
-        self._results.referencePointCount = ref.count()
-        self._results.tilemask = self.source_tilemask
-        self._results.referenceTilemask = self.reference_tilemask
-        return True
+        return self.run_precomputed(d_fwd, d_rev, src.count(), ref.count())
 
     def run_precomputed(
         self,

@@ -129,7 +129,7 @@ def _icp_fused(
     def delta_gicp(src, dst, idx_c, w, m, T):
         eps = gicp_eps
         n_d = ref_normals[idx_c]
-        n_s = src_normals @ T[:3, :3].T
+        n_s = jnp.matmul(src_normals, T[:3, :3].T, precision=_HI)
 
         def disc(nrm):
             nn = nrm[:, :, None] * nrm[:, None, :]
@@ -165,7 +165,7 @@ def _icp_fused(
 
         def inner(_i, carry):
             Td = carry
-            cur = src @ Td[:3, :3].T + Td[:3, 3]
+            cur = jnp.matmul(src, Td[:3, :3].T, precision=_HI) + Td[:3, 3]
             r = dst - cur
             Z = jnp.zeros((cap,), jnp.float32)
             S = jnp.stack(
@@ -184,7 +184,7 @@ def _icp_fused(
             b6 = jnp.einsum("mjk,mk->j", JtM, r, precision=_HI)
             A6 = A6 + I6 * (1e-9 * jnp.maximum(jnp.trace(A6) / 6.0, 1.0))
             x = jnp.linalg.solve(A6, b6)
-            return _delta_from_x(x) @ Td
+            return jnp.matmul(_delta_from_x(x), Td, precision=_HI)
 
         return jax.lax.fori_loop(0, 4, inner, jnp.eye(4, dtype=jnp.float32))
 
@@ -194,7 +194,10 @@ def _icp_fused(
 
     def body(carry):
         T, prev_err, it, _done = carry
-        src = src0 @ T[:3, :3].T + T[:3, 3]
+        # HIGHEST on every coordinate/pose matmul: the TPU default lowers
+        # f32 matmul to bf16, which would round absolute coordinates by
+        # ~0.4% into each NN search and degrade the composed pose
+        src = jnp.matmul(src0, T[:3, :3].T, precision=_HI) + T[:3, 3]
         dist, idx = nn_search(src, src_count, ref_xyz, ref_count, corr)
         valid = jnp.isfinite(dist) & (row < src_count)
         w = valid.astype(jnp.float32)
@@ -212,7 +215,7 @@ def _icp_fused(
             delta = delta_gicp(src, dst, idx_c, w, m, T)
         too_few = m < 3.0
         delta = jnp.where(too_few, jnp.eye(4, dtype=jnp.float32), delta)
-        T2 = delta @ T
+        T2 = jnp.matmul(delta, T, precision=_HI)
         conv = jnp.abs(prev_err - err) < tol * jnp.maximum(prev_err, 1e-12)
         return (T2, err, it + 1, too_few | conv)
 
@@ -302,8 +305,6 @@ class RegistrationComputer(BaseAlgorithm, AlignmentAlgorithm):
         self._ref_xyz = ref_pc.get_numpy_matrix(onlyGeometry=True).astype(np.float64)
         self._prepare_reference()
 
-        src0 = src_pc.get_numpy_matrix(onlyGeometry=True).astype(np.float64)
-
         # fused path: the whole loop as ONE device program (see
         # _icp_fused).  The host loop remains for per-iteration callbacks
         # (the tensor-ICP hook) and for accelerator backends, where the
@@ -346,6 +347,7 @@ class RegistrationComputer(BaseAlgorithm, AlignmentAlgorithm):
             self._result_pc = None
             return True
 
+        src0 = src_pc.get_numpy_matrix(onlyGeometry=True).astype(np.float64)
         T = np.identity(4)
         prev_err = np.inf
         for it in range(self.max_iterations):

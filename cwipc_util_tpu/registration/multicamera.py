@@ -41,6 +41,7 @@ from .analyze import (
     RegistrationAnalyzer,
     RegistrationAnalyzerSymmetric,
     nn_distances_batch,
+    nn_distances_batch_shared_ref,
 )
 from .fine import DEFAULT_FINE_ALIGNMENT_ALGORITHM
 from .util import BaseMulticamAlgorithm, cwipc_transform, transformation_identity
@@ -311,7 +312,7 @@ class MultiCameraIterative(BaseMulticamAlignmentAlgorithm):
             pts.append(np.asarray(buf.xyz[: pc.count()]))
         rbuf = registered._access_buffer()
         rpts = np.asarray(rbuf.xyz[: registered.count()])
-        dists = nn_distances_batch(pts, [rpts] * len(cams), self.max_correspondence or 0.1)
+        dists = nn_distances_batch_shared_ref(pts, rpts, self.max_correspondence or 0.1)
         return [
             float(np.isfinite(d).sum() / len(p)) if len(p) else 0.0
             for d, p in zip(dists, pts)

@@ -65,7 +65,9 @@ def main() -> int:
     if len(positional) >= 2:
         inp, outp = positional[0], positional[1]
         stream_input = inp.endswith(".json") or os.path.isdir(inp)
-        single_output = outp.lower().endswith((".ply", ".cwipcdump", ".cwicpc"))
+        # case-sensitive like the reference (cwipc_copy.py:234-245) and like
+        # grab's writer dispatch — out.PLY is "unknown extension", not PLY
+        single_output = outp.endswith((".ply", ".cwipcdump", ".cwicpc"))
         prog = "cwipc copy"
         if stream_input and single_output:
             print(

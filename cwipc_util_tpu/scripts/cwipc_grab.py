@@ -172,7 +172,10 @@ def make_parser() -> ArgumentParser:
 
 
 def main() -> int:
-    args = make_parser().parse_args()
+    parser = make_parser()
+    args = parser.parse_args()
+    if not args.single_output and args.outputdir is None:
+        parser.error("the following arguments are required: outputdir")
     beginOfRun(args)
     exact_name = None
     if args.single_output:

@@ -173,6 +173,18 @@ class TestNetworkPipelines:
         r = run_cwipc("copy", str(src), str(tmp_path / "somedir"))
         assert r.returncode == 1 and "Cannot convert single point cloud input" in r.stderr + r.stdout
 
+        # extension match is case-sensitive like the reference: .CWIPCDUMP is
+        # NOT a single-file output, so this is a single->stream mix
+        r = run_cwipc("copy", str(src), str(tmp_path / "out.CWIPCDUMP"))
+        assert r.returncode == 1 and "Cannot convert single point cloud input" in r.stderr + r.stdout
+
+    def test_grab_requires_outputdir(self):
+        """grab without the outputdir positional is an argparse usage error
+        (exit 2), not a confusing 'no such directory: None'."""
+        r = run_cwipc("grab", "--synthetic", "--count", "1")
+        assert r.returncode == 2
+        assert "outputdir" in r.stderr
+
     def test_timing_csv(self, tmp_path):
         """cwipc timing prints per-cloud timestamp/latency CSV."""
         out = tmp_path / "t.csv"
