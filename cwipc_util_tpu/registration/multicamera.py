@@ -47,6 +47,22 @@ from .fine import DEFAULT_FINE_ALIGNMENT_ALGORITHM
 from .util import BaseMulticamAlgorithm, cwipc_transform, transformation_identity
 
 
+def _batched_analysis_enabled() -> bool:
+    """Batch analysis NN queries only where a device dispatch has real
+    latency (accelerator backends, ~33 ms each through a relay); on CPU the
+    sequential per-pair programs are faster than the vmapped one."""
+    import os
+
+    import jax
+
+    env = os.environ.get("CWIPC_BATCHED_ANALYSIS", "")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    return jax.default_backend() != "cpu"
+
+
 class BaseMulticamAlignmentAlgorithm(BaseMulticamAlgorithm, MulticamAlignmentAlgorithm):
     """Shared plumbing: analysis passes, transformation bookkeeping, reports."""
 
@@ -109,10 +125,15 @@ class BaseMulticamAlignmentAlgorithm(BaseMulticamAlgorithm, MulticamAlignmentAlg
         batched NN kernel: one device dispatch per direction instead of one
         (or two, symmetric) per camera.  Statistics are identical to
         _analyse_camera's — same kernel, same per-pair shapes semantics.
-        Falls back to the sequential path for custom analyzer classes."""
+        Falls back to the sequential path for custom analyzer classes, and
+        on CPU backends, where there is no dispatch latency to save and the
+        vmapped NN program lowers ~1.5x slower than per-pair calls
+        (measured; CWIPC_BATCHED_ANALYSIS=1/0 overrides)."""
         n = self.camera_count()
         cls = self.analyzer_class or DEFAULT_ANALYZER_ALGORITHM
         if n < 2 or cls not in (RegistrationAnalyzer, RegistrationAnalyzerSymmetric):
+            return [self._analyse_camera(i) for i in range(n)]
+        if not _batched_analysis_enabled():
             return [self._analyse_camera(i) for i in range(n)]
         self._ensure_transforms()
         moved = [self._moved_pc(i) for i in range(n)]
@@ -303,8 +324,8 @@ class MultiCameraIterative(BaseMulticamAlignmentAlgorithm):
         """Fitness of every candidate camera against the registered set in
         ONE device dispatch (OverlapAnalyzer semantics: fraction of source
         points with a registered neighbor within the correspondence)."""
-        if len(cams) == 1:
-            return [self._overlap(self._moved_pc(cams[0]), registered)]
+        if len(cams) == 1 or not _batched_analysis_enabled():
+            return [self._overlap(self._moved_pc(i), registered) for i in cams]
         pts = []
         for i in cams:
             pc = self._moved_pc(i)

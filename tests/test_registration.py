@@ -331,10 +331,11 @@ class TestMulticamera:
         assert algo.run()
         assert len(algo.get_result_transformations()) == algo.camera_count()
 
-    def test_batched_analysis_matches_sequential(self, tiled_pc):
+    def test_batched_analysis_matches_sequential(self, tiled_pc, monkeypatch):
         """The batched pre/post analysis sweep (one vmapped NN dispatch,
         multicamera._analyse_all_cameras) must reproduce the per-camera
         sequential analyses exactly — same kernel, same shapes semantics."""
+        monkeypatch.setenv("CWIPC_BATCHED_ANALYSIS", "1")  # CPU defaults off
         perturbed, _ = self._perturbed(tiled_pc, magnitude=0.005)
         algo = MultiCameraIterative()
         algo.set_tiled_pointcloud(perturbed)
@@ -349,9 +350,10 @@ class TestMulticamera:
             np.testing.assert_allclose(b.mean, s.mean, rtol=1e-5)
             np.testing.assert_allclose(b.mode, s.mode, rtol=1e-5)
 
-    def test_batched_overlaps_match_analyzer(self, tiled_pc):
+    def test_batched_overlaps_match_analyzer(self, tiled_pc, monkeypatch):
         """_overlaps_batched must reproduce OverlapAnalyzer fitness per
         candidate camera."""
+        monkeypatch.setenv("CWIPC_BATCHED_ANALYSIS", "1")  # CPU defaults off
         perturbed, _ = self._perturbed(tiled_pc, magnitude=0.005)
         algo = MultiCameraIterative()
         algo.set_tiled_pointcloud(perturbed)
