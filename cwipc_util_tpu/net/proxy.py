@@ -38,6 +38,7 @@ class _ProxySource(threading.Thread, cwipc_activesource_abstract):
         self._lock = threading.Lock()
         self._cond = threading.Condition(self._lock)
         self._pc: Optional[cwipc_pointcloud_wrapper] = None
+        self._conn: Optional[socket.socket] = None  # accepted peer, for stop()
         try:
             self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
             self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -60,6 +61,14 @@ class _ProxySource(threading.Thread, cwipc_activesource_abstract):
             self.sock.close()
         except OSError:
             pass
+        # also close the accepted connection: a silent peer would otherwise
+        # keep the thread blocked in recv() past the join timeout
+        conn = self._conn
+        if conn is not None:
+            try:
+                conn.close()
+            except OSError:
+                pass
         with self._cond:
             if self._pc is not None:
                 self._pc.free()
@@ -111,6 +120,7 @@ class _ProxySource(threading.Thread, cwipc_activesource_abstract):
                 break
             if self.verbose:
                 print(f"proxy: accepted connection from {addr}")
+            self._conn = conn
             while self.running:
                 hdr = self._recv_all(conn, _PKT_SIZE)
                 if hdr is None:
@@ -131,6 +141,11 @@ class _ProxySource(threading.Thread, cwipc_activesource_abstract):
                     None, timestamp, cellsize, _host_points=pts
                 )
                 with self._cond:
+                    if not self.running:
+                        # a frame completing after stop() must not publish
+                        # a cloud nothing will ever free
+                        pc.free()
+                        break
                     # latest-wins: replace an unconsumed cloud
                     if self._pc is not None:
                         self._pc.free()
@@ -140,6 +155,7 @@ class _ProxySource(threading.Thread, cwipc_activesource_abstract):
                     conn.sendall(struct.pack("<Q", timestamp))
                 except OSError:
                     break
+            self._conn = None
             try:
                 conn.close()
             except OSError:

@@ -98,7 +98,17 @@ class _Sink_Encoder(threading.Thread, cwipc_sink_abstract):
     def feed(self, pc: cwipc_pointcloud_wrapper) -> None:
         try:
             if self.nodrop:
-                self.input_queue.put(pc)
+                # blocking, but responsive to a dead worker: an unbounded
+                # put() would deadlock the producer forever if run() exited
+                # on an encode error
+                while not self.stopped and (not self.started or self.is_alive()):
+                    try:
+                        self.input_queue.put(pc, timeout=0.5)
+                        return
+                    except queue.Full:
+                        continue
+                if self.verbose:
+                    print("encoder: worker stopped, dropping cloud")
             else:
                 self.input_queue.put(pc, timeout=self.QUEUE_FULL_TIMEOUT)
         except queue.Full:

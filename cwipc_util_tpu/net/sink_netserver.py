@@ -64,11 +64,21 @@ class _SingleServer(threading.Thread):
         self.sock.bind(("", port))
         self.sock.listen(4)
         self.sock.setblocking(False)
+        # self-pipe: send() pokes the select() so a queued packet flushes
+        # immediately instead of waiting out the 0.1 s poll (up to 100 ms
+        # added latency per frame otherwise)
+        self._wake_r, self._wake_w = socket.socketpair()
+        self._wake_r.setblocking(False)
+        self._wake_w.setblocking(False)  # a full pipe means a wake is already queued
 
     def run(self) -> None:
         while not self.stopped:
-            rlist = [self.sock]
+            rlist = [self.sock, self._wake_r]
             select.select(rlist, [], [], self.SELECT_TIMEOUT)
+            try:
+                self._wake_r.recv(4096)
+            except OSError:
+                pass
             # accept any waiting connections
             while True:
                 try:
@@ -88,6 +98,11 @@ class _SingleServer(threading.Thread):
             except OSError:
                 pass
         self.sock.close()
+        for s in (self._wake_r, self._wake_w):
+            try:
+                s.close()
+            except OSError:
+                pass
 
     def _flush(self) -> None:
         if self.nodrop and not self.clients and not self.had_client:
@@ -139,16 +154,25 @@ class _SingleServer(threading.Thread):
                 if not self.clients and not self.had_client and len(self.pending) >= self.RING:
                     self.pending.pop(0)  # bounded ring: keep the newest
                 self.pending.append(packet)
+            self._wake()
             return True
         with self.queue_lock:
             if len(self.pending) >= 2:
                 self.stats.add("dropped", 1, isInt=True)
                 return False
             self.pending.append(packet)
+        self._wake()
         return True
+
+    def _wake(self) -> None:
+        try:
+            self._wake_w.send(b"x")
+        except OSError:
+            pass
 
     def stop(self) -> None:
         self.stopped = True
+        self._wake()
 
 
 class _Sink_NetServer(cwipc_rawsink_abstract):

@@ -77,21 +77,43 @@ class _NetDecoder(threading.Thread, cwipc_activesource_abstract):
         return self.output_queue.get()
 
     def run(self) -> None:
+        try:
+            while self.running:
+                if self.source.eof():
+                    break
+                cpc = self.source.get()
+                if not cpc:
+                    break
+                t0 = time.time()
+                self.decoder.feed(cpc)
+                pc = self.decoder.get() if self.decoder.available(True) else None
+                self.stats.add("decode_duration", time.time() - t0)
+                if pc is None:
+                    continue
+                self.stats.add("pointcount", pc.count(), isInt=True)
+                if not self._put_bounded(pc):
+                    break
+        finally:
+            # liveness: a consumer blocked in get() on an empty queue must
+            # wake when this thread exits on its own (EOF), not only via
+            # stop() — without the sentinel it would wait forever
+            self.running = False
+            try:
+                self.output_queue.put(None, block=False)
+            except queue.Full:
+                pass
+
+    def _put_bounded(self, pc: cwipc_pointcloud_wrapper) -> bool:
+        """put that stays responsive to stop(); frees the cloud when the
+        consumer is gone."""
         while self.running:
-            if self.source.eof():
-                break
-            cpc = self.source.get()
-            if not cpc:
-                break
-            t0 = time.time()
-            self.decoder.feed(cpc)
-            pc = self.decoder.get() if self.decoder.available(True) else None
-            self.stats.add("decode_duration", time.time() - t0)
-            if pc is None:
+            try:
+                self.output_queue.put(pc, timeout=0.1)
+                return True
+            except queue.Full:
                 continue
-            self.stats.add("pointcount", pc.count(), isInt=True)
-            self.output_queue.put(pc)
-        self.running = False
+        pc.free()
+        return False
 
     # tiling/config stubs (decoded streams carry no camera interface)
     def seek(self, timestamp: int) -> bool:

@@ -16,6 +16,7 @@ from __future__ import annotations
 import ctypes
 import ctypes.util
 import os
+import queue
 import time
 from typing import List, Optional
 
@@ -148,7 +149,19 @@ class _LLDashPlaySource(cwipc_activerawmultisource_abstract):
             for i, view in enumerate(self.tiles):
                 n = self.dll.lldplay_grab_frame(self.handle, i, buf, bufsize, None)
                 if n > 0:
-                    view.queue.put(buf.raw[:n])
+                    # drop-oldest, never block: the pump is shared by all
+                    # tiles, so one unconsumed tile must not stall the rest
+                    # (live streams favor the newest frame anyway)
+                    payload = buf.raw[:n]
+                    while True:
+                        try:
+                            view.queue.put(payload, block=False)
+                            break
+                        except queue.Full:
+                            try:
+                                view.queue.get(block=False)
+                            except queue.Empty:
+                                continue
                     self.stats.add("packetsize", n, isInt=True)
                     got_any = True
             if not got_any:
@@ -180,13 +193,20 @@ class _SingleStreamView(cwipc_activerawsource_abstract):
 
     def __init__(self, url: str, verbose: bool = False):
         self.multi = _LLDashPlaySource(url, verbose)
+        self._fourcc: Optional[vrt_fourcc_type] = None
 
     def set_fourcc(self, fourcc: vrt_fourcc_type) -> None:
+        # normal call order is set_fourcc() (decoder construction) BEFORE
+        # start() discovers the streams — remember it and apply at start
+        self._fourcc = fourcc
         if self.multi.tiles:
             self.multi.tiles[0].set_fourcc(fourcc)
 
     def start(self) -> bool:
-        return self.multi.start()
+        ok = self.multi.start()
+        if ok and self._fourcc is not None and self.multi.tiles:
+            self.multi.tiles[0].set_fourcc(self._fourcc)
+        return ok
 
     def stop(self) -> None:
         self.multi.stop()

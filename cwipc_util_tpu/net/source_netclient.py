@@ -13,6 +13,7 @@ port + tile*nQuality + quality (source_netclient.py:201-252).
 
 from __future__ import annotations
 
+import queue
 import select
 import socket
 import struct
@@ -191,20 +192,39 @@ class _NetClientSource(threading.Thread, cwipc_activerawsource_abstract):
         except OSError:
             return None
 
+    def _put_payload(self, payload: bytes) -> bool:
+        """Queue put that stays responsive to stop(): an unbounded put()
+        could block forever on a stalled consumer, leaving the thread
+        unjoinable and _eof never set."""
+        while self.running:
+            try:
+                self.queue.put(payload, timeout=0.25)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def run(self) -> None:
+        try:
+            self._run_reader()
+        finally:
+            self._eof = True
+            with self._switch_lock:
+                pending = self._pending_sock
+                self._pending_sock = None
+            for s in (self.sock, pending):
+                if s is not None:
+                    try:
+                        s.close()
+                    except OSError:
+                        pass
+
+    def _run_reader(self) -> None:
         sock = self._connect()
         if sock is None:
             # connection refused counts as EOF
             if self.verbose:
                 print(f"netclient: connection to {self.host}:{self.port} refused")
-            self._eof = True
-            with self._switch_lock:
-                if self._pending_sock is not None:
-                    try:
-                        self._pending_sock.close()
-                    except OSError:
-                        pass
-                    self._pending_sock = None
             return
         self.sock = sock
         last_ts = 0
@@ -216,6 +236,12 @@ class _NetClientSource(threading.Thread, cwipc_activerawsource_abstract):
             try:
                 readable, _, _ = select.select(waitset, [], [], 1.0)
             except (OSError, ValueError):
+                # a superseding switchport() may have closed the pending
+                # socket we snapshot — that must not kill the live stream
+                with self._switch_lock:
+                    superseded = pending is not None and pending is not self._pending_sock
+                if superseded:
+                    continue
                 break
             if self._wake_r in readable:
                 try:
@@ -230,16 +256,30 @@ class _NetClientSource(threading.Thread, cwipc_activerawsource_abstract):
                 # the overlap window) are dropped at the seam.
                 frame = self._read_frame(pending)
                 with self._switch_lock:
-                    self._pending_sock = None
-                    if self._pending_port is not None:
-                        self.port = self._pending_port
+                    if pending is not self._pending_sock:
+                        # superseded while reading: a newer switch owns the
+                        # pending slot now; abandon this socket untouched
+                        continue
+                    if frame is None:
+                        # the new stream died before delivering: drop the
+                        # switch, keep the live stream (like a refused dial)
+                        self._pending_sock = None
                         self._pending_port = None
+                    else:
+                        self._pending_sock = None
+                        if self._pending_port is not None:
+                            self.port = self._pending_port
+                            self._pending_port = None
+                if frame is None:
+                    try:
+                        pending.close()
+                    except OSError:
+                        pass
+                    continue
                 try:
                     sock.close()
                 except OSError:
                     pass
-                if frame is None:
-                    break
                 sock = pending
                 self.sock = sock
                 seam_ts = last_ts
@@ -249,7 +289,8 @@ class _NetClientSource(threading.Thread, cwipc_activerawsource_abstract):
                     last_ts = ts
                     self.stats.add("packetsize", len(payload), isInt=True)
                     self.stats.add("latency", max(0.0, time.time() - ts / 1000.0))
-                    self.queue.put(payload)
+                    if not self._put_payload(payload):
+                        break
                 continue
             if sock not in readable:
                 continue
@@ -282,14 +323,9 @@ class _NetClientSource(threading.Thread, cwipc_activerawsource_abstract):
             last_ts = ts
             self.stats.add("packetsize", len(payload), isInt=True)
             self.stats.add("latency", max(0.0, time.time() - ts / 1000.0))
-            self.queue.put(payload)
-        self._eof = True
-        for s in (sock, self._pending_sock):
-            if s is not None:
-                try:
-                    s.close()
-                except OSError:
-                    pass
+            if not self._put_payload(payload):
+                break
+        self.sock = sock  # the finally block closes the live socket
 
     def statistics(self) -> None:
         self.stats.print()

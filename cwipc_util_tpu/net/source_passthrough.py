@@ -75,18 +75,39 @@ class _NetPassthrough(threading.Thread, cwipc_activesource_abstract):
         return self.output_queue.get()
 
     def run(self) -> None:
+        try:
+            while self.running:
+                if self.source.eof():
+                    break
+                packet = self.source.get()
+                if not packet:
+                    break
+                t0 = time.time()
+                pc = pointcloud_from_packet(packet)
+                self.stats.add("parse_duration", time.time() - t0)
+                self.stats.add("pointcount", pc.count(), isInt=True)
+                if not self._put_bounded(pc):
+                    break
+        finally:
+            # liveness: wake a consumer blocked in get() when this thread
+            # exits on its own (EOF), not only via stop()
+            self.running = False
+            try:
+                self.output_queue.put(None, block=False)
+            except queue.Full:
+                pass
+
+    def _put_bounded(self, pc: cwipc_pointcloud_wrapper) -> bool:
+        """put that stays responsive to stop(); frees the cloud when the
+        consumer is gone."""
         while self.running:
-            if self.source.eof():
-                break
-            packet = self.source.get()
-            if not packet:
-                break
-            t0 = time.time()
-            pc = pointcloud_from_packet(packet)
-            self.stats.add("parse_duration", time.time() - t0)
-            self.stats.add("pointcount", pc.count(), isInt=True)
-            self.output_queue.put(pc)
-        self.running = False
+            try:
+                self.output_queue.put(pc, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        pc.free()
+        return False
 
     def seek(self, timestamp: int) -> bool:
         return False

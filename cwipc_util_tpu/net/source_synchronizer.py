@@ -107,6 +107,22 @@ class _Synchronizer(threading.Thread, cwipc_activesource_abstract):
                 self.heads[i] = s.get()
 
     def run(self) -> None:
+        try:
+            self._run_loop()
+        finally:
+            self.running = False
+            # free parked heads (stragglers at teardown would otherwise
+            # leak) and wake any consumer blocked in get() on an empty queue
+            for i, pc in enumerate(self.heads):
+                if pc is not None:
+                    pc.free()
+                    self.heads[i] = None
+            try:
+                self.output_queue.put(None, block=False)
+            except queue.Full:
+                pass
+
+    def _run_loop(self) -> None:
         while self.running:
             self._fill_heads()
             present = [pc for pc in self.heads if pc is not None]
@@ -173,7 +189,6 @@ class _Synchronizer(threading.Thread, cwipc_activesource_abstract):
                 self.output_queue.put(fused, timeout=self.MAX_WAIT)
             except queue.Full:
                 fused.free()
-        self.running = False
 
     # -- tiling / config ----------------------------------------------------
 
