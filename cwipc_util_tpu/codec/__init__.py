@@ -26,12 +26,11 @@ from __future__ import annotations
 import struct
 import zlib
 from dataclasses import dataclass
-from functools import partial
 from typing import List, Optional
 
 import numpy as np
 
-from ..core.buffers import POINT_DTYPE, bucket_capacity, buffer_from_arrays
+from ..core.buffers import POINT_DTYPE, buffer_from_arrays
 from ..core.errors import CwipcError
 from ..core.pointcloud import cwipc_pointcloud_wrapper
 
@@ -269,15 +268,6 @@ def _compact1by2(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def _spread1by2(x: np.ndarray) -> np.ndarray:
-    x = x.astype(np.uint32) & 0x3FF
-    x = (x | (x << 16)) & 0x030000FF
-    x = (x | (x << 8)) & 0x0300F00F
-    x = (x | (x << 4)) & 0x030C30C3
-    x = (x | (x << 2)) & 0x09249249
-    return x
-
-
 _MORTON_TABLE: Optional[np.ndarray] = None
 
 
@@ -434,8 +424,10 @@ class cwipc_encoder_wrapper:
         # key, and far-edge clamping can merge boundary voxels into
         # duplicates.  (The legacy delta format survived both via uint32
         # wraparound; the octree stream is defined on sorted-unique keys.)
-        uniq, first = np.unique(keys, return_index=True)
-        if len(uniq) != m or not np.array_equal(uniq, keys):
+        # O(m) fast path: group/wide feeds arrive already sorted-unique, so
+        # skip the O(m log m) np.unique re-sort unless monotonicity fails
+        if m > 1 and not bool(np.all(np.diff(keys) > 0)):
+            uniq, first = np.unique(keys, return_index=True)
             keys = uniq
             drgba = drgba[first]
             m = len(uniq)
@@ -627,12 +619,12 @@ class cwipc_decoder_wrapper:
             raise CwipcError("cwipc_decoder: bad magic")
         off = _HDR_SIZE
         if n == 0:
-            buf = buffer_from_arrays(
-                np.zeros((0, 3), np.float32),
-                np.zeros(0, np.uint8), np.zeros(0, np.uint8),
-                np.zeros(0, np.uint8), np.zeros(0, np.uint8),
+            # host-backed like the n>0 path: an empty frame must not force
+            # JAX backend init / a device upload in an accelerator-free
+            # decode pipeline
+            self._result = cwipc_pointcloud_wrapper(
+                None, timestamp, step, _host_points=np.zeros(0, POINT_DTYPE)
             )
-            self._result = cwipc_pointcloud_wrapper(buf, timestamp, step, _count_hint=0)
             return
         pos_blob = data[off : off + lpos]; off += lpos
         col_blob = data[off : off + lcol]; off += lcol

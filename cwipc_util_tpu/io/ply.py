@@ -99,13 +99,34 @@ def _read_vertex_data(fp, fmt: str, count: int, props: List[Tuple[str, str]]) ->
     return np.frombuffer(raw, dtype, count=count)
 
 
+def _skip_element_data(fp, fmt: str, count: int, props: List[Tuple[str, str]]) -> None:
+    """Consume the data of a non-vertex element declared BEFORE vertex, so
+    the vertex read starts at the right offset."""
+    if fmt == "ascii":
+        # canonical ascii PLY: one row per line (holds for list rows too)
+        for _ in range(count):
+            if not fp.readline():
+                raise CwipcError("ply: truncated ascii data")
+        return
+    if any(t.startswith("list:") for _, t in props):
+        raise CwipcError("ply: list-property element before vertex not supported")
+    endian = ">" if fmt == "binary_big_endian" else "<"
+    rowsize = np.dtype([(name, endian + _PLY_TYPES[typ]) for name, typ in props]).itemsize
+    if len(fp.read(count * rowsize)) < count * rowsize:
+        raise CwipcError("ply: truncated binary data")
+
+
 def read_ply(filename: str, timestamp: int) -> cwipc_pointcloud_wrapper:
     try:
         fp = open(filename, "rb")
     except OSError as e:
         raise CwipcError(f"cwipc_read: {filename}: {e.strerror}") from e
     with fp:
-        fmt, count, props, _elements = _parse_header(fp)
+        fmt, count, props, elements = _parse_header(fp)
+        for name, ecount, eprops in elements:
+            if name == "vertex":
+                break
+            _skip_element_data(fp, fmt, ecount, eprops)
         arr = _read_vertex_data(fp, fmt, count, props)
 
     names = arr.dtype.names or ()
@@ -122,7 +143,11 @@ def read_ply(filename: str, timestamp: int) -> cwipc_pointcloud_wrapper:
     r = g = b = None
     tile = np.zeros(n, np.uint8)
     if "red" in names:
-        r, g, b = col("red"), col("green"), col("blue")
+        # tolerate partial color triplets (e.g. red-only grayscale exports)
+        zero = np.zeros(n, np.uint8)
+        r = col("red")
+        g = col("green") if "green" in names else zero
+        b = col("blue") if "blue" in names else zero
         if "alpha" in names:
             tile = arr["alpha"].astype(np.uint8)
     elif "r" in names and "g" in names and "b" in names:

@@ -119,16 +119,22 @@ def render_points(
     if ui.size == 0:
         return (img, depth_img) if return_depth else img
 
-    # z-buffer: sort far-to-near, later (nearer) writes win
+    # z-buffer: sort far-to-near, later (nearer) writes win within a pass;
+    # across splat passes each write is depth-tested against the buffer so
+    # a far point's splat wing cannot cover a near point's center
     order = np.argsort(-z, kind="stable")
     ui, vi, z, rgb = ui[order], vi[order], z[order], rgb[order]
     r = max(0, point_size // 2)
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
-            uu = np.clip(ui + dx, 0, width - 1)
-            vv = np.clip(vi + dy, 0, height - 1)
-            img[vv, uu] = rgb
-            depth_img[vv, uu] = z
+            uu = ui + dx
+            vv = vi + dy
+            inb = (uu >= 0) & (uu < width) & (vv >= 0) & (vv < height)
+            uu, vv, zz, cc = uu[inb], vv[inb], z[inb], rgb[inb]
+            cur = depth_img[vv, uu]
+            win = (cur == 0) | (zz < cur)
+            img[vv[win], uu[win]] = cc[win]
+            depth_img[vv[win], uu[win]] = zz[win]
     return (img, depth_img) if return_depth else img
 
 
@@ -151,20 +157,25 @@ K4ABT_BONES = [
 
 def fuse_skeletons(collections, n_joints: int = 32):
     """Merge per-camera skeleton observations by per-joint confidence
-    (reference: cwipc_window.cpp skeleton fusion): for each joint keep the
-    observation with the highest confidence.
+    (reference: cwipc_window.cpp skeleton fusion): for each tracked BODY
+    (skeleton index) and each joint, keep the observation with the highest
+    confidence.  Fusing across skeleton indices would weld two people's
+    joints into one chimera body.
 
     `collections` is a list of (n_skeletons, n_joints, joints) tuples as
-    returned by core.pointcloud.parse_skeleton_collection.
+    returned by core.pointcloud.parse_skeleton_collection.  Returns a list
+    of per-body joint lists (each of length n_joints, entries may be None).
     """
-    best = [None] * n_joints
+    n_bodies = max((n_s for n_s, _n_j, _j in collections), default=0)
+    bodies = [[None] * n_joints for _ in range(n_bodies)]
     for n_s, n_j, joints in collections:
         for s in range(n_s):
+            best = bodies[s]
             for j in range(min(n_j, n_joints)):
                 joint = joints[s * n_j + j]
                 if best[j] is None or joint.confidence > best[j].confidence:
                     best[j] = joint
-    return best
+    return bodies
 
 
 def draw_line(img: np.ndarray, p0, p1, color=(255, 255, 0)) -> None:

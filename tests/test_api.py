@@ -201,6 +201,44 @@ class TestSerialization:
         with pytest.raises(cwipc.CwipcError):
             cwipc.cwipc_write(os.path.join("nonexistent_dir", "non", "existent.ply"), pc)
 
+    def test_read_element_before_vertex(self, tmp_path):
+        """PLY data of elements declared BEFORE vertex must be skipped, not
+        parsed as vertex records (ply.py:_skip_element_data)."""
+        filename = str(tmp_path / "pre.ply")
+        with open(filename, "w") as fp:
+            fp.write(
+                "ply\nformat ascii 1.0\n"
+                "element edge 2\nproperty int v1\nproperty int v2\n"
+                "element vertex 2\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+                "end_header\n"
+                "0 1\n1 0\n"
+                "1 2 3 10 20 30\n4 5 6 40 50 60\n"
+            )
+        pc = cwipc.cwipc_read(filename, 0)
+        pts = list(pc.get_points())
+        assert len(pts) == 2
+        assert (pts[0].x, pts[0].y, pts[0].z) == (1.0, 2.0, 3.0)
+        assert (pts[1].r, pts[1].g, pts[1].b) == (40, 50, 60)
+
+    def test_read_red_without_green_blue(self, tmp_path):
+        """A partial color triplet must produce zeros for the missing
+        channels, not an uncaught TypeError."""
+        filename = str(tmp_path / "gray.ply")
+        with open(filename, "w") as fp:
+            fp.write(
+                "ply\nformat ascii 1.0\n"
+                "element vertex 1\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "property uchar red\n"
+                "end_header\n"
+                "1 2 3 77\n"
+            )
+        pc = cwipc.cwipc_read(filename, 0)
+        p = list(pc.get_points())[0]
+        assert (p.r, p.g, p.b) == (77, 0, 0)
+
     def test_debugdump_roundtrip(self, tmp_path):
         pc = _build_pointcloud()
         filename = str(tmp_path / "test.cwipcdump")

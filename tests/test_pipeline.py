@@ -52,6 +52,24 @@ class TestCodec:
         d = np.sqrt(((b[:200, None, :] - a[None, :, :]) ** 2).sum(-1)).min(axis=1)
         assert (d <= step * 0.9).all()
 
+    def test_empty_frame_decodes_host_backed(self):
+        """An n==0 frame must decode to a HOST-backed cloud like the n>0
+        path: an empty frame in an accelerator-free decode pipeline must
+        not force a device upload (codec decoder n==0 branch)."""
+        from cwipc_util_tpu import cwipc_from_points
+
+        empty = cwipc_from_points([], 777)
+        enc = codec.cwipc_new_encoder(params=codec.cwipc_encoder_params(octree_bits=9))
+        enc.feed(empty)
+        data = enc.get_bytes()
+        dec = codec.cwipc_new_decoder()
+        dec.feed(data)
+        out = dec.get()
+        assert out is not None
+        assert out.count() == 0
+        assert out.timestamp() == 777
+        assert out._lazy_host is not None  # never touched the device
+
     def test_quality_affects_size(self, small_pc):
         sizes = []
         for bits in (6, 8, 10):

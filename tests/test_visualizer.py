@@ -272,3 +272,47 @@ class TestOrbitMath:
         center_patch0 = img0[28:36, 28:36]
         assert center_patch1.max() > 0, "point must be centered after quarter turn"
         assert center_patch0.max() == 0, "point must be off-center at azimuth 0"
+
+
+class TestSplatDepth:
+    def test_far_wing_cannot_cover_near_center(self):
+        """With point_size >= 2, the splat wings must respect the z-buffer:
+        a farther point's wing may not overwrite a nearer point's center
+        pixel (render.py depth-tested splat passes)."""
+        cam = OrbitCamera(center=(0.0, 0.0, 0.0), distance=2.0)
+        # near red at the center pixel; far blue one pixel to the side, so
+        # the blue splat's wing pass lands exactly on the red center (the
+        # pre-fix unconditional overwrite showed blue there)
+        xyz = np.array([[0.0, 0.0, 0.0], [-0.05, 0.0, -0.5]], np.float32)
+        rgb = np.array([[255, 0, 0], [0, 0, 255]], np.uint8)
+        solo = render_points(xyz[:1], rgb[:1], 65, 65, cam, point_size=1)
+        cy, cx = np.argwhere((solo == [255, 0, 0]).all(-1))[0]
+        img, depth = render_points(
+            xyz, rgb, 65, 65, cam, point_size=3, return_depth=True
+        )
+        assert (img[cy, cx] == [255, 0, 0]).all()
+        # the depth at the red center must be the NEAR depth
+        near_z = depth[cy, cx]
+        blue = np.argwhere((img == [0, 0, 255]).all(-1))
+        assert len(blue) > 0
+        assert all(depth[y, x] > near_z for y, x in blue)
+
+
+class TestSkeletonFusion:
+    def test_two_bodies_stay_separate(self):
+        """fuse_skeletons must fuse per body (skeleton index), never welding
+        two people's joints into one chimera."""
+        from cwipc_util_tpu.io.render import fuse_skeletons
+
+        class J:
+            def __init__(self, conf, x):
+                self.confidence = conf
+                self.x = x
+                self.y = self.z = 0.0
+
+        # one camera sees two bodies; body 1's joints have HIGHER confidence
+        joints = [J(1, 0.0), J(1, 0.1)] + [J(2, 5.0), J(2, 5.1)]
+        bodies = fuse_skeletons([(2, 2, joints)], n_joints=2)
+        assert len(bodies) == 2
+        assert [j.x for j in bodies[0]] == [0.0, 0.1]
+        assert [j.x for j in bodies[1]] == [5.0, 5.1]
