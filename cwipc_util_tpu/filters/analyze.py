@@ -21,6 +21,7 @@ class AnalyzeFilter(BaseFilter):
         self.mins = np.full(3, np.inf)
         self.maxs = np.full(3, -np.inf)
         self.sum_avg = np.zeros(3)
+        self.nonempty = 0  # avg_centroid averages only clouds that have points
 
     def _process(self, pc):
         m = pc.get_numpy_matrix(onlyGeometry=True)
@@ -28,12 +29,13 @@ class AnalyzeFilter(BaseFilter):
             self.mins = np.minimum(self.mins, m.min(axis=0))
             self.maxs = np.maximum(self.maxs, m.max(axis=0))
             self.sum_avg += m.mean(axis=0)
+            self.nonempty += 1
         return pc
 
     def statistics(self):
         print(f"{self.filtername}: count={self.count}")
-        if self.count:
-            avg = self.sum_avg / self.count
+        if self.nonempty:
+            avg = self.sum_avg / self.nonempty
             for i, ax in enumerate("xyz"):
                 print(
                     f"{self.filtername}: {ax}: min={self.mins[i]:.3f},"

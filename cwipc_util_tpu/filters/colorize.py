@@ -65,7 +65,7 @@ _colorForBitCount: List[ColorTuple] = [
 ]
 
 _colorMapContributingCameras = ColorMap(
-    {i: _colorForBitCount[bin(i).count("1")] for i in range(255)}
+    {i: _colorForBitCount[bin(i).count("1")] for i in range(256)}
 )
 
 _namedColorMaps = dict(

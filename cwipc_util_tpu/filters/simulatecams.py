@@ -54,8 +54,12 @@ class SimulatecamsFilter(BaseFilter):
         else:
             second = order[:, 1]
             n = m.shape[0]
-            w0 = dots[np.arange(n), best] ** self.skew
-            w1 = dots[np.arange(n), second] ** self.skew
+            # clamp before powering: a negative dot raised to a fractional
+            # skew is NaN and to an even skew flips sign (the reference's
+            # own weight math has this hole, simulatecams.py:63-64); a
+            # camera facing away deserves weight 0, not a sign-flipped one
+            w0 = np.maximum(dots[np.arange(n), best], 0.0) ** self.skew
+            w1 = np.maximum(dots[np.arange(n), second], 0.0) ** self.skew
             chance = self._rng.uniform(-w0, np.maximum(w1, -w0 + 1e-12))
             cam = np.where(chance < 0, best, second)
         m[:, 6] = (1 << cam).astype(np.float32)

@@ -76,7 +76,9 @@ class CwipcBaseCaptureConfig:
     def from_json(self, data: Dict[str, Any]) -> None:
         self.type = data.get("type", self.type)
         self.cameras = []
-        for cam_data in data.get("camera", []):
+        # both spellings occur in the wild; the capturer factory accepts
+        # both, so the config object must too
+        for cam_data in data.get("camera", data.get("cameras", [])):
             cam = CwipcBaseCameraConfig(camera_type=self.type)
             cam.from_json(cam_data)
             self.cameras.append(cam)
@@ -210,15 +212,27 @@ class CwipcBaseCapture(ABC):
         active = [c for c in self.cameras if not c.config.disabled]
         if not active:
             return False
+        if len(active) > 8:
+            # the tile byte is an 8-bit camera mask (1 << index): more
+            # cameras cannot be represented — fail fast instead of
+            # overflowing in get()
+            raise CwipcError(
+                f"at most 8 active cameras supported (8-bit tile mask), got {len(active)}"
+            )
         # elect a sync master (first camera, capturers.hpp:341-344)
         active[0].is_sync_master = True
+        # mark each camera started as soon as its start_camera phase ran:
+        # a mid-phase failure must leave the already-started cameras
+        # stoppable (stop() only stops cameras with started=True), not
+        # leak their hardware streams until process exit
         for phase in ("pre_start_all_cameras", "start_camera", "start_camera_streaming", "post_start_all_cameras"):
             for cam in active:
                 rv = getattr(cam, phase)()
+                if phase == "start_camera" and rv is not False:
+                    cam.started = True
                 if rv is False:
+                    self.stop()
                     return False
-        for cam in active:
-            cam.started = True
         return True
 
     def stop(self) -> None:
@@ -333,6 +347,12 @@ class cwipc_capturer_impl_base(cwipc_activesource_abstract):
             return False
         data = json.loads(config) if isinstance(config, (str, bytes)) else config
         self.grabber.config.from_json(data)
+        if self.grabber.cameras and len(self.grabber.cameras) != len(
+            self.grabber.config.cameras
+        ):
+            # a zip() here would silently drop the extra camera configs (or
+            # leave extra camera objects on stale configs)
+            return False
         for cam, cam_cfg in zip(self.grabber.cameras, self.grabber.config.cameras):
             cam.config = cam_cfg
         return True

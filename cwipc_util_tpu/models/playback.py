@@ -75,10 +75,20 @@ class _Filesource(cwipc_activesource_abstract):
     def get(self) -> Optional[cwipc_pointcloud_wrapper]:
         if not self.filenames:
             if self.single_file_mode_pc:
-                return self.single_file_mode_pc.clone()
+                rv = self.single_file_mode_pc.clone()
+                now = time.time()
+                if now < self.earliest_return:
+                    time.sleep(self.earliest_return - now)
+                self.earliest_return = time.time() + self.delta_t
+                if self.retimestamp:
+                    rv._set_timestamp(int(time.time() * 1000))
+                return rv
             return None
         fn = self.filenames.pop(0)
-        if self.loop:
+        # single-file loop mode serves the cached clone from the second
+        # frame on — re-appending the name here would re-read the file from
+        # disk every frame and never reach the cache branch above
+        if self.loop and not self.single_file_mode:
             self.filenames.append(fn)
         rv = self._read_file(fn)
         if self.single_file_mode and rv:
@@ -159,21 +169,28 @@ def cwipc_playback(
 ) -> cwipc_activesource_abstract:
     """Source that plays .ply/.cwipcdump/.cwicpc files from a directory or list."""
     tileInfo = None
+    ext = ext.lower()  # recordings with uppercase extensions are still valid
     if isinstance(dir_or_files, str):
         names = sorted(
             fn for fn in os.listdir(dir_or_files) if fn.lower().endswith(ext)
         )
         if not names:
             raise CwipcError(f"No {ext} files in {dir_or_files}")
-        if inpoint:
-            names = [fn for fn in names if _filename_timestamp(fn) >= inpoint]
-        if outpoint:
-            names = [fn for fn in names if _filename_timestamp(fn) <= outpoint]
         tileinfo_fn = os.path.join(dir_or_files, "tileconfig.json")
         if os.path.exists(tileinfo_fn):
             with open(tileinfo_fn) as fp:
                 tileInfo = json.load(fp).get("tileInfo")
         dir_or_files = [os.path.join(dir_or_files, fn) for fn in names]
+    # in/outpoint trim applies to explicit file lists too (the script layer
+    # passes them regardless of the input form)
+    if inpoint:
+        dir_or_files = [
+            fn for fn in dir_or_files if _filename_timestamp(fn) >= inpoint
+        ]
+    if outpoint:
+        dir_or_files = [
+            fn for fn in dir_or_files if _filename_timestamp(fn) <= outpoint
+        ]
     if ext == ".ply":
         return _Filesource(dir_or_files, tileInfo=tileInfo, loop=loop, fps=fps, retimestamp=retimestamp)
     if ext == ".cwipcdump":
@@ -196,6 +213,11 @@ class _MulticamPlayback(cwipc_activesource_abstract):
 
     def __init__(self, sources, trafos, config_json: bytes):
         self.sources = list(sources)
+        if len(self.sources) > 8:
+            # cameraMask is 1 << camIndex in an 8-bit tile byte
+            raise CwipcError(
+                f"at most 8 cameras supported (8-bit tile mask), got {len(self.sources)}"
+            )
         self.trafos = [None if t is None else t for t in trafos]
         self._config_json = config_json
 

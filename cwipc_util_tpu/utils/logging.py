@@ -137,5 +137,18 @@ class capture_errors:
 
     @property
     def error(self) -> Optional[str]:
-        lst = getattr(self, "_captured", None) or getattr(_capture, "errors", None)
+        # after __exit__ the captured list is authoritative even when EMPTY:
+        # falling through to the (restored) enclosing region's buffer would
+        # report the OUTER region's error as this region's
+        captured = getattr(self, "_captured", None)
+        lst = captured if captured is not None else getattr(_capture, "errors", None)
         return lst[0] if lst else None
+
+    def raise_if_error(self) -> None:
+        """Promote a captured ERROR to a CwipcError (the factory
+        error-return contract the class docstring describes)."""
+        from ..core.errors import CwipcError
+
+        msg = self.error
+        if msg is not None:
+            raise CwipcError(msg)

@@ -106,3 +106,26 @@ class TestFilterBehavior:
         f.statistics()
         out = capsys.readouterr().out
         assert "voxelize" in out and "count=1" in out
+
+
+class TestReviewRegressions:
+    def test_colorize_contributions_covers_tile_255(self):
+        """Tile 255 (all 8 cameras contributed) must be colorized too —
+        the colormap is built over the full 0..255 range."""
+        from cwipc_util_tpu import cwipc_from_points, cwipc_point
+
+        pc = cwipc_from_points([cwipc_point(0, 0, 0, 10, 20, 30, 255)], 0)
+        out = filters.factory("colorize(1.0,'contributions')").filter(pc)
+        p = list(out.get_points())[0]
+        # 8 bits set -> _colorForBitCount[8] == (0, 0, 0)
+        assert (p.r, p.g, p.b) == (0, 0, 0)
+        assert p.tile == 255
+
+    def test_simulatecams_fractional_skew_no_nan(self, pc):
+        """Soft assignment with a fractional skew must not produce NaN
+        weights (negative dot products are clamped before powering)."""
+        out = filters.factory("simulatecams(3,False,1.5)").filter(pc.clone())
+        tiles = np.array([p.tile for p in out.get_points()])
+        assert set(np.unique(tiles)) <= {1, 2, 4}
+        # every camera sector should get SOME points on the synthetic body
+        assert len(np.unique(tiles)) == 3

@@ -265,16 +265,41 @@ class TestPlayback:
         assert count == 3
         src.stop()
 
-    def test_single_file_loop(self, tmp_path, small_pc):
+    def test_single_file_loop(self, tmp_path, small_pc, monkeypatch):
         fn = str(tmp_path / "frame-1.ply")
         cwipc.cwipc_write(fn, small_pc)
         src = cwipc_playback([fn], loop=True)
+        # the clone cache must serve frames 2..n without re-reading the file
+        from cwipc_util_tpu.models import playback as playback_mod
+
+        reads = []
+        orig = playback_mod._Filesource._read_file
+
+        def counting(self, f):
+            reads.append(f)
+            return orig(self, f)
+
+        monkeypatch.setattr(playback_mod._Filesource, "_read_file", counting)
         src.start()
         for _ in range(5):
             assert not src.eof()
             pc = src.get()
             assert pc is not None
         src.stop()
+        assert len(reads) == 1, "single-file loop must serve the cached clone"
+
+    def test_list_input_inpoint_outpoint(self, tmp_path, small_pc):
+        """inpoint/outpoint must trim explicit FILE LISTS too (the script
+        layer passes them for single-file --playback inputs)."""
+        d = self._make_dir(tmp_path, small_pc, ".ply")
+        import os
+
+        files = sorted(os.path.join(d, f) for f in os.listdir(d) if f.endswith(".ply"))
+        src = cwipc_playback(files, ext=".ply", inpoint=1001, outpoint=1001)
+        got = []
+        while not src.eof():
+            got.append(src.get().timestamp())
+        assert got == [1001]
 
     def test_retimestamp_wall_clock(self, tmp_path, small_pc):
         """--retimestamp replaces file timestamps with the wall clock
