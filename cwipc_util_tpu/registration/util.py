@@ -156,6 +156,24 @@ def cwipc_tile_occupancy(pc: cwipc_pointcloud_wrapper) -> dict:
     return {int(v): int(c) for v, c in zip(values, counts)}
 
 
+def cwipc_compute_tile_occupancy(
+    pc: cwipc_pointcloud_wrapper, cellsize: float = 0, filterfloor: bool = False
+):
+    """(tilenum, pointcount) pairs sorted by count descending, optionally
+    after a voxel downsample at `cellsize` and/or floor removal — the voxel
+    pass is what makes multi-camera combination tiles (tile-OR of merged
+    voxels) appear in the census (reference: util.py:184-200)."""
+    from .. import cwipc_downsample
+
+    work = pc
+    if filterfloor:
+        work = cwipc_floor_filter(work)
+    if cellsize:
+        work = cwipc_downsample(work, cellsize)
+    census = cwipc_tile_occupancy(work)
+    return sorted(census.items(), key=lambda tc: tc[1], reverse=True)
+
+
 def cwipc_downsample_pertile(
     pc: cwipc_pointcloud_wrapper, cellsize: float
 ) -> cwipc_pointcloud_wrapper:

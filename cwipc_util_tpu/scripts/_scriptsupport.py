@@ -182,7 +182,9 @@ class SourceServer:
         self.count = args.count
         self.inpoint = args.inpoint
         self.outpoint = args.outpoint
-        self.fps = None
+        # --fps paces every source type; synthetic/playback also pace
+        # internally, so the second gate here is a no-op for them
+        self.fps = getattr(args, "fps", None)
         self.lastGrabTime: Optional[float] = None
         self.stopped = False
         self.owns_grabber = owns_grabber
@@ -231,6 +233,18 @@ class SourceServer:
             pc = self.grab_pc()
             if not pc:
                 continue
+            # trim BEFORE filtering: skipped frames must be freed (not
+            # leaked) and not pay the filter chain
+            if self.viewer:
+                t = pc.timestamp()
+                if self.inpoint and t < self.inpoint:
+                    pc.free()
+                    continue
+                if self.outpoint and t > self.outpoint:
+                    pc.free()
+                    self.count = 0
+                    self.stop()
+                    continue
             for f in self.pc_filters:
                 pc = f.filter(pc)
             self.stats.add("capture_pointcount", pc.count(), isInt=True)
@@ -239,13 +253,6 @@ class SourceServer:
                 print(f"grab: captured {pc.count()} points, ts={pc.timestamp()}")
             t1 = time.time()
             if self.viewer:
-                t = pc.timestamp()
-                if self.inpoint and t < self.inpoint:
-                    continue
-                if self.outpoint and t > self.outpoint:
-                    self.count = 0
-                    self.stop()
-                    continue
                 self.viewer.feed(pc)
             self.latency_grab.append(time.time() - pc_timestamp)
             self.stats.add("capture_duration", t1 - t0)
@@ -319,7 +326,10 @@ def beginOfRun(args: argparse.Namespace) -> None:
         answer = None
         while answer != "Y":
             print(f"{sys.argv[0]}: starting, pid={os.getpid()}. Press Y to continue -", flush=True)
-            answer = sys.stdin.readline().strip()
+            line = sys.stdin.readline()
+            if not line:  # stdin at EOF (scripted run): proceed, don't spin
+                break
+            answer = line.strip()
     if args.debugpy:
         import debugpy  # type: ignore
 
@@ -342,4 +352,7 @@ def endOfRun(args: argparse.Namespace) -> None:
         answer = None
         while answer != "Y":
             print(f"{sys.argv[0]}: stopping, pid={os.getpid()}. Press Y to continue -", flush=True)
-            answer = sys.stdin.readline().strip()
+            line = sys.stdin.readline()
+            if not line:  # stdin at EOF: proceed, don't spin
+                break
+            answer = line.strip()

@@ -21,7 +21,7 @@ from .. import cwipc_read, cwipc_read_debugdump
 from ..registration import analyze as analyze_mod
 from ..registration.analyze import DEFAULT_ANALYZER_ALGORITHM, OverlapAnalyzer
 from ..registration.util import (
-    cwipc_tile_occupancy,
+    cwipc_compute_tile_occupancy,
     cwipc_tilefilter_masked,
     get_tiles_used,
 )
@@ -130,7 +130,10 @@ def main() -> int:
 
         plot_analysis_results(all_results, filename=args.plot, title=title)
     if args.occupancy >= 0:
-        for tilenum, count in sorted(cwipc_tile_occupancy(pc).items()):
+        # the CELLSIZE argument voxelizes first (reference semantics:
+        # cwipc_compute_tile_occupancy(cellsize=...)), which is what makes
+        # multi-camera combination tiles appear in the census
+        for tilenum, count in cwipc_compute_tile_occupancy(pc, cellsize=args.occupancy):
             print(f"Occupancy: tilenum={tilenum}, count={count}, "
                   f"ncamera={bin(tilenum).count('1')}")
     endOfRun(args)

@@ -81,13 +81,17 @@ def main() -> int:
                 file=sys.stderr,
             )
             return 1
-        idx = argv.index(inp)
-        argv = argv[:idx] + argv[idx + 1 :]
+        # locate BOTH positionals in the original argv before rewriting:
+        # indexing after the prepend could match the playback flag's value
+        # when input and output names collide (e.g. in-place conversion)
+        idx_in = argv.index(inp)
+        if single_output:
+            idx_out = argv.index(outp, idx_in + 1)
+            argv = argv[:idx_out] + argv[idx_out + 1 :]
+        argv = argv[:idx_in] + argv[idx_in + 1 :]
         src_flag = "--cameraconfig" if inp.endswith(".json") else "--playback"
         argv = [src_flag, inp] + argv
         if single_output:
-            oidx = argv.index(outp)
-            argv = argv[:oidx] + argv[oidx + 1 :]
             argv = ["--single_output", outp] + argv
         elif not os.path.isdir(outp):
             if os.path.exists(outp):

@@ -90,6 +90,14 @@ def main() -> int:
         rawsink = cwipc_sink_netserver(args.port, verbose=args.verbose > 1, nodrop=args.nodrop)
 
     if args.noencode:
+        if args.tiled or args.tile:
+            # the reference silently ignores these too (tiledescriptions
+            # feed only the encoder); at least say so
+            print(
+                f"{sys.argv[0]}: warning: --tiled/--tile require encoding,"
+                " ignored with --noencode",
+                file=sys.stderr,
+            )
         forwarder = cwipc_sink_passthrough(rawsink, verbose=args.verbose > 0, nodrop=args.nodrop)
     else:
         forwarder = cwipc_sink_encoder(rawsink, verbose=args.verbose > 0, nodrop=args.nodrop)

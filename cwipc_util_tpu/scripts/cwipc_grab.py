@@ -13,7 +13,6 @@ from typing import Optional
 
 from .. import CWIPC_FLAGS_BINARY, cwipc_write, cwipc_write_debugdump
 from ..core.pointcloud import cwipc_pointcloud_wrapper
-from ..utils.stats import Stats
 from ._scriptsupport import (
     ArgumentParser,
     SourceServer,
@@ -48,7 +47,6 @@ class FileWriter:
         self.pending = []  # --incore: buffered clouds, written at stop
         self.count_written = 0
         self.producer = None
-        self.stats = Stats("grab")
         self.encoder = None
         if compressed:
             from ..codec import cwipc_new_encoder

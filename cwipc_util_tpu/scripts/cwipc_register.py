@@ -341,11 +341,9 @@ class Registrator:
         best = max(correspondences) if correspondences else 0.0
         print(f"register: alignment {label}: overall correspondence {best:.5f}")
         if self.args.plot:
-            from ..registration.plot import Plotter
+            from ..registration.plot import plot_analysis_results
 
-            plotter = Plotter(title=f"Alignment {label}")
-            plotter.set_results(all_results)
-            plotter.plot(show=True)
+            plot_analysis_results(all_results, title=f"Alignment {label}")
         return best
 
     # -- stages -------------------------------------------------------------------
@@ -409,23 +407,28 @@ class Registrator:
             return False
         print(algo.report_change())
         new_pc = algo.get_result_pointcloud_full()
-        correspondence = 0.0
-        if self.cameraconfig.camera_count() > 1:
-            correspondence = self.check_alignment(new_pc, f"after {label}")
-        if self.args.guided:
-            while True:
-                answer = self.ask("Accept (yes/no/show)", "yes")
-                if answer == "yes":
-                    break
-                if answer == "no":
-                    return False
-                if answer == "show":
-                    try:
-                        from ..registration.util import show_pointcloud
+        try:
+            correspondence = 0.0
+            if self.cameraconfig.camera_count() > 1:
+                correspondence = self.check_alignment(new_pc, f"after {label}")
+            if self.args.guided:
+                while True:
+                    answer = self.ask("Accept (yes/no/show)", "yes")
+                    if answer == "yes":
+                        break
+                    if answer == "no":
+                        return False
+                    if answer == "show":
+                        try:
+                            from ..registration.util import show_pointcloud
 
-                        show_pointcloud(f"Result after {label}", new_pc)
-                    except Exception as e:
-                        print(f"register: cannot show: {e}")
+                            show_pointcloud(f"Result after {label}", new_pc)
+                        except Exception as e:
+                            print(f"register: cannot show: {e}")
+        finally:
+            # one full merged cloud per stage otherwise accumulates across
+            # guided-mode passes
+            new_pc.free()
         for i, T in enumerate(algo.get_result_transformations()):
             if i < self.cameraconfig.camera_count():
                 self.cameraconfig.set_transform(i, np.asarray(T))

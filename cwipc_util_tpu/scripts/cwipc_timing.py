@@ -36,7 +36,9 @@ def main() -> int:
     seq = 0
     prev_ts = None
     savergb_counter = args.savergb
-    count = args.count or 10
+    # explicit --count wins verbatim; only an OMITTED count defaults to 10
+    # (`or` would also coerce --count 0 and cap long recordings)
+    count = args.count if args.count is not None else 10
     while not source.eof() and seq < count:
         if not source.available(True):
             continue

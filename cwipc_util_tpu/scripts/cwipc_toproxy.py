@@ -26,7 +26,8 @@ def main() -> int:
     source = activesource_factory_from_args(args)()
     source.start()
     sock = socket.create_connection((args.host, args.port), timeout=5)
-    count = args.count or 10
+    # explicit --count wins verbatim; only an OMITTED count defaults to 10
+    count = args.count if args.count is not None else 10
     sent = 0
     while sent < count and not source.eof():
         if not source.available(True):
