@@ -207,6 +207,10 @@ class cwipc_window_sink:
                     self.camera.distance *= 0.9
                 elif ch == "-":
                     self.camera.distance *= 1.1
+                elif not responses:
+                    # caller claimed no keys ("press any key to close"):
+                    # any non-camera key ends the interaction
+                    return ch
                 self._render()
             if deadline is not None and time.time() >= deadline:
                 return "\0"

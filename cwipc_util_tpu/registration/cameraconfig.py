@@ -111,8 +111,14 @@ class CameraConfig:
         return json.dumps(self._data).encode("utf8")
 
     def _refresh_transforms(self) -> None:
+        # preserve dirtiness: rebuilding from _data must not make unsaved
+        # transform edits look saved (is_dirty gates save())
+        was_dirty = [t.is_dirty() for t in getattr(self, "transforms", [])]
         cameras = self._data.setdefault("camera", [])
         self.transforms = [Transform(cam.get("trafo")) for cam in cameras]
+        for t, dirty in zip(self.transforms, was_dirty):
+            if dirty:
+                t._dirty = True
 
     # -- accessors -------------------------------------------------------------
 
@@ -144,6 +150,11 @@ class CameraConfig:
         return all(t.is_identity() for t in self.transforms)
 
     def get_entry(self, path: str) -> Any:
+        # sync live transforms first: _data only sees them at save time, so
+        # a read-after-write of camera.N.trafo would return stale matrices
+        for i, t in enumerate(self.transforms):
+            if i < len(self._data.get("camera", [])):
+                self._data["camera"][i]["trafo"] = t.to_json()
         node: Any = self._data
         for part in path.split("."):
             if isinstance(node, list):

@@ -58,7 +58,9 @@ def fit_rigid(src: np.ndarray, dst: np.ndarray) -> RegistrationTransformation:
     cs, cd = src.mean(axis=0), dst.mean(axis=0)
     H = (src - cs).T @ (dst - cd)
     U, _, Vt = np.linalg.svd(H)
-    d = np.sign(np.linalg.det(Vt.T @ U.T))
+    # sign() would return 0.0 for a singular cross-covariance (degenerate
+    # corner sets) and make R a rank-2 projection, not a rotation
+    d = 1.0 if np.linalg.det(Vt.T @ U.T) >= 0 else -1.0
     R = Vt.T @ np.diag([1.0, 1.0, d]) @ U.T
     T = np.identity(4)
     T[:3, :3] = R
@@ -104,6 +106,21 @@ class MultiCameraCoarse(BaseMulticamAlgorithm):
                     if marker_id not in self.known_markers:
                         continue
                     T = fit_rigid(corners, self.known_markers[marker_id])
+                    # residual gate: corrupted detections (e.g. a color
+                    # blob polluted by scene objects) still produce a
+                    # best-effort rigid fit — reject fits that cannot map
+                    # the observed corners onto the known ones
+                    moved = corners @ T[:3, :3].T + T[:3, 3]
+                    residual = float(
+                        np.linalg.norm(moved - self.known_markers[marker_id], axis=1).mean()
+                    )
+                    if residual > 0.25 * self.marker_size:
+                        if self.verbose:
+                            print(
+                                f"coarse: camera {i}: marker {marker_id} fit residual"
+                                f" {residual:.3f} too large, rejected"
+                            )
+                        continue
                     self.transformations[i] = T
                     self.registered[i] = True
                     progress = True
@@ -229,21 +246,27 @@ class MultiCameraCoarseArucoRgb(MultiCameraCoarseAruco):
 
     def _find_markers(self, pc: cwipc_pointcloud_wrapper) -> Dict[int, np.ndarray]:
         metadata = pc._metadata
-        if metadata is None or not metadata.get_all_images("rgb"):
-            return super()._find_markers(pc)
-        import cv2
+        images = metadata.get_all_images("rgb") if metadata is not None else {}
+        if images:
+            # detection in the aux images is a HINT only: without the
+            # capturer's intrinsics the 2D corners cannot be deprojected,
+            # so corner geometry always comes from the rendered path below
+            # (and a marker invisible in RGB may still be detectable in
+            # the rendered cloud — never conclude "no markers" from RGB)
+            import cv2
 
-        detector = self._detector()
-        found: Dict[int, np.ndarray] = {}
-        for name, img in metadata.get_all_images("rgb").items():
-            gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY) if img.ndim == 3 else img
-            corners_list, ids, _ = detector.detectMarkers(gray)
-            if ids is None:
-                continue
-            # Without the capturer's intrinsics the 2D->3D mapping falls
-            # back to the rendered path.
-            return super()._find_markers(pc)
-        return found
+            detector = self._detector()
+            for _name, img in images.items():
+                if img.ndim == 3 and img.shape[2] == 4:
+                    gray = cv2.cvtColor(img[:, :, :3], cv2.COLOR_RGB2GRAY)
+                elif img.ndim == 3:
+                    gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+                else:
+                    gray = img
+                _corners, ids, _ = detector.detectMarkers(gray)
+                if ids is not None and self.verbose:
+                    print(f"coarse: rgb aux image {_name}: markers {sorted(ids.ravel())}")
+        return super()._find_markers(pc)
 
 
 class MultiCameraCoarseColorTarget(MultiCameraCoarse):

@@ -53,6 +53,11 @@ def estimate_normals(
     r2 = jnp.asarray(radius, jnp.float32) ** 2
 
     def accum(carry, w):
+        # accumulate moments of d = neighbor - query, NOT of absolute
+        # coordinates: |d| <= radius, so E[dd^T] - E[d]E[d]^T (the same
+        # covariance — a per-row constant shift cancels) stays conditioned
+        # in f32, while absolute second moments of a cloud meters from the
+        # origin would drown the ~radius^2 variance in rounding noise
         s, sw, sww = carry
         rolled = jnp.roll(sxyz, -w, axis=0)
         nb = idx + w
@@ -60,9 +65,9 @@ def estimate_normals(
         d = rolled - sxyz
         ok = ok & (jnp.sum(d * d, axis=-1) <= r2)
         wgt = ok.astype(jnp.float32)[:, None]
-        s = s + rolled * wgt
+        s = s + d * wgt
         sw = sw + wgt[:, 0]
-        sww = sww + (rolled[:, :, None] * rolled[:, None, :]) * wgt[:, :, None]
+        sww = sww + (d[:, :, None] * d[:, None, :]) * wgt[:, :, None]
         return (s, sw, sww), None
 
     offsets = jnp.asarray([w for w in range(-window, window + 1)], jnp.int32)

@@ -163,8 +163,6 @@ def cwipc_compute_tile_occupancy(
     after a voxel downsample at `cellsize` and/or floor removal — the voxel
     pass is what makes multi-camera combination tiles (tile-OR of merged
     voxels) appear in the census (reference: util.py:184-200)."""
-    from .. import cwipc_downsample
-
     work = pc
     if filterfloor:
         work = cwipc_floor_filter(work)
@@ -352,9 +350,11 @@ def pick_points(
 
     window = cwipc_window_sink(title)
     try:
-        window.feed(pc, True)
+        # headless: skip the (full-cloud) render entirely — the caller
+        # falls back to the automated detector anyway
         if not window._gui:
             return []
+        window.feed(pc, True)
         import cv2
 
         m = pc.get_numpy_matrix(onlyGeometry=True).astype(np.float32)

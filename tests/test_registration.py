@@ -278,10 +278,16 @@ class TestGICP:
         assert errs[RegistrationComputer_ICP_Point2Plane] > 0.04
 
     def test_gicp_exact_on_clean_pair(self, synth_pc):
-        """GICP recovers a small rigid misalignment on identical clouds."""
+        """GICP recovers a small rigid misalignment on identical clouds.
+
+        The synthetic body is sampled on rings, so rotating by one angular
+        step (~0.1 rad) maps the point set EXACTLY onto itself — a perfect
+        (rmse 0) alias registration.  The misalignment must stay well inside
+        half that alias spacing or the aligner may legitimately land on the
+        neighboring alias."""
         from cwipc_util_tpu.registration.fine import RegistrationComputer_ICP_Generalized
 
-        T_true = _rotation_y(0.05) @ _translation(0.01, 0.005, -0.01)
+        T_true = _rotation_y(0.03) @ _translation(0.01, 0.005, -0.01)
         moved = cwipc_transform(synth_pc, np.linalg.inv(T_true))
         al = RegistrationComputer_ICP_Generalized()
         al.set_source_pointcloud(moved)
@@ -535,3 +541,32 @@ class TestNormals:
         norms = np.linalg.norm(normals[: len(pts)][interior], axis=1)
         assert np.allclose(norms, 1.0, atol=1e-3)
         assert np.allclose(normals[len(pts):], 0.0)
+
+    def test_plane_normals_far_from_origin(self):
+        """f32 conditioning: a patch 50 m from the origin must still get
+        clean normals — the covariance is accumulated from CENTERED
+        neighbor offsets, so absolute-coordinate cancellation cannot drown
+        the ~radius^2 neighborhood variance (normals.py accum)."""
+        import jax.numpy as jnp
+
+        from cwipc_util_tpu.core.buffers import PointBuffer
+        from cwipc_util_tpu.registration.normals import estimate_normals
+
+        n_side = 32
+        g = np.linspace(0.0, 0.31, n_side, dtype=np.float32)
+        xx, yy = np.meshgrid(g, g)
+        cap = 2048
+        xyz = np.zeros((cap, 3), np.float32)
+        pts = np.stack([xx.ravel(), yy.ravel(), np.zeros(n_side * n_side, np.float32)], 1)
+        pts += np.array([50.0, -30.0, 40.0], np.float32)  # far from origin
+        xyz[: len(pts)] = pts
+        buf = PointBuffer(
+            xyz=jnp.asarray(xyz),
+            rgba=jnp.zeros(cap, jnp.uint32),
+            count=jnp.int32(len(pts)),
+        )
+        normals = np.asarray(estimate_normals(buf, jnp.float32(0.05)))
+        nz = normals[: len(pts), 2]
+        rel = pts - pts.min(axis=0)
+        interior = (rel[:, 0] > 0.05) & (rel[:, 0] < 0.26) & (rel[:, 1] > 0.05) & (rel[:, 1] < 0.26)
+        assert np.all(np.abs(nz[interior]) > 0.99), "far-origin normals degraded"
