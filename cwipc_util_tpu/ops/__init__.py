@@ -268,6 +268,10 @@ def cwipc_tilemap(
     if isinstance(mapping, dict):
         lut = np.zeros(256, np.uint8)
         for k, v in mapping.items():
+            if not 0 <= k <= 255 or not 0 <= v <= 255:
+                # a bare IndexError / silent negative-wrap would remap the
+                # wrong tile
+                raise CwipcError(f"cwipc_tilemap: entry {k}:{v} out of 0..255")
             lut[k] = v
     else:
         lut = np.frombuffer(bytes(mapping), np.uint8).copy()
@@ -317,4 +321,18 @@ def cwipc_join(
 
 
 def cwipc_join_multi(pcs: Iterable[cwipc_pointcloud_wrapper]) -> cwipc_pointcloud_wrapper:
-    return functools.reduce(cwipc_join, pcs)
+    # free intermediate join results: reduce() would otherwise leave N-2
+    # unreleased device buffers per call (a per-frame leak in fusion loops)
+    it = iter(pcs)
+    try:
+        acc = next(it)
+    except StopIteration:
+        raise TypeError("cwipc_join_multi: empty iterable") from None
+    first = True
+    for pc in it:
+        joined = cwipc_join(acc, pc)
+        if not first:
+            acc.free()
+        acc = joined
+        first = False
+    return acc

@@ -61,7 +61,11 @@ def _keep_from_moments(mean_dist, valid, mult, n, s, sq) -> jax.Array:
     # PCL: variance = (sq_sum - sum^2/n) / (n-1)
     var = (sq - s * s / n_safe) / jnp.maximum(n - 1.0, 1.0)
     sigma = jnp.sqrt(jnp.maximum(var, 0.0))
-    thr = mean + jnp.asarray(mult, jnp.float32) * sigma
+    m = jnp.asarray(mult, jnp.float32)
+    # mult=inf is the documented "pure downsample" mode: inf * sigma is NaN
+    # when sigma == 0 (uniform or single-point populations), which would
+    # drop EVERY point instead of keeping all
+    thr = jnp.where(jnp.isinf(m), jnp.inf, mean + m * sigma)
     return jnp.logical_and(valid, mean_dist <= thr)
 
 
@@ -238,7 +242,10 @@ def _mean_knn_dist_window(
     smallest = jnp.sort(d2, axis=0)[:kk]  # [k, cap]
     found = smallest < _F32_MAX / 2
     dists = jnp.where(found, jnp.sqrt(jnp.maximum(smallest, 0.0)), 0.0)
-    md = dists.sum(axis=0) / float(k)
+    # divide by the EFFECTIVE k (the Pallas kernel does the same): with
+    # k > 2*window only 2*window candidates exist, and a k divisor would
+    # make the CPU and TPU paths disagree on md
+    md = dists.sum(axis=0) / float(kk)
     return jnp.where(valid, md, 0.0)
 
 

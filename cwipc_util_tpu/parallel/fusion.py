@@ -34,14 +34,17 @@ def _local_clean(xyz, rgba, count, cellsize, k, mult, cell_cap):
     """Per-camera local pipeline: downsample + statistical outlier removal."""
     buf = PointBuffer(xyz=xyz, rgba=rgba, count=count)
     down = voxelize.downsample(buf, cellsize)
-    cell = jnp.asarray(cellsize, jnp.float32) * 4.0
+    # grid exactness precondition (ops/outliers.py header): a 3c cell of a
+    # c-downsampled cloud holds <= 27 voxel points, within cell_cap=32;
+    # 4c cells can hold 64 and would silently truncate candidate sets
+    cell = jnp.asarray(cellsize, jnp.float32) * 3.0
     clean = outliers.remove_outliers(
         down, k, mult, method="grid", cell=cell, cell_cap=cell_cap
     )
     return clean
 
 
-def make_fusion_step(mesh: Mesh, k: int = 12, cell_cap: int = 16):
+def make_fusion_step(mesh: Mesh, k: int = 12, cell_cap: int = 32):
     """Build the jitted multi-camera fusion step for the given mesh.
 
     Takes per-camera arrays with a leading camera axis sharded over the

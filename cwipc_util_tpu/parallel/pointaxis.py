@@ -23,6 +23,28 @@ from .fusion import make_fusion_step
 from .mesh import camera_sharding
 
 
+def check_morton_extent(buf: PointBuffer, cellsize: float) -> None:
+    """Reject scenes wider than the 10-bit Morton domain (1024 cells) at
+    this cell size: the sharded paths quantize with clamped keys, which
+    would silently merge distinct fringe voxels (the single-device wrapper
+    switches to exact keys instead, ops/__init__.py)."""
+    from ..core.errors import CwipcError
+    from ..ops.voxelize import _MORTON_MAX
+
+    n = int(buf.count)
+    if n == 0:
+        return
+    xyz = np.asarray(buf.xyz[:n])
+    cells = np.floor(xyz / float(cellsize))
+    extent = cells.max(axis=0) - cells.min(axis=0)
+    if (extent > _MORTON_MAX).any():
+        raise CwipcError(
+            f"sharded chain: scene spans {int(extent.max())} cells at cellsize"
+            f" {cellsize} (max {_MORTON_MAX}); use a larger cellsize or the"
+            " single-device path"
+        )
+
+
 def shard_pointbuffer(buf: PointBuffer, n_devices: int):
     """Split a PointBuffer into n_devices equal shards along the point axis.
 
@@ -40,7 +62,7 @@ def shard_pointbuffer(buf: PointBuffer, n_devices: int):
     return xyz, rgba, counts
 
 
-def make_sharded_downsample(mesh: Mesh, k: int = 8, cell_cap: int = 16):
+def make_sharded_downsample(mesh: Mesh, k: int = 8, cell_cap: int = 32):
     """Jitted sharded downsample(+clean) over the mesh's devices.
 
     Callable as step(xyz, rgba, counts, cellsize, mult) with per-shard
@@ -55,6 +77,7 @@ def sharded_downsample(
     mesh: Mesh, buf: PointBuffer, cellsize: float, mult: float = float("inf")
 ) -> PointBuffer:
     """Convenience one-shot: shard, downsample across the mesh, fuse."""
+    check_morton_extent(buf, float(cellsize))
     n = len(mesh.devices.ravel())
     xyz, rgba, counts = shard_pointbuffer(buf, n)
     sh = camera_sharding(mesh)
@@ -132,6 +155,7 @@ def sharded_chain(
     mult: float = 1.0, tile: int = 0, window: int = 16,
 ) -> PointBuffer:
     """Convenience one-shot sharded headline chain."""
+    check_morton_extent(buf, float(cellsize))
     n = len(mesh.devices.ravel())
     xyz, rgba, counts = shard_pointbuffer(buf, n)
     sh = camera_sharding(mesh)
@@ -282,6 +306,7 @@ def sharded_chain_exact(
     cap: int, mult: float = 1.0, tile: int = 0, chunk: int = 256,
 ) -> PointBuffer:
     """Convenience one-shot sharded EXACT chain."""
+    check_morton_extent(buf, float(cellsize))
     n = len(mesh.devices.ravel())
     xyz, rgba, counts = shard_pointbuffer(buf, n)
     sh = camera_sharding(mesh)

@@ -35,9 +35,12 @@ Static-shape safety: per-(source, target) blocks are a fixed B rows; a
 pathological split that overflows B is DETECTED (flags bit 0) never
 silent, as is a range thinner than the kNN window (flags bit 1, seam
 candidates then under-filled exactly like a cloud edge).  Reference
-semantics preserved: PCL global-statistics outlier threshold
-(/root/reference/src/cwipc_filters.cpp:181-278), downsample contract as
-ops/voxelize.py.
+semantics: PCL global-statistics outlier threshold preserved exactly
+(/root/reference/src/cwipc_filters.cpp:181-278); the downsample voxel SET
+matches ops/voxelize.py exactly, while centroids of voxels whose raw
+points straddle INPUT-shard boundaries average the per-shard partials
+unweighted (deviation bounded by the voxel cell — see the routing note in
+the chain body).
 """
 
 from __future__ import annotations
@@ -117,12 +120,15 @@ def make_sharded_chain_rangemerge(
     per-target block overflowed (results dropped rows — rerun with a
     larger ``block``), bit 1 = a seam halo carried fewer rows than exist
     beyond it (a range thinner than ``window`` in the middle of the
-    cloud), so seam kNN candidates were under-filled.
+    cloud), so seam kNN candidates were under-filled; bit 2 = the scene is
+    wider than 1024 cells at this cell size, so clamped Morton keys merged
+    distinct fringe voxels (use a larger cellsize, or the single-device
+    path which switches to exact keys).
 
-    ``down_cap`` bounds each shard's local downsample output (default:
-    the shard capacity); ``block`` is the per-(source, target) exchange
-    block B (default: ``2 * down_cap / D`` — slack 2 over a perfectly
-    balanced split of a full-capacity shard).
+    ``down_cap`` bounds the assumed per-shard row count for the block-size
+    default (default: the shard capacity); ``block`` is the
+    per-(source, target) exchange block B (default: ``2 * down_cap / D`` —
+    slack 2 over a perfectly balanced split of a full-capacity shard).
     """
     n_dev = len(mesh.devices.ravel())
     d = n_dev
@@ -130,8 +136,8 @@ def make_sharded_chain_rangemerge(
     def per_device(xyz, rgba, count, cellsize, mult, tile):
         xyz, rgba, count = xyz[0], rgba[0], count[0]
         cap_s = xyz.shape[0]
-        dcap = cap_s if down_cap is None else down_cap
-        b = max(1, -(-2 * dcap // d)) if block is None else block
+        rcap = cap_s if down_cap is None else down_cap
+        b = max(1, -(-2 * rcap // d)) if block is None else block
         cell = jnp.asarray(cellsize, jnp.float32)
         idx_s = jnp.arange(cap_s, dtype=jnp.int32)
         valid_in = idx_s < count
@@ -143,13 +149,23 @@ def make_sharded_chain_rangemerge(
         vmin = jax.lax.pmin(vmin_l, CAMERA_AXIS)
         vmin_safe = jnp.where(vmin == _SENTINEL, 0, vmin)
 
+        # Local pre-reduce, then route the reduced rows.  NOTE a documented
+        # approximation: a voxel whose RAW points are split across INPUT
+        # shards contributes one partial centroid per shard, and the merge
+        # averages those partials unweighted (mean of means, not the
+        # count-weighted single-device centroid).  Only voxels straddling
+        # input-shard boundaries are affected; the deviation is bounded by
+        # the voxel cell.  Routing raw rows instead would be exact but
+        # needs per-(source,target) blocks of the full shard size for
+        # spatially-coherent shards (the realistic sharding), collapsing
+        # the O(total/D) merge this module exists to provide.
         buf = PointBuffer(xyz=xyz, rgba=rgba, count=count)
-        lx, ly, lz, lrgba, lcnt = voxelize.downsample_cm(buf, cell, dcap, vmin=vmin)
-        lvalid = jnp.arange(dcap, dtype=jnp.int32) < lcnt
+        lx, ly, lz, lrgba, lcnt = voxelize.downsample_cm(buf, cell, rcap, vmin=vmin)
+        lvalid = jnp.arange(rcap, dtype=jnp.int32) < lcnt
         lkey = _morton_keys(lx, ly, lz, lvalid, vmin_safe, cell)
 
         # 2. sample-sort splitters (identical on every device)
-        pos = jnp.clip((jnp.arange(_SAMPLES, dtype=jnp.int32) * lcnt) // _SAMPLES, 0, dcap - 1)
+        pos = jnp.clip((jnp.arange(_SAMPLES, dtype=jnp.int32) * lcnt) // _SAMPLES, 0, rcap - 1)
         sample = jnp.where(lcnt > 0, lkey[pos], _SENTINEL)
         g_sample = jax.lax.all_gather(sample, CAMERA_AXIS).reshape(d * _SAMPLES)
         g_sample = jnp.sort(g_sample)
@@ -276,11 +292,19 @@ def make_sharded_chain_rangemerge(
             ),
             gmask,
         )
-        any_ovf, any_thin = jax.lax.psum(
-            jnp.stack([send_ovf.astype(jnp.int32), thin.astype(jnp.int32)]),
+        # bit 2: the scene exceeds the 10-bit Morton domain at this cell
+        # size — clamped keys would silently merge distinct fringe voxels
+        # (the single-device wrapper switches to exact keys in this case,
+        # ops/__init__.py; the sharded chain reports it instead)
+        ext_ovf = jnp.any(((v - vmin_safe[None, :]) > _MORTON_MAX) & valid_in[:, None])
+        any_ovf, any_thin, any_ext = jax.lax.psum(
+            jnp.stack([send_ovf.astype(jnp.int32), thin.astype(jnp.int32),
+                       ext_ovf.astype(jnp.int32)]),
             CAMERA_AXIS,
         )
-        flags = ((any_ovf > 0) + 2 * (any_thin > 0)).astype(jnp.int32)
+        flags = (
+            (any_ovf > 0) + 2 * (any_thin > 0) + 4 * (any_ext > 0)
+        ).astype(jnp.int32)
         return final.xyz, final.rgba, final.count, flags
 
     sharded = shard_map(

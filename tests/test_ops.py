@@ -320,3 +320,40 @@ def test_spacing_estimate_not_inflated_by_distant_prefix():
         assert spacing < 0.1, f"spacing overestimated: {spacing}"
     finally:
         pc.free()
+
+
+def test_remove_outliers_inf_mult_on_uniform_grid_keeps_all():
+    """mult=inf is the documented pure-downsample mode; a zero-variance
+    mean-distance population (uniform grid) must keep everything instead
+    of producing a NaN threshold that drops every point."""
+    g = np.linspace(0.0, 0.3, 8, dtype=np.float32)
+    xx, yy, zz = np.meshgrid(g, g, g)
+    pts = [(float(x), float(y), float(z), 0, 0, 0, 0)
+           for x, y, z in zip(xx.ravel(), yy.ravel(), zz.ravel())]
+    pc = cwipc.cwipc_from_points(pts, 0)
+    out = cwipc.cwipc_remove_outliers(pc, 6, float("inf"), False)
+    assert out.count() == pc.count()
+
+
+def test_tilemap_dict_rejects_out_of_range_keys():
+    pc = cwipc.cwipc_from_points([cwipc.cwipc_point(0, 0, 0, 1, 2, 3, 1)], 0)
+    with pytest.raises(cwipc.CwipcError):
+        cwipc.cwipc_tilemap(pc, {256: 1})
+    with pytest.raises(cwipc.CwipcError):
+        cwipc.cwipc_tilemap(pc, {-1: 5})
+
+
+def test_join_multi_frees_intermediates():
+    from cwipc_util_tpu import cwipc_dangling_allocations, cwipc_join_multi
+
+    before = cwipc_dangling_allocations(False)
+    pcs = [
+        cwipc.cwipc_from_points([cwipc.cwipc_point(i, 0, 0, 1, 2, 3, 1)], 0)
+        for i in range(4)
+    ]
+    joined = cwipc_join_multi(pcs)
+    assert joined.count() == 4
+    joined.free()
+    for p in pcs:
+        p.free()
+    assert cwipc_dangling_allocations(False) == before

@@ -256,3 +256,22 @@ class TestShardedChainExact:
             for kk in np.floor(np.asarray(got.xyz[:n_got]) * inv).astype(np.int64)
         }
         assert a == b, f"{len(a ^ b)} mismatched voxels"
+
+
+class TestMortonExtentGuard:
+    def test_wide_scene_rejected(self):
+        """Scenes wider than 1024 cells at the given cellsize must be
+        rejected by the sharded convenience wrappers (clamped keys would
+        silently merge fringe voxels; the single-device wrapper switches
+        to exact keys instead)."""
+        import numpy as np
+
+        import cwipc_util_tpu as cwipc
+        from cwipc_util_tpu.parallel.pointaxis import check_morton_extent
+
+        pts = [(0.0, 0.0, 0.0, 0, 0, 0, 0), (30.0, 0.0, 0.0, 0, 0, 0, 0)]
+        pc = cwipc.cwipc_from_points(pts, 0)
+        buf = pc._access_buffer()
+        with pytest.raises(cwipc.CwipcError):
+            check_morton_extent(buf, 0.01)  # 3000 cells wide
+        check_morton_extent(buf, 0.1)  # 300 cells: fine
