@@ -34,8 +34,10 @@
 /* ------------------------------------------------------------------ */
 
 static std::mutex log_mutex;
-static int log_level = CWIPC_LOG_LEVEL_WARNING;
-static cwipc_log_callback_t log_callback = nullptr;
+// atomics: _cwipc_log_emit reads these concurrently with
+// cwipc_log_configure's writes (an unsynchronized read is a data race)
+static std::atomic<int> log_level{CWIPC_LOG_LEVEL_WARNING};
+static std::atomic<cwipc_log_callback_t> log_callback{nullptr};
 static thread_local char **current_errorbuf = nullptr;
 static std::chrono::steady_clock::time_point log_start =
     std::chrono::steady_clock::now();
@@ -54,8 +56,9 @@ extern "C" void _cwipc_log_emit(int level, const char *module, const char *messa
     char buf[1024];
     snprintf(buf, sizeof(buf), "t=%.3f: %s: %s: %s", t, module, name, message);
     std::lock_guard<std::mutex> lock(log_mutex);
-    if (log_callback) {
-        log_callback(level, buf);
+    cwipc_log_callback_t cb = log_callback.load();
+    if (cb) {
+        cb(level, buf);
     } else {
         fprintf(stderr, "%s\n", buf);
     }
@@ -114,17 +117,22 @@ struct cwipc_metadata {
 extern "C" int cwipc_metadata_count(cwipc_metadata *md) {
     return md ? (int)md->items.size() : 0;
 }
+// bounds-checked by hand: a C++ exception (vector::at) must never cross
+// the extern "C" ABI boundary — out-of-range indexes return NULL/0
+static bool md_idx_ok(cwipc_metadata *md, int idx) {
+    return md && idx >= 0 && (size_t)idx < md->items.size();
+}
 extern "C" const char *cwipc_metadata_name(cwipc_metadata *md, int idx) {
-    return md->items.at(idx).name.c_str();
+    return md_idx_ok(md, idx) ? md->items[idx].name.c_str() : nullptr;
 }
 extern "C" const char *cwipc_metadata_description(cwipc_metadata *md, int idx) {
-    return md->items.at(idx).description.c_str();
+    return md_idx_ok(md, idx) ? md->items[idx].description.c_str() : nullptr;
 }
 extern "C" size_t cwipc_metadata_size(cwipc_metadata *md, int idx) {
-    return md->items.at(idx).data.size();
+    return md_idx_ok(md, idx) ? md->items[idx].data.size() : 0;
 }
 extern "C" const void *cwipc_metadata_pointer(cwipc_metadata *md, int idx) {
-    return md->items.at(idx).data.data();
+    return md_idx_ok(md, idx) ? md->items[idx].data.data() : nullptr;
 }
 extern "C" void cwipc_metadata_add(cwipc_metadata *md, const char *name,
                                    const char *description, const void *data,
@@ -308,6 +316,8 @@ extern "C" int cwipc_write_ext(const char *filename, cwipc_pointcloud *pc,
             fp << line;
         }
     }
+    fp.close();  /* flush BEFORE the status check: a disk-full failure
+                  * in the destructor would otherwise report success */
     set_errorbuf(nullptr);
     return fp.good() ? 0 : -1;
 }
@@ -451,6 +461,8 @@ extern "C" int cwipc_write_debugdump(const char *filename, cwipc_pointcloud *pc,
     std::vector<uint8_t> buf(needed);
     cwipc_pointcloud_copy_packet(pc, buf.data(), needed);
     fp.write((const char *)buf.data(), needed);
+    fp.close();  /* flush BEFORE the status check: a disk-full failure
+                  * in the destructor would otherwise report success */
     set_errorbuf(nullptr);
     return fp.good() ? 0 : -1;
 }
@@ -501,6 +513,13 @@ extern "C" cwipc_pointcloud *cwipc_downsample(cwipc_pointcloud *pc, float cellsi
     if (!pc) return nullptr;
     cellsize = fabsf(cellsize);
     if (pc->cellsize >= cellsize) cellsize = pc->cellsize;
+    if (cellsize <= 0.0f) {
+        /* zero-size voxels: no-op copy (1/cellsize would be inf and the
+         * int cast of inf is undefined behavior) */
+        auto *copy = clone_meta(pc);
+        copy->points = pc->points;
+        return copy;
+    }
     struct Acc {
         double x = 0, y = 0, z = 0, r = 0, g = 0, b = 0;
         uint32_t n = 0;
@@ -595,6 +614,9 @@ static std::vector<float> mean_knn_distances(const std::vector<cwipc_point> &pts
     size_t n = pts.size();
     std::vector<float> md(n, 0.0f);
     if (n < 2) return md;
+    /* k < 1 (e.g. atoi of a junk CLI argument) would index before
+     * begin() in nth_element and divide by zero below */
+    if (k < 1) k = 1;
     /* Grid cell size from the typical point spacing: the cloud's cellsize
      * when known, else a sampled median nearest-neighbor distance.  The
      * nearest neighbor of each sample is searched among ALL points — the
@@ -1023,11 +1045,10 @@ struct WindowSink : public cwipc_sink {
         float fl = sqrtf(fwd[0] * fwd[0] + fwd[1] * fwd[1] + fwd[2] * fwd[2]);
         if (fl < 1e-9f) fl = 1e-9f;
         for (float &v : fwd) v /= fl;
-        float right[3] = {fwd[1] * 0 - fwd[2] * 1 * 0, 0, 0};
-        /* right = fwd x up, up = (0,1,0) */
-        right[0] = fwd[2];
-        right[1] = 0;
-        right[2] = -fwd[0];
+        /* right = fwd x up with up = (0,1,0): (-fwd_z, 0, fwd_x) — the
+         * same convention as the Python viewer (io/render.py); the
+         * negated form renders every frame rotated 180 degrees */
+        float right[3] = {-fwd[2], 0, fwd[0]};
         float rl = sqrtf(right[0] * right[0] + right[2] * right[2]);
         if (rl < 1e-9f) { right[0] = 1; right[2] = 0; rl = 1; }
         right[0] /= rl;
@@ -1126,12 +1147,19 @@ extern "C" cwipc_source *cwipc_capturer(const char *configFilename,
     if (!check_api_version("cwipc_capturer", apiVersion, errorMessage)) return nullptr;
     std::string config;
     if (configFilename == nullptr || strcmp(configFilename, "auto") == 0) {
-        std::lock_guard<std::mutex> lock(capturers_mutex);
-        const CapturerEntry *present = nullptr;
+        /* copy entries out of the lock before invoking plugin callbacks:
+         * a factory/count hook that (transitively) registers a capturer
+         * would re-enter the non-recursive mutex and deadlock */
+        std::vector<CapturerEntry> snapshot;
+        {
+            std::lock_guard<std::mutex> lock(capturers_mutex);
+            snapshot = capturers;
+        }
+        CapturerEntry present{};
         int n_present = 0;
-        for (const auto &e : capturers) {
+        for (const auto &e : snapshot) {
             if (e.countFn && e.countFn() > 0) {
-                present = &e;
+                present = e;
                 n_present++;
             }
         }
@@ -1142,7 +1170,7 @@ extern "C" cwipc_source *cwipc_capturer(const char *configFilename,
                                            : "cwipc_capturer: auto: multiple camera types present");
             return nullptr;
         }
-        return present->factoryFn("{}", errorMessage);
+        return present.factoryFn("{}", errorMessage);
     }
     if (configFilename[0] == '{') {
         config = configFilename;
@@ -1158,9 +1186,14 @@ extern "C" cwipc_source *cwipc_capturer(const char *configFilename,
     }
     std::string type = json_find_type(config);
     {
-        std::lock_guard<std::mutex> lock(capturers_mutex);
-        for (const auto &e : capturers)
-            if (e.name == type) return e.factoryFn(config.c_str(), errorMessage);
+        cwipc_capturer_factory_fn factory = nullptr;
+        {
+            std::lock_guard<std::mutex> lock(capturers_mutex);
+            for (const auto &e : capturers)
+                if (e.name == type) { factory = e.factoryFn; break; }
+        }
+        /* invoke outside the lock (see the auto path) */
+        if (factory) return factory(config.c_str(), errorMessage);
     }
     if (errorMessage) {
         std::string msg = "cwipc_capturer: unknown capturer type \"" + type + "\"";

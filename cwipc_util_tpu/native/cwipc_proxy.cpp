@@ -64,6 +64,11 @@ class ProxySource : public cwipc_source {
             ::close(listen_fd_);
             listen_fd_ = -1;
         }
+        /* also shut down the accepted connection: a connected-but-silent
+         * sender would keep serverMain blocked in recv() and the join
+         * below would hang forever */
+        int conn = conn_fd_.load();
+        if (conn >= 0) ::shutdown(conn, SHUT_RDWR);
         cv_.notify_all();
         if (thread_.joinable()) thread_.join();
         std::lock_guard<std::mutex> lock(mutex_);
@@ -112,6 +117,7 @@ class ProxySource : public cwipc_source {
                 if (!running_) break;
                 continue;
             }
+            conn_fd_ = conn;
             while (running_) {
                 struct cwipc_point_packetheader hdr;
                 if (!recvAll(conn, &hdr, sizeof(hdr))) break;
@@ -132,13 +138,17 @@ class ProxySource : public cwipc_source {
                     cv_.notify_all();
                 }
                 uint64_t ack = hdr.timestamp;
-                ::send(conn, &ack, sizeof(ack), 0);
+                /* MSG_NOSIGNAL: a sender that disconnected before the ack
+                 * must produce EPIPE, not a process-killing SIGPIPE */
+                ::send(conn, &ack, sizeof(ack), MSG_NOSIGNAL);
             }
+            conn_fd_ = -1;
             ::close(conn);
         }
     }
 
     int listen_fd_ = -1;
+    std::atomic<int> conn_fd_{-1};
     bool ok_ = true;
     std::atomic<bool> running_{true};
     std::thread thread_;

@@ -58,6 +58,10 @@ def cwipc_downsample(
     cellsize = abs(float(voxelsize))
     if pc.cellsize() >= cellsize:
         cellsize = pc.cellsize()
+    if cellsize <= 0:
+        # zero-size voxels: no-op copy (a 1/cellsize quantization would
+        # divide by zero)
+        return pc.clone()
     buf = pc._access_buffer()
     # The fast single-Morton-key sort is exact within a 1024^3-cell domain;
     # wider scenes need the exact per-axis tiebreak keys.  Use the host

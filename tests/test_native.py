@@ -539,3 +539,32 @@ def test_pcl2dump_app(tmp_path):
                        capture_output=True, text=True, timeout=60)
     assert r.returncode == 0
     assert "Skipping save" in r.stderr
+
+
+def test_native_degenerate_args(native_lib):
+    """Edge arguments must not invoke UB: k<1 outlier removal clamps to 1
+    (no before-begin nth_element / division by zero), cellsize-0
+    downsample is a no-op copy (no inf->int cast), and out-of-range
+    metadata indexes return NULL instead of throwing across the C ABI."""
+    import cwipc_util_tpu as cwipc
+
+    gen = cwipc.cwipc_synthetic(0, 2000)
+    gen.start()
+    pc = gen.get()
+    gen.stop()
+    pts = bytes(pc.get_bytes())
+    err = ctypes.c_char_p()
+    buf = ctypes.create_string_buffer(pts, len(pts))
+    npc = native_lib.cwipc_from_points(
+        buf, len(pts), pc.count(), 0, ctypes.byref(err), cwipc.CWIPC_API_VERSION
+    )
+    # k=0: must not crash and must not delete the whole cloud
+    nclean = native_lib.cwipc_remove_outliers(npc, 0, ctypes.c_float(1.0), False)
+    n = native_lib.cwipc_pointcloud_count(nclean)
+    assert 0 < n <= pc.count()
+    native_lib.cwipc_pointcloud_free(nclean)
+    # cellsize 0: no-op copy
+    ndown = native_lib.cwipc_downsample(npc, ctypes.c_float(0.0))
+    assert native_lib.cwipc_pointcloud_count(ndown) == pc.count()
+    native_lib.cwipc_pointcloud_free(ndown)
+    native_lib.cwipc_pointcloud_free(npc)
