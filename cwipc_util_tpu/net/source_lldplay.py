@@ -149,19 +149,23 @@ class _LLDashPlaySource(cwipc_activerawmultisource_abstract):
             for i, view in enumerate(self.tiles):
                 n = self.dll.lldplay_grab_frame(self.handle, i, buf, bufsize, None)
                 if n > 0:
-                    # drop-oldest, never block: the pump is shared by all
-                    # tiles, so one unconsumed tile must not stall the rest
-                    # (live streams favor the newest frame anyway)
+                    # bounded wait, then drop-oldest: a LIVE consumer gets
+                    # every frame (the short grace covers scheduling jitter),
+                    # while an unconsumed tile cannot stall the shared pump
+                    # forever — it degrades to newest-frames-only
                     payload = buf.raw[:n]
-                    while True:
-                        try:
-                            view.queue.put(payload, block=False)
-                            break
-                        except queue.Full:
+                    try:
+                        view.queue.put(payload, timeout=0.2)
+                    except queue.Full:
+                        while True:
                             try:
-                                view.queue.get(block=False)
-                            except queue.Empty:
-                                continue
+                                view.queue.put(payload, block=False)
+                                break
+                            except queue.Full:
+                                try:
+                                    view.queue.get(block=False)
+                                except queue.Empty:
+                                    continue
                     self.stats.add("packetsize", n, isInt=True)
                     got_any = True
             if not got_any:
