@@ -29,6 +29,43 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _backend_watchdog(timeout_s: float = 300.0) -> None:
+    """Fail fast with a diagnostic JSON line if backend init hangs.
+
+    A wedged relay blocks jax.devices() indefinitely (observed: a killed
+    remote compile left it unavailable for hours); the driver must get a
+    parseable artifact, not a hang."""
+    import threading
+
+    done = threading.Event()
+    devices: list = []
+
+    def probe():
+        try:
+            devices.extend(jax.devices())
+        except Exception as e:  # backend init raised
+            devices.append(e)
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "chain_pts_per_sec", "value": 0, "unit": "points/sec",
+            "vs_baseline": 0.0,
+            "error": f"backend init did not complete within {timeout_s:.0f}s"
+                     " (relay unavailable)",
+        }))
+        os._exit(3)
+    if devices and isinstance(devices[0], Exception):
+        print(json.dumps({
+            "metric": "chain_pts_per_sec", "value": 0, "unit": "points/sec",
+            "vs_baseline": 0.0,
+            "error": f"backend init failed: {devices[0]}",
+        }))
+        os._exit(3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", metavar="DIR", default=None,
@@ -36,6 +73,8 @@ def main() -> None:
     ap.add_argument("--exact", action="store_true",
                     help="Also measure the exact-outlier chain variant")
     args = ap.parse_args()
+
+    _backend_watchdog()
 
     from cwipc_util_tpu.core.buffers import PointBuffer
     from cwipc_util_tpu.models.synthetic import _generate
