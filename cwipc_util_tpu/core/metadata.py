@@ -57,15 +57,41 @@ class cwipc_metadata:
         return rv
 
     def get_image_description(self, idx: int) -> Dict[str, Any]:
-        return self._parse_aux_description(self.description(idx))
+        """Parsed description with the reference's format normalization
+        (util.py:1005-1033): bpp-only descriptions imply a format
+        (2=Z16, 3=RGB8, 4=RGBA), numeric ``format`` codes map to names
+        (2=RGB8, 3=BGRA, 4=Z16), string formats pass through."""
+        desc = self._parse_aux_description(self.description(idx))
+        if "bpp" in desc:
+            bpp = desc["bpp"]
+            if bpp == 2:
+                desc["image_format"] = "Z16"
+            elif bpp == 3:
+                desc["image_format"] = "RGB8"
+            elif bpp == 4:
+                desc["image_format"] = "RGBA8"
+        if "format" in desc:
+            image_format = desc["format"]
+            if image_format == 2:
+                desc["bpp"] = 3
+                desc["image_format"] = "RGB8"
+            elif image_format == 3:
+                desc["bpp"] = 4
+                desc["image_format"] = "BGRA8"
+            elif image_format == 4:
+                desc["bpp"] = 2
+                desc["image_format"] = "Z16"
+            else:
+                desc["image_format"] = image_format
+        return desc
 
     def get_image(self, idx: int) -> np.ndarray:
         """Decode an image item (Z16 depth, RGB8/BGR8, RGBA8/BGRA8) to numpy."""
         desc = self.get_image_description(idx)
         width = int(desc["width"])
         height = int(desc["height"])
-        stride = int(desc.get("stride", desc.get("bpp", 0) and width * desc["bpp"] or 0))
-        fmt = desc.get("format", "")
+        stride = int(desc.get("stride", 0))
+        fmt = desc.get("image_format", desc.get("format", ""))
         data = self.data(idx)
         if fmt in ("Z16", "L16"):
             arr = np.frombuffer(data, np.uint16)

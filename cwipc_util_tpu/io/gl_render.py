@@ -110,6 +110,10 @@ class _EGLState:
         self.fbo = ctypes.c_uint(0)
         self.rbo_color = ctypes.c_uint(0)
         self.rbo_depth = ctypes.c_uint(0)
+        # contexts are thread-affine: leaving it current on the PROBING
+        # thread would make the first make_current on the render thread
+        # fail with EGL_BAD_ACCESS (and silently degrade to the splat)
+        self.release_current()
 
     def make_current(self) -> None:
         """Contexts are thread-affine; render_points_gl binds on entry

@@ -70,8 +70,15 @@ def _playback_factory(config: Dict[str, Any]):
 
     if "directory" in config:
         ext = config.get("ext", ".ply")
+        directory = config["directory"]
+        base = config.get("_config_dir", "")
+        if base and not os.path.isabs(directory):
+            # resolve against the config file's directory like the
+            # per-camera filename entries below — a relative path must not
+            # depend on the process cwd
+            directory = os.path.join(base, directory)
         return cwipc_playback(
-            config["directory"],
+            directory,
             ext=ext,
             loop=bool(config.get("loop", False)),
             fps=config.get("fps"),
@@ -117,11 +124,9 @@ def check_module(name: str) -> bool:
 def cwipc_capturer(conffile: Optional[str] = None):
     """Create a capturer from a config file / inline JSON / auto-probe."""
     if conffile is None or conffile == "auto":
-        present = [
-            (name, count())
-            for name, count, _ in _capturers
-            if count() > 0
-        ]
+        # evaluate each count() ONCE: hardware probes can be slow/racy
+        counts = [(name, count()) for name, count, _ in _capturers]
+        present = [(name, n) for name, n in counts if n > 0]
         if len(present) == 0:
             raise CwipcError(
                 "cwipc_capturer: auto: no camera types detected; registered:"

@@ -5,46 +5,30 @@ reference: python/cwipc/net/peek_queue.py:7-38)."""
 from __future__ import annotations
 
 import queue
-import threading
+import time
 from typing import Generic, Optional, TypeVar
 
 T = TypeVar("T")
 
 
 class PeekQueue(queue.Queue, Generic[T]):
-    def __init__(self, maxsize: int = 0):
-        super().__init__(maxsize)
-        self._peek_cond = threading.Condition()
-
-    def put(self, item, block: bool = True, timeout: Optional[float] = None) -> None:
-        super().put(item, block, timeout)
-        with self._peek_cond:
-            self._peek_cond.notify_all()
-
     def dont_get(self, timeout: Optional[float] = None) -> Optional[T]:
         """Wait until an item is available and return it WITHOUT removing it.
 
-        Returns None on timeout.
+        Returns None on timeout.  Waits on the queue's own ``not_empty``
+        condition (which shares ``self.mutex``), so the emptiness check and
+        the wait are one critical section — a separate condition would lose
+        wakeups from put() calls landing between check and wait and stall
+        for the whole timeout.
         """
-        deadline = None
-        if timeout is not None:
-            import time
-
-            deadline = time.time() + timeout
-        while True:
-            try:
-                with self.mutex:
-                    if self._qsize() > 0:
-                        return self.queue[0]
-            except Exception:
-                pass
-            with self._peek_cond:
-                if deadline is not None:
-                    import time
-
+        deadline = None if timeout is None else time.time() + timeout
+        with self.not_empty:
+            while not self._qsize():
+                if deadline is None:
+                    self.not_empty.wait()
+                else:
                     remaining = deadline - time.time()
                     if remaining <= 0:
                         return None
-                    self._peek_cond.wait(remaining)
-                else:
-                    self._peek_cond.wait(0.1)
+                    self.not_empty.wait(remaining)
+            return self.queue[0]
