@@ -20,6 +20,12 @@ class PeekQueue(queue.Queue, Generic[T]):
         the wait are one critical section — a separate condition would lose
         wakeups from put() calls landing between check and wait and stall
         for the whole timeout.
+
+        CRITICAL: because a peek does not consume the item, it must pass
+        the wakeup on — put() notifies ONE waiter, and if that waiter is
+        this peek, a concurrently blocked get() would otherwise sleep
+        forever next to a non-empty queue (observed as a decoder thread
+        never draining its raw queue).
         """
         deadline = None if timeout is None else time.time() + timeout
         with self.not_empty:
@@ -31,4 +37,6 @@ class PeekQueue(queue.Queue, Generic[T]):
                     if remaining <= 0:
                         return None
                     self.not_empty.wait(remaining)
-            return self.queue[0]
+            item = self.queue[0]
+            self.not_empty.notify()
+            return item

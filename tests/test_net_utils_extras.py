@@ -95,6 +95,39 @@ class TestPeekQueue:
         q = PeekQueue()
         assert q.dont_get(timeout=0.05) is None
 
+    def test_peek_does_not_steal_getter_wakeup(self):
+        """A blocked get() and a blocked dont_get() wait on the same
+        not_empty condition; put() notifies only ONE waiter.  The peek
+        must pass the wakeup on, or the real consumer sleeps forever next
+        to a non-empty queue (the decoder-thread starvation bug)."""
+        import threading
+        import time
+
+        from cwipc_util_tpu.net.peek_queue import PeekQueue
+
+        q = PeekQueue(maxsize=2)
+        got = []
+
+        def consumer():
+            got.append(q.get())  # blocking get, no timeout
+
+        t = threading.Thread(target=consumer, daemon=True)
+        t.start()
+        time.sleep(0.1)  # let the getter block first
+        peeks = []
+
+        def peeker():
+            peeks.append(q.dont_get(timeout=5.0))
+
+        p = threading.Thread(target=peeker, daemon=True)
+        p.start()
+        time.sleep(0.1)  # both waiters parked on not_empty
+        q.put("x")
+        t.join(timeout=2.0)
+        assert not t.is_alive(), "getter starved: peek stole its wakeup"
+        assert got == ["x"]
+        p.join(timeout=2.0)
+
 
 class TestVectorsQuirks:
     def test_len_vector_returns_squared_length(self):
