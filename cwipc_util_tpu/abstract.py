@@ -132,8 +132,10 @@ class cwipc_source_wrapper(cwipc_source_abstract):
         return self._wrapped.get() if self._wrapped else None
 
 
-class cwipc_activesource_wrapper(cwipc_source_wrapper):
-    """Empty active-source shell (API-compatibility constructor)."""
+class cwipc_activesource_wrapper(cwipc_source_wrapper, cwipc_activesource_abstract):
+    """Delegating active-source shell (API-compatibility constructor):
+    forwards the FULL active-source surface, so type-dispatching code sees
+    an active source and every accessor works."""
 
     def start(self) -> bool:
         return self._wrapped.start() if self._wrapped else False
@@ -141,6 +143,36 @@ class cwipc_activesource_wrapper(cwipc_source_wrapper):
     def stop(self) -> None:
         if self._wrapped:
             self._wrapped.stop()
+
+    def seek(self, timestamp: int) -> bool:
+        return self._wrapped.seek(timestamp) if self._wrapped else False
+
+    def maxtile(self) -> int:
+        return self._wrapped.maxtile() if self._wrapped else 0
+
+    def get_tileinfo_dict(self, tilenum: int) -> dict:
+        return self._wrapped.get_tileinfo_dict(tilenum) if self._wrapped else {}
+
+    def reload_config(self, config) -> None:
+        if self._wrapped:
+            self._wrapped.reload_config(config)
+
+    def get_config(self):
+        return self._wrapped.get_config() if self._wrapped else None
+
+    def request_metadata(self, name: str) -> None:
+        if self._wrapped:
+            self._wrapped.request_metadata(name)
+
+    def is_metadata_requested(self, name: str) -> bool:
+        return self._wrapped.is_metadata_requested(name) if self._wrapped else False
+
+    def auxiliary_operation(self, op: str, inbuf: bytes, outbuf: bytearray) -> bool:
+        return (
+            self._wrapped.auxiliary_operation(op, inbuf, outbuf)
+            if self._wrapped
+            else False
+        )
 
 
 class cwipc_sink_wrapper(cwipc_sink_abstract):

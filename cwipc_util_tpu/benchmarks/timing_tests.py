@@ -21,15 +21,21 @@ DEFAULT_NPOINTS = 1_000_000
 
 
 def _timeit(name: str, setup: Callable, op: Callable) -> None:
-    ctx = setup()
-    # warm up once (jit compiles, lazy caches)
-    op(ctx)
+    # warm up on a THROWAWAY context (jit compiles), then time each
+    # iteration on a FRESH context with setup excluded from the clock:
+    # reusing one context would populate its lazy caches and the cached
+    # accessors (get_bytes/get_points) would measure a dict lookup instead
+    # of the materialization work this harness claims to measure
+    op(setup())
     n = 0
-    t0 = time.perf_counter()
-    while n < MAX_ITERATIONS and time.perf_counter() - t0 < MAX_SECONDS:
+    spent = 0.0
+    while n < MAX_ITERATIONS and spent < MAX_SECONDS:
+        ctx = setup()
+        t0 = time.perf_counter()
         op(ctx)
+        spent += time.perf_counter() - t0
         n += 1
-    dt = (time.perf_counter() - t0) / max(n, 1)
+    dt = spent / max(n, 1)
     print(f"{name}: {dt:.6f} seconds per operation ({n} iterations)")
 
 

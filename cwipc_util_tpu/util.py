@@ -21,4 +21,7 @@ from .core.pointcloud import (  # noqa: F401
     cwipc_point_array,
     cwipc_point_numpy_dtype,
     cwipc_pointcloud_wrapper,
+    cwipc_skeleton_collection,
+    cwipc_skeleton_joint,
+    parse_skeleton_collection,
 )

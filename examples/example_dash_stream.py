@@ -22,7 +22,11 @@ NATIVE = os.path.join(REPO, "cwipc_util_tpu", "native")
 
 def main() -> int:
     if "SIGNALS_SMD_PATH" not in os.environ:
-        subprocess.run(["make", "-C", NATIVE, "fakesignals"], capture_output=True)
+        rv = subprocess.run(["make", "-C", NATIVE, "fakesignals"],
+                            capture_output=True, text=True)
+        if rv.returncode != 0:
+            print("example_dash_stream: fakesignals build failed:\n" + rv.stderr[-500:])
+            return 1
         os.environ["SIGNALS_SMD_PATH"] = os.path.join(NATIVE, "build")
         print("using the fake SIGNALS loopback libraries")
 

@@ -30,7 +30,10 @@ from cwipc_util_tpu.parallel.pointaxis import sharded_chain
 
 
 def main() -> int:
-    devices = cpu_devices(2) or jax.devices()
+    # prefer real accelerators when the host has several; the virtual CPU
+    # mesh is the fallback for single-device hosts
+    real = jax.devices()
+    devices = real if len(real) >= 2 else cpu_devices(2)
     if len(devices) < 2:
         print("example_sharded_chain: needs >= 2 (virtual) devices; got 1")
         return 0

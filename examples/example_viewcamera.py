@@ -18,7 +18,9 @@ def view(source, headless: bool, max_frames: int) -> None:
 
     def feeder() -> None:
         shown = 0
-        while shown < max_frames and not source.eof():
+        # also stop when the viewer quits (q): the producer must not
+        # keep pulling frames from an infinite source
+        while shown < max_frames and not source.eof() and not viz.stopped:
             if not source.available(True):
                 break
             pc = source.get()

@@ -2,6 +2,7 @@
 (reference: examples/viewrecording.py).  Records a small synthetic
 sequence first if no directory is given."""
 
+import os
 import sys
 import tempfile
 import threading
@@ -19,7 +20,9 @@ def view(source, headless: bool, max_frames: int) -> None:
 
     def feeder() -> None:
         shown = 0
-        while shown < max_frames and not source.eof():
+        # also stop when the viewer quits (q): the producer must not
+        # keep pulling frames from an infinite source
+        while shown < max_frames and not source.eof() and not viz.stopped:
             if not source.available(True):
                 break
             pc = source.get()
@@ -50,7 +53,12 @@ def main() -> None:
             cwipc.cwipc_write(f"{dirname}/frame-{i:04d}.ply", pc)
             pc.free()
         gen.stop()
-    src = cwipc_playback(dirname, loop=not headless, fps=10)
+    # play whatever the recording contains (.ply, .cwipcdump or .cwicpc —
+    # e.g. example_record.py writes .cwipcdump frames)
+    exts = [e for e in (".ply", ".cwipcdump", ".cwicpc")
+            if any(f.lower().endswith(e) for f in os.listdir(dirname))]
+    src = cwipc_playback(dirname, ext=exts[0] if exts else ".ply",
+                         loop=not headless, fps=10)
     src.start()
     view(src, headless, max_frames=3 if headless else 10**9)
     src.stop()
