@@ -257,3 +257,107 @@ class TestNodropLateSubscriber:
             c1.close()
         finally:
             sink.stop()
+
+
+class TestSwitchportRaces:
+    def _serve(self, port, fourcc, stop_evt, tag):
+        """Minimal netserver: accept clients, send tagged frames forever."""
+        import socket
+        import struct
+        import threading
+        import time
+
+        from cwipc_util_tpu.net.sink_netserver import pack_frame
+
+        lsock = socket.socket()
+        lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        lsock.bind(("", port))
+        lsock.listen(4)
+        lsock.settimeout(0.2)
+
+        def serve():
+            conns = []
+            seq = 0
+            while not stop_evt.is_set():
+                try:
+                    c, _ = lsock.accept()
+                    conns.append(c)
+                except OSError:
+                    pass
+                seq += 1
+                payload = f"{tag}:{seq}".encode()
+                frame = pack_frame(fourcc, payload, int(time.time() * 1000))
+                dead = []
+                for c in conns:
+                    try:
+                        c.sendall(frame)
+                    except OSError:
+                        dead.append(c)
+                for c in dead:
+                    conns.remove(c)
+                time.sleep(0.02)
+            for c in conns:
+                try:
+                    c.close()
+                except OSError:
+                    pass
+            lsock.close()
+
+        t = threading.Thread(target=serve, daemon=True)
+        t.start()
+        return t
+
+    def test_rapid_double_switch_keeps_stream_alive(self):
+        """Two switchport() calls in quick succession: the second supersedes
+        the first (closing its pending socket) — the reader must neither die
+        on the closed snapshot nor clobber the newer switch; the stream ends
+        up on the LAST requested port."""
+        import socket
+        import threading
+        import time
+
+        from cwipc_util_tpu.net.abstract import VRT_4CC
+        from cwipc_util_tpu.net.source_netclient import cwipc_source_netclient
+
+        def free_port():
+            s = socket.socket()
+            s.bind(("", 0))
+            p = s.getsockname()[1]
+            s.close()
+            return p
+
+        ports = [free_port() for _ in range(3)]
+        fourcc = VRT_4CC("cwi0")
+        stop = threading.Event()
+        threads = [
+            self._serve(p, fourcc, stop, tag) for p, tag in zip(ports, "ABC")
+        ]
+        try:
+            src = cwipc_source_netclient(f"localhost:{ports[0]}")
+            src.set_fourcc("cwi0")
+            src.start()
+            deadline = time.time() + 5
+            while src.queue.empty() and time.time() < deadline:
+                time.sleep(0.01)
+            assert not src.queue.empty(), "no frames from the first port"
+
+            # rapid supersede: B then immediately C
+            src.switchport(ports[1])
+            src.switchport(ports[2])
+
+            # the stream must stay alive and converge to C's frames
+            deadline = time.time() + 10
+            saw_c = False
+            while time.time() < deadline and not saw_c:
+                if src.available(True):
+                    payload = src.get()
+                    if payload and payload.startswith(b"C:"):
+                        saw_c = True
+            assert saw_c, "stream never delivered frames from the final port"
+            assert not src.eof(), "stream died across the double switch"
+            assert src.port == ports[2]
+        finally:
+            stop.set()
+            src.stop()
+            for t in threads:
+                t.join(timeout=2)
