@@ -1,10 +1,13 @@
 """The `cwipc` command dispatcher.
 
 Re-implementation of the reference's __main__
-(reference: python/cwipc/__main__.py:138-158): `cwipc <subcommand>`
-delegates to cwipc_util_tpu.scripts.cwipc_<subcommand>.main(); specials:
+(reference: python/cwipc/__main__.py:9,18-60,138-158): `cwipc <subcommand>`
+delegates to cwipc_util_tpu.scripts.cwipc_<subcommand>.main(), with
+subcommands DISCOVERED from the scripts package (any cwipc_*.py module is
+a command); specials:
 
-* version  — print version
+* help     — list main/additional/special commands with their docstrings
+* version  — print version (also -v/--version)
 * check    — run install self-checks
 * python   — run the interpreter with cwipc importable
 * parallel — run 2-3 cwipc commands as subprocesses with a stagger
@@ -15,35 +18,70 @@ from __future__ import annotations
 
 import importlib
 import os
+import pkgutil
 import subprocess
 import sys
 import time
-from typing import List
+from typing import List, Tuple
 
-SUBCOMMANDS = [
-    "view",
-    "play",
-    "grab",
-    "copy",
-    "forward",
-    "netserver",
-    "join",
-    "timing",
-    "toproxy",
-    "register",
-    "analyze_registration",
-    "find_transform",
-    "test_aligner",
-    "create_analysis_test",
-]
+MAIN_COMMANDS = ["view", "grab", "play", "copy", "register"]
 
 PARALLEL_STAGGER_SECONDS = float(os.environ.get("CWIPC_PARALLEL_STAGGER", "2"))
 
 
-def _usage() -> int:
-    print(f"Usage: {os.path.basename(sys.argv[0])} SUBCOMMAND [args]", file=sys.stderr)
-    print(f"Subcommands: version, check, python, parallel, {', '.join(SUBCOMMANDS)}", file=sys.stderr)
-    return 2
+def find_scripts() -> Tuple[List[str], List[str]]:
+    """(main, additional) command lists, discovered from the scripts
+    package like the reference (__main__.py:18-27)."""
+    from . import scripts
+
+    additional = []
+    for _, name, _ in pkgutil.iter_modules(scripts.__path__):
+        if not name.startswith("cwipc_"):
+            continue
+        command = name[6:]
+        if command not in MAIN_COMMANDS:
+            additional.append(command)
+    return MAIN_COMMANDS, sorted(additional)
+
+
+def get_docstring(name: str) -> str:
+    """First docstring line of the command's script module."""
+    mod = importlib.import_module(f".scripts.cwipc_{name}", package="cwipc_util_tpu")
+    if mod.__doc__ is None:
+        return ""
+    return mod.__doc__.strip().split("\n")[0]
+
+
+def help() -> None:
+    main_scripts, auxiliary_scripts = find_scripts()
+    print(f"{sys.argv[0]} - CWI Point Cloud command line utility", file=sys.stderr)
+    print("\nMain commands:", file=sys.stderr)
+    for s in main_scripts:
+        doc = get_docstring(s)
+        print(f"  {s:20} - {doc}" if doc else f"  {s:20}", file=sys.stderr)
+    print("\nAdditional commands:", file=sys.stderr)
+    for s in auxiliary_scripts:
+        doc = get_docstring(s)
+        print(f"  {s:20} - {doc}" if doc else f"  {s:20}", file=sys.stderr)
+    print("\nSpecial commands:", file=sys.stderr)
+    print("  help                 - show this help message", file=sys.stderr)
+    print("  version              - show cwipc version", file=sys.stderr)
+    print("  check                - check if cwipc is correctly installed", file=sys.stderr)
+    print("  python               - run python that has the cwipc package installed", file=sys.stderr)
+    print("  parallel             - run multiple commands in parallel (for testing)", file=sys.stderr)
+    print("\nUse 'cwipc <command> -h' for help on a specific command.", file=sys.stderr)
+
+
+def run_version() -> int:
+    import cwipc_util_tpu
+
+    print(cwipc_util_tpu.cwipc_get_version())
+    return 0
+
+
+def run_python() -> int:
+    os.execv(sys.executable, [sys.executable] + sys.argv[2:])
+    raise AssertionError("execv failed")
 
 
 def run_parallel(argv: List[str]) -> int:
@@ -73,8 +111,6 @@ def run_parallel(argv: List[str]) -> int:
 
 def run_check() -> int:
     """Install self-check: core round trips + module probes."""
-    import numpy as np
-
     import cwipc_util_tpu as cwipc
 
     print(f"cwipc_util_tpu version {cwipc.cwipc_get_version()}")
@@ -107,27 +143,26 @@ def run_check() -> int:
 
 
 def main() -> int:
-    if len(sys.argv) < 2:
-        return _usage()
+    if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help", "help"):
+        help()
+        return 1
     subcommand = sys.argv[1]
     argv = sys.argv[2:]
-    if subcommand in ("-h", "--help", "help"):
-        return _usage()
-    if subcommand == "version":
-        import cwipc_util_tpu
-
-        print(cwipc_util_tpu.cwipc_get_version())
-        return 0
+    if subcommand in ("-v", "--version", "version"):
+        return run_version()
     if subcommand == "check":
         return run_check()
     if subcommand == "python":
-        os.execv(sys.executable, [sys.executable] + argv)
+        return run_python()
     if subcommand == "parallel":
         return run_parallel(argv)
-    if subcommand not in SUBCOMMANDS:
-        print(f"cwipc: unknown subcommand {subcommand}", file=sys.stderr)
-        return _usage()
-    module = importlib.import_module(f".scripts.cwipc_{subcommand}", package="cwipc_util_tpu")
+    try:
+        module = importlib.import_module(
+            f".scripts.cwipc_{subcommand}", package="cwipc_util_tpu"
+        )
+    except ModuleNotFoundError:
+        print(f"Unknown command '{subcommand}'. Use -h for help.", file=sys.stderr)
+        return 1
     sys.argv = [f"cwipc {subcommand}"] + argv
     return module.main()
 

@@ -7,8 +7,11 @@ code written against the reference's ABCs ports over unchanged.
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from typing import Any, Optional
+from typing import Any, Dict, Optional
 
+
+# Tile info as a Python dict (reference abstract.py:55)
+cwipc_tileinfo_dict = Dict[str, Any]
 
 class cwipc_pointcloud_abstract(ABC):
     @abstractmethod

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import queue
 import time
+from queue import Empty, Full  # re-exported like the reference  # noqa: F401
 from typing import Generic, Optional, TypeVar
 
 T = TypeVar("T")

@@ -20,6 +20,10 @@ from ..utils.stats import Stats
 from .abstract import cwipc_activerawsource_abstract, cwipc_rawsource_abstract
 
 
+# Module-level stream fourcc (reference module scope)
+FOURCC = "cwi1"
+
+
 class _NetDecoder(threading.Thread, cwipc_activesource_abstract):
     FOURCC = "cwi1"
 

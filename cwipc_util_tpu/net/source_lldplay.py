@@ -6,7 +6,11 @@ external SIGNALS `lldash_play` shared library with stream discovery, a
 per-tile rawsource view, and enable/disable-stream quality selection
 (source_lldplay.py:57-163).
 
-The SIGNALS libraries are an external commercial component; without them
+The binding uses the REAL SMD ABI (entry points, argument lists and struct
+layouts exactly as the reference declares them, source_lldplay.py:80-105),
+including the two-phase lldplay_grab_frame protocol (NULL buffer asks the
+pending frame's size), so it drives either the real SIGNALS libraries or
+the in-repo fake (native/fake_signals.c) interchangeably.  Without either,
 the factories raise a clear CwipcError (matching the reference's behavior
 on systems without SIGNALS).
 """
@@ -17,8 +21,9 @@ import ctypes
 import ctypes.util
 import os
 import queue
+import sys
 import time
-from typing import List, Optional
+from typing import Dict, List, Optional, Tuple
 
 from ..core.errors import CwipcError
 from ..utils.stats import Stats
@@ -32,10 +37,57 @@ from .abstract import (
 )
 from .peek_queue import PeekQueue
 
+LLDASH_PLAYOUT_API_VERSION = 0x20250722
+
+
+class LLDashPlayoutError(CwipcError):
+    """Error from the lldash playout layer (reference source_lldplay.py:15)."""
+
+
+class lldplay_handle_p(ctypes.c_void_p):
+    pass
+
+
+class FrameInfo(ctypes.Structure):
+    """Per-frame metadata filled by lldplay_grab_frame (reference
+    source_lldplay.py:23-32)."""
+
+    _fields_ = [
+        ("timestamp", ctypes.c_int64),
+        ("dsi", ctypes.c_char * 256),
+        ("dsi_size", ctypes.c_int),
+    ]
+
+
+class streamDesc(ctypes.Structure):
+    """DASH SRD fields re-targeted for pointclouds (reference
+    source_lldplay.py:34-50)."""
+
+    _fields_ = [
+        ("MP4_4CC", ctypes.c_uint32),
+        ("tileNumber", ctypes.c_uint32),
+        ("x", ctypes.c_uint32),
+        ("y", ctypes.c_uint32),
+        ("z", ctypes.c_uint32),
+        ("totalWidth", ctypes.c_uint32),
+        ("totalHeight", ctypes.c_uint32),
+    ]
+
+
+# Pythonic tuple forms of the structures (reference source_lldplay.py:52-53)
+streamDesc_pythonic = Tuple[int, int, int, int, int, int, int]
+tileInfo_pythonic = Tuple[int, int, Tuple[int, int, int], int]
+
+LLDashPlayoutErrorCallbackType = ctypes.CFUNCTYPE(
+    None, ctypes.c_char_p, ctypes.c_int
+)
+
 _lldplay_dll_reference = None
 
 
 def _lldplay_dll(libname: Optional[str] = None):
+    """Load the external lldash_play library and declare the real SMD
+    signatures (cached; reference source_lldplay.py:57-105)."""
     global _lldplay_dll_reference
     if _lldplay_dll_reference is not None:
         return _lldplay_dll_reference
@@ -51,21 +103,34 @@ def _lldplay_dll(libname: Optional[str] = None):
             " (set SIGNALS_SMD_PATH to its directory)"
         )
     dll = ctypes.CDLL(libname)
-    dll.lldplay_create.restype = ctypes.c_void_p
-    dll.lldplay_create.argtypes = [ctypes.c_char_p, ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
-    dll.lldplay_destroy.argtypes = [ctypes.c_void_p]
+    dll.lldplay_create.argtypes = [
+        ctypes.c_char_p, LLDashPlayoutErrorCallbackType, ctypes.c_int,
+        ctypes.c_uint64,
+    ]
+    dll.lldplay_create.restype = lldplay_handle_p
+    dll.lldplay_destroy.argtypes = [lldplay_handle_p]
+    dll.lldplay_destroy.restype = None
+    dll.lldplay_play.argtypes = [lldplay_handle_p, ctypes.c_char_p]
     dll.lldplay_play.restype = ctypes.c_bool
-    dll.lldplay_play.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    dll.lldplay_get_stream_count.argtypes = [lldplay_handle_p]
     dll.lldplay_get_stream_count.restype = ctypes.c_int
-    dll.lldplay_get_stream_count.argtypes = [ctypes.c_void_p]
-    dll.lldplay_grab_frame.restype = ctypes.c_size_t
-    dll.lldplay_grab_frame.argtypes = [
-        ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+    dll.lldplay_get_stream_info.argtypes = [
+        lldplay_handle_p, ctypes.c_int, ctypes.POINTER(streamDesc),
+    ]
+    dll.lldplay_get_stream_info.restype = ctypes.c_bool
+    dll.lldplay_enable_stream.argtypes = [
+        lldplay_handle_p, ctypes.c_int, ctypes.c_int,
     ]
     dll.lldplay_enable_stream.restype = ctypes.c_bool
-    dll.lldplay_enable_stream.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+    dll.lldplay_disable_stream.argtypes = [lldplay_handle_p, ctypes.c_int]
     dll.lldplay_disable_stream.restype = ctypes.c_bool
-    dll.lldplay_disable_stream.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    dll.lldplay_grab_frame.argtypes = [
+        lldplay_handle_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.POINTER(FrameInfo),
+    ]
+    dll.lldplay_grab_frame.restype = ctypes.c_size_t
+    dll.lldplay_get_version.argtypes = []
+    dll.lldplay_get_version.restype = ctypes.c_char_p
     _lldplay_dll_reference = dll
     return dll
 
@@ -102,7 +167,11 @@ class _TileView(cwipc_rawsource_abstract):
 
 
 class _LLDashPlaySource(cwipc_activerawmultisource_abstract):
-    """Shared playout session; pump thread fans frames to per-tile views."""
+    """Shared playout session; pump thread fans frames to per-tile views.
+
+    Streams with identical descriptors form one tile, in first appearance
+    order; a tile's stream count is its quality count (the reference's
+    _init_tile_info grouping, source_lldplay.py:335-356)."""
 
     def __init__(self, url: str, verbose: bool = False):
         import threading
@@ -111,10 +180,54 @@ class _LLDashPlaySource(cwipc_activerawmultisource_abstract):
         self.url = url
         self.verbose = verbose
         self.stopped = False
-        self.handle: Optional[ctypes.c_void_p] = None
+        self.handle: Optional[lldplay_handle_p] = None
         self.tiles: List[_TileView] = []
+        self.tile_info: List[tileInfo_pythonic] = []
+        self.streamnum_to_tilenum: Dict[int, int] = {}
         self.stats = Stats(f"lldplay:{url}")
         self._thread = threading.Thread(target=self._pump, daemon=True)
+        # keep the callback object alive for the handle's lifetime
+        self._error_cb = LLDashPlayoutErrorCallbackType(self._on_error)
+        self.error_condition = False
+        if self.verbose:
+            version = self.dll.lldplay_get_version().decode("utf8")
+            print(f"lldash_play: native library version: {version}",
+                  file=sys.stderr, flush=True)
+
+    def __del__(self):
+        self.free(force=True)
+
+    def _on_error(self, cmsg: bytes, level: int) -> None:
+        level_name = {0: "error", 1: "warning", 2: "info message",
+                      3: "debug message"}.get(level, f"level-{level} message")
+        print(f"lldash_play: asynchronous {level_name}: {cmsg.decode('utf8')}",
+              file=sys.stderr, flush=True)
+        if level == 0:
+            self.error_condition = True
+
+    def _srd_info_for_stream(self, num: int) -> streamDesc_pythonic:
+        c_desc = streamDesc()
+        ok = self.dll.lldplay_get_stream_info(self.handle, num, c_desc)
+        if not ok:
+            raise LLDashPlayoutError(f"lldplay_get_stream_info({num}) failed")
+        return (c_desc.MP4_4CC, c_desc.tileNumber, c_desc.x, c_desc.y,
+                c_desc.z, c_desc.totalWidth, c_desc.totalHeight)
+
+    def _init_tile_info(self) -> None:
+        counts: Dict[streamDesc_pythonic, int] = {}
+        ordered: List[streamDesc_pythonic] = []
+        n = self.dll.lldplay_get_stream_count(self.handle)
+        for stream_idx in range(n):
+            desc = self._srd_info_for_stream(stream_idx)
+            if desc not in counts:
+                counts[desc] = 1
+                ordered.append(desc)
+            else:
+                counts[desc] += 1
+            self.streamnum_to_tilenum[stream_idx] = ordered.index(desc)
+        self.tile_info = [
+            (d[0], d[1], (d[2], d[3], d[4]), counts[d]) for d in ordered
+        ]
 
     def start(self) -> bool:
         if self.handle is not None:
@@ -122,14 +235,18 @@ class _LLDashPlaySource(cwipc_activerawmultisource_abstract):
             # discovery, then the synchronizer's start cascade reaches it
             # again
             return True
-        handle = self.dll.lldplay_create(b"cwipc_util_tpu", None, b"", 0)
+        msg_level = 3 if self.verbose else 0
+        handle = self.dll.lldplay_create(
+            b"cwipc_lldplay", self._error_cb, msg_level,
+            LLDASH_PLAYOUT_API_VERSION,
+        )
         if not handle:
-            raise CwipcError(f"lldplay: cannot create player")
-        self.handle = ctypes.c_void_p(handle)
+            raise LLDashPlayoutError("lldplay: cannot create player")
+        self.handle = handle
         if not self.dll.lldplay_play(self.handle, self.url.encode("utf8")):
-            raise CwipcError(f"lldplay: cannot play {self.url}")
-        n = self.dll.lldplay_get_stream_count(self.handle)
-        self.tiles = [_TileView(self, i) for i in range(max(1, n))]
+            raise LLDashPlayoutError(f"lldplay: cannot play {self.url}")
+        self._init_tile_info()
+        self.tiles = [_TileView(self, i) for i in range(max(1, len(self.tile_info)))]
         self._thread.start()
         return True
 
@@ -137,52 +254,89 @@ class _LLDashPlaySource(cwipc_activerawmultisource_abstract):
         self.stopped = True
         if self._thread.is_alive():
             self._thread.join(timeout=2)
+        self.free(force=True)
+
+    def free(self, *, force: bool = False) -> None:
         if self.handle:
-            self.dll.lldplay_destroy(self.handle)
+            tmp_handle = self.handle
             self.handle = None
+            self.dll.lldplay_destroy(tmp_handle)
 
     def _pump(self) -> None:
-        bufsize = 10 * 1024 * 1024
-        buf = ctypes.create_string_buffer(bufsize)
+        frame_info = FrameInfo()
+        n_streams = self.dll.lldplay_get_stream_count(self.handle)
         while not self.stopped and self.handle:
             got_any = False
-            for i, view in enumerate(self.tiles):
-                n = self.dll.lldplay_grab_frame(self.handle, i, buf, bufsize, None)
-                if n > 0:
-                    # bounded wait, then drop-oldest: a LIVE consumer gets
-                    # every frame (the short grace covers scheduling jitter),
-                    # while an unconsumed tile cannot stall the shared pump
-                    # forever — it degrades to newest-frames-only
-                    payload = buf.raw[:n]
-                    try:
-                        view.queue.put(payload, timeout=0.2)
-                    except queue.Full:
-                        while True:
+            for stream_idx in range(n_streams):
+                # two-phase grab: NULL buffer asks the pending frame's size
+                length = self.dll.lldplay_grab_frame(
+                    self.handle, stream_idx, None, 0, None
+                )
+                if length == 0:
+                    continue
+                packet = bytearray(length)
+                ptr_char = (ctypes.c_char * length).from_buffer(packet)
+                ptr = ctypes.cast(ptr_char, ctypes.c_void_p)
+                length2 = self.dll.lldplay_grab_frame(
+                    self.handle, stream_idx, ptr, length, frame_info
+                )
+                if length2 != length:
+                    raise LLDashPlayoutError(
+                        f"lldplay_grab_frame(stream={stream_idx}): promised"
+                        f" {length} bytes but got {length2}"
+                    )
+                view = self.tiles[self.streamnum_to_tilenum.get(stream_idx, 0)]
+                payload = bytes(packet)
+                # bounded wait, then drop-oldest: a LIVE consumer gets
+                # every frame (the short grace covers scheduling jitter),
+                # while an unconsumed tile cannot stall the shared pump
+                # forever — it degrades to newest-frames-only
+                try:
+                    view.queue.put(payload, timeout=0.2)
+                except queue.Full:
+                    while True:
+                        try:
+                            view.queue.put(payload, block=False)
+                            break
+                        except queue.Full:
                             try:
-                                view.queue.put(payload, block=False)
-                                break
-                            except queue.Full:
-                                try:
-                                    view.queue.get(block=False)
-                                except queue.Empty:
-                                    continue
-                    self.stats.add("packetsize", n, isInt=True)
-                    got_any = True
+                                view.queue.get(block=False)
+                            except queue.Empty:
+                                continue
+                self.stats.add("packetsize", length, isInt=True)
+                got_any = True
             if not got_any:
                 time.sleep(0.005)
 
     def get_tile_count(self) -> int:
         return len(self.tiles)
 
+    def get_tileinfo_dict(self, tilenum: int) -> dict:
+        """Tile info reconstructed from the repurposed SRD fields
+        (reference source_lldplay.py:316-324)."""
+        mp4_4cc, tile_number, (x, y, z), quality_count = self.tile_info[tilenum]
+        normal = dict(x=x / 1000.0, y=y / 1000.0, z=z / 1000.0)
+        return dict(normal=normal, cameraName=f"tile-{tilenum}",
+                    cameraMask=tile_number, nquality=quality_count,
+                    mp4_4cc=mp4_4cc)
+
     def get_description(self) -> cwipc_multistream_description:
-        return [[{}] for _ in self.tiles]
+        if not self.tile_info:
+            return [[{}] for _ in self.tiles]
+        return [
+            [dict(quality=q) for q in range(info[3])] for info in self.tile_info
+        ]
 
     def get_tile_source(self, tileIdx: int) -> cwipc_rawsource_abstract:
         return self.tiles[tileIdx]
 
     def select_tile_quality(self, tileIdx: int, qualityIdx: int) -> None:
         if self.handle:
-            self.dll.lldplay_enable_stream(self.handle, tileIdx, qualityIdx)
+            ok = self.dll.lldplay_enable_stream(self.handle, tileIdx, qualityIdx)
+            if not ok:
+                print("lldash_play: lldplay_enable_stream failed",
+                      file=sys.stderr)
+                self.error_condition = True
 
     def statistics(self) -> None:
         self.stats.print()

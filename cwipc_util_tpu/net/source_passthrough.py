@@ -19,6 +19,10 @@ from ..utils.stats import Stats
 from .abstract import cwipc_activerawsource_abstract, cwipc_rawsource_abstract
 
 
+# Module-level stream fourcc (reference module scope)
+FOURCC = "cwi0"
+
+
 class _NetPassthrough(threading.Thread, cwipc_activesource_abstract):
     FOURCC = "cwi0"
 
@@ -136,6 +140,14 @@ class _NetPassthrough(threading.Thread, cwipc_activesource_abstract):
     def statistics(self) -> None:
         self.stats.print()
         self.source.statistics()
+
+
+def cwipc_activesource_passthrough(
+    source: cwipc_activerawsource_abstract, verbose: bool = False
+):
+    """Active source deserializing raw cwipc packets from an active
+    rawsource (reference: net/source_passthrough.py:150-153)."""
+    return _NetPassthrough(source, verbose=verbose)
 
 
 def cwipc_source_passthrough(source: cwipc_rawsource_abstract, verbose: bool = False):

@@ -22,6 +22,9 @@ from ..core.pointcloud import cwipc_pointcloud_wrapper
 
 RegistrationTransformation = np.ndarray  # 4x4 float64
 Vector3 = np.ndarray
+# Loose array aliases used in reference signatures (util.py:26-27)
+Point_array_xyz = np.ndarray
+Point_array_rgb = np.ndarray
 
 
 def transformation_identity() -> RegistrationTransformation:
@@ -394,3 +397,148 @@ def show_pointcloud(title: str, pc: cwipc_pointcloud_wrapper, timeout_ms: int = 
         window.interact("Press any key to close", None, timeout_ms)
     finally:
         window.free(force=True)
+
+
+def algdoc(klass: type, indent: int) -> str:
+    """Dedented, tab-indented class docstring for --help listings of
+    algorithm classes (reference: registration/util.py:18-24)."""
+    import textwrap
+
+    doc = klass.__doc__
+    if doc is None:
+        doc = "No documentation available"
+    return textwrap.indent(textwrap.dedent(doc), "\t" * indent)
+
+
+def transformation_get_translation(matrix: RegistrationTransformation) -> Vector3:
+    """The translation column of a 4x4 transform (reference util.py:68-70)."""
+    rv: Vector3 = matrix[0:3, 3]
+    return rv
+
+
+def cwipc_center(pc: cwipc_pointcloud_wrapper) -> Tuple[float, float, float]:
+    """Centroid of a point cloud (reference: registration/util.py:84-89)."""
+    points = pc.get_numpy_matrix()[:, :3]
+    return tuple(np.mean(points, axis=0))
+
+
+def cwipc_colorized_copy(pc: cwipc_pointcloud_wrapper) -> cwipc_pointcloud_wrapper:
+    """A copy colorized by camera (tile) with weight 0.8, keeping the
+    source alive (reference: registration/util.py:91-96)."""
+    from ..filters.colorize import ColorizeFilter
+
+    cf = ColorizeFilter(0.8, "camera")
+    cf.set_keep_source()
+    return cf.filter(pc)
+
+
+def cwipc_compute_radius(
+    pc: cwipc_pointcloud_wrapper, level: float = 0.1
+) -> Tuple[float, float, float]:
+    """XZ-plane radius ignoring outliers, as (overall, non-floor, floor)
+    99th-percentile distances; floor = points with Y < level (reference:
+    registration/util.py:202-216).  Empty subsets contribute 0 instead of
+    raising (the reference crashes on an all-floor or floor-less cloud)."""
+    pc_np = pc.get_numpy_matrix(onlyGeometry=True).copy()
+    is_floor_point = pc_np[:, 1] < level
+    floor_pc_np = pc_np[is_floor_point]
+    nonfloor_pc_np = pc_np[~is_floor_point]
+    floor_pc_np[:, 1] = 0
+    nonfloor_pc_np[:, 1] = 0
+    floor_max = (
+        float(np.percentile(np.linalg.norm(floor_pc_np, axis=1), 99))
+        if floor_pc_np.size
+        else 0.0
+    )
+    nonfloor_max = (
+        float(np.percentile(np.linalg.norm(nonfloor_pc_np, axis=1), 99))
+        if nonfloor_pc_np.size
+        else 0.0
+    )
+    return max(floor_max, nonfloor_max), nonfloor_max, floor_max
+
+
+def cwipc_limit_floor_to_radius(
+    pc: cwipc_pointcloud_wrapper, radius: float, level: float = 0.1
+) -> cwipc_pointcloud_wrapper:
+    """Drop floor points (Y < level) farther than radius from the origin;
+    non-floor points always pass (reference: registration/util.py:218-229,
+    including its full-3D distance for the floor test — floor Y is < level
+    so the difference from a pure-XZ radius is bounded by level)."""
+    pc_np = pc.get_numpy_matrix()
+    is_floor_point = pc_np[:, 1] < level
+    floor_pc_np = pc_np[is_floor_point]
+    nonfloor_pc_np = pc_np[~is_floor_point]
+    keep_floor = np.linalg.norm(floor_pc_np[:, 0:3], axis=1) < radius
+    new_pc_np = np.concatenate([floor_pc_np[keep_floor], nonfloor_pc_np], axis=0)
+    return cwipc_from_numpy_matrix(new_pc_np, pc.timestamp())
+
+
+def _as_wrapper_or_o3d(pc):
+    """(wrapper_or_None, o3d_geometry_or_None) from either input kind."""
+    if isinstance(pc, cwipc_pointcloud_wrapper):
+        return pc, None
+    return None, pc
+
+
+def o3d_show_points(title: str, pc, from000: bool = False, keepopen: bool = False):
+    """Show an open3d (or wrapper) point cloud in a window (reference:
+    registration/util.py o3d_show_points).  Uses Open3D when installed;
+    otherwise falls back to the software viewer (then the cloud must be a
+    wrapper, keepopen is unsupported, and None is returned)."""
+    try:
+        import open3d  # type: ignore
+    except ImportError:
+        open3d = None
+    wrapper, geom = _as_wrapper_or_o3d(pc)
+    if open3d is not None:
+        if geom is None:
+            geom = wrapper.get_o3d_pointcloud()
+        vis = open3d.visualization.Visualizer()
+        vis.create_window(window_name=title)
+        vis.add_geometry(geom)
+        vis.add_geometry(open3d.geometry.TriangleMesh.create_coordinate_frame())
+        if from000:
+            view_control = vis.get_view_control()
+            cam = view_control.convert_to_pinhole_camera_parameters()
+            cam.extrinsic = transformation_identity()
+            view_control.convert_from_pinhole_camera_parameters(cam)
+        vis.run()
+        if keepopen:
+            return vis
+        vis.destroy_window()
+        return None
+    if wrapper is None:
+        raise RuntimeError("o3d_show_points: open3d not installed and input is not a cwipc")
+    show_pointcloud(title, wrapper)
+    return None
+
+
+def o3d_pick_points(title: str, pc, from000: bool = False, limit: int = 64) -> List[int]:
+    """Let the user pick points; returns picked indices (reference:
+    registration/util.py o3d_pick_points, VisualizerWithEditing).  Uses
+    Open3D when installed; otherwise the software-viewer picker
+    (shift-click, q ends, at most `limit` picks; the cloud must then be a
+    wrapper)."""
+    try:
+        import open3d  # type: ignore
+    except ImportError:
+        open3d = None
+    wrapper, geom = _as_wrapper_or_o3d(pc)
+    if open3d is not None:
+        if geom is None:
+            geom = wrapper.get_o3d_pointcloud()
+        vis = open3d.visualization.VisualizerWithEditing()
+        vis.create_window(window_name=title, width=1280, height=720)
+        vis.add_geometry(geom)
+        if from000:
+            view_control = vis.get_view_control()
+            cam = view_control.convert_to_pinhole_camera_parameters()
+            cam.extrinsic = transformation_identity()
+            view_control.convert_from_pinhole_camera_parameters(cam)
+        vis.run()
+        vis.destroy_window()
+        return vis.get_picked_points()
+    if wrapper is None:
+        raise RuntimeError("o3d_pick_points: open3d not installed and input is not a cwipc")
+    return pick_points(title, wrapper, count=limit)

@@ -1,5 +1,7 @@
-"""cwipc join: merge pointcloud files into one (reference:
-python/cwipc/scripts/cwipc_join.py)."""
+"""cwipc join: merge pointcloud files into one.
+
+Reference: python/cwipc/scripts/cwipc_join.py.
+"""
 
 import sys
 

@@ -36,7 +36,7 @@ def main() -> int:
     from cwipc_util_tpu.net.source_lldplay import cwipc_source_lldplay
 
     with tempfile.TemporaryDirectory() as tmp:
-        url = os.path.join(tmp, "stream")
+        url = os.path.join(tmp, "stream", "live.mpd")
 
         # publish: synthetic -> encoder -> DASH packager
         sink = cwipc_sink_lldpkg(url)
@@ -58,7 +58,7 @@ def main() -> int:
         # play back: DASH player -> decoder
         from cwipc_util_tpu.codec import cwipc_new_decoder
 
-        src = cwipc_source_lldplay(url)
+        src = cwipc_source_lldplay(os.path.dirname(url))
         assert src.start()
         dec = cwipc_new_decoder()
         got = 0

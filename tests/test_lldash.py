@@ -64,11 +64,11 @@ def test_lldpkg_push(fake_signals, tmp_path):
     """Packager sink: add_stream/start/feed write frames per stream."""
     from cwipc_util_tpu.net.sink_lldpkg import cwipc_sink_lldpkg
 
-    url = str(tmp_path / "ingest")
+    url = str(tmp_path / "ingest") + "/live.mpd"
     sink = cwipc_sink_lldpkg(url)
     sink.set_fourcc("cwi1")
-    s0 = sink.add_stream(tilenum=1, tiledesc={"normal": {"x": 0, "y": 0, "z": 1}, "cameraMask": 1})
-    s1 = sink.add_stream(tilenum=2, tiledesc={"normal": {"x": 0, "y": 0, "z": -1}, "cameraMask": 2})
+    s0 = sink.add_stream(tilenum=1, tiledesc={"normal": {"x": 0.0, "y": 0.0, "z": 1.0}, "cameraMask": 1})
+    s1 = sink.add_stream(tilenum=2, tiledesc={"normal": {"x": 0.0, "y": 0.0, "z": -1.0}, "cameraMask": 2})
     assert (s0, s1) == (0, 1)
     sink.start()
     assert sink.feed(b"frame-zero", s0)
@@ -77,7 +77,13 @@ def test_lldpkg_push(fake_signals, tmp_path):
     sink.stop()
     sink.statistics()
     ingest = tmp_path / "ingest"
-    assert (ingest / "streams.txt").read_text().strip() == "2"
+    streams_txt = (ingest / "streams.txt").read_text().splitlines()
+    assert streams_txt[0].strip() == "2"
+    # descriptors carry the tile number and scaled normal (SRD fields)
+    assert streams_txt[1].split()[1:5] == ["1", "0", "0", "1000"]
+    assert streams_txt[2].split()[1:5] == ["2", "0", "0", str((-1000) & 0xFFFFFFFF)]
+    # the packager named the MPD
+    assert (ingest / "live.name").exists()
     assert (ingest / "s0_00000000.frame").read_bytes() == b"frame-zero"
     assert (ingest / "s0_00000001.frame").read_bytes() == b"frame-two"
     assert (ingest / "s1_00000000.frame").read_bytes() == b"frame-one"
@@ -100,13 +106,24 @@ def test_lldash_loopback_with_quality_switch(fake_signals, tmp_path):
     from cwipc_util_tpu.net.sink_lldpkg import cwipc_sink_lldpkg
     from cwipc_util_tpu.net.source_lldplay import cwipc_multisource_lldplay
 
-    url = str(tmp_path / "cdn")
+    url = str(tmp_path / "cdn") + "/"
     sink = cwipc_sink_lldpkg(url)
     sink.set_fourcc("cwi1")
-    for tile in (1, 2, 3):
-        sink.add_stream(tilenum=tile)
+    # 3 tiles; the middle tile has TWO qualities (two streams with the
+    # same descriptor — the grouping contract, reference
+    # source_lldplay.py:335-356)
+    descs = {t: {"normal": {"x": 0.0, "y": 0.0, "z": float(t)}} for t in (1, 2, 3)}
+    s0 = sink.add_stream(tilenum=1, tiledesc=descs[1])
+    s1 = sink.add_stream(tilenum=2, tiledesc=descs[2])
+    s2 = sink.add_stream(tilenum=2, tiledesc=descs[2])  # quality 1 of tile 2
+    s3 = sink.add_stream(tilenum=3, tiledesc=descs[3])
     sink.start()
-    payloads = {i: [f"t{i}f{j}".encode() for j in range(3)] for i in range(3)}
+    payloads = {
+        s0: [b"t0f0", b"t0f1", b"t0f2"],
+        s1: [b"q0f0", b"q0f1", b"q0f2"],
+        s2: [b"q1f0", b"q1f1", b"q1f2"],
+        s3: [b"t2f0", b"t2f1", b"t2f2"],
+    }
     for i, frames in payloads.items():
         for frame in frames:
             assert sink.feed(frame, i)
@@ -114,11 +131,17 @@ def test_lldash_loopback_with_quality_switch(fake_signals, tmp_path):
 
     src = cwipc_multisource_lldplay(url)
     assert src.start()
+    # 4 streams group into 3 tiles; tile 1 advertises 2 qualities
     assert src.get_tile_count() == 3
-    assert len(src.get_description()) == 3
+    desc = src.get_description()
+    assert [len(qualities) for qualities in desc] == [1, 2, 1]
+    info = src.get_tileinfo_dict(1)
+    assert info["cameraMask"] == 2 and info["nquality"] == 2
+    assert info["normal"]["z"] == 2.0
     got = {i: [] for i in range(3)}
+    want = {0: 3, 1: 6, 2: 3}  # tile 1 receives both qualities' frames
     deadline = time.time() + 10
-    while time.time() < deadline and any(len(v) < 3 for v in got.values()):
+    while time.time() < deadline and any(len(got[i]) < want[i] for i in got):
         for i in range(3):
             view = src.get_tile_source(i)
             if view.available(wait=False):
@@ -126,12 +149,14 @@ def test_lldash_loopback_with_quality_switch(fake_signals, tmp_path):
                 if data:
                     got[i].append(data)
         time.sleep(0.01)
-    src.select_tile_quality(1, 2)
+    src.select_tile_quality(1, 1)
     src.stop()
     src.statistics()
-    assert got == payloads
+    assert got[0] == payloads[s0]
+    assert got[2] == payloads[s3]
+    assert sorted(got[1]) == sorted(payloads[s1] + payloads[s2])
     # quality switch side-effect recorded by the fake DLL
-    assert (tmp_path / "cdn" / "quality_t1.txt").read_text().strip() == "2"
+    assert (tmp_path / "cdn" / "quality_t1.txt").read_text().strip() == "1"
 
 
 def test_lldplay_single_stream_view(fake_signals, tmp_path):
@@ -139,7 +164,7 @@ def test_lldplay_single_stream_view(fake_signals, tmp_path):
     from cwipc_util_tpu.net.sink_lldpkg import cwipc_sink_lldpkg
     from cwipc_util_tpu.net.source_lldplay import cwipc_source_lldplay
 
-    url = str(tmp_path / "single")
+    url = str(tmp_path / "single") + "/"
     sink = cwipc_sink_lldpkg(url)
     sink.set_fourcc("cwi0")
     sink.add_stream(tilenum=0)
@@ -177,7 +202,7 @@ def test_cli_dash_loopback(fake_signals, tmp_path):
         [sys.executable, "-m", "cwipc_util_tpu", "forward", "--synthetic",
          "--npoints", "1000", "--count", "5", "--fps", "10",
          "--seg_dur", "2000", "--timeshift_buffer", "5000",
-         "--lldpkg", url],
+         "--lldpkg", url + "/live.mpd"],
         capture_output=True, text=True, timeout=240, env=env,
     )
     assert rv.returncode == 0, rv.stderr[-500:]
@@ -206,11 +231,11 @@ def test_cli_tiled_dash_loopback(fake_signals, tmp_path):
     rv = subprocess.run(
         [sys.executable, "-m", "cwipc_util_tpu", "forward", "--synthetic",
          "--npoints", "1000", "--count", "5", "--fps", "10", "--tiled",
-         "--lldpkg", url],
+         "--lldpkg", url + "/live.mpd"],
         capture_output=True, text=True, timeout=240, env=env,
     )
     assert rv.returncode == 0, rv.stderr[-500:]
-    assert (tmp_path / "cdn" / "streams.txt").read_text().strip() == "2"
+    assert (tmp_path / "cdn" / "streams.txt").read_text().splitlines()[0].strip() == "2"
     rv = subprocess.run(
         [sys.executable, "-m", "cwipc_util_tpu", "view",
          "--mt-lldplay", url, "--nodisplay", "--count", "2", "-v"],

@@ -45,8 +45,25 @@ class TestBasicCommands:
         assert rv.stdout.strip()
 
     def test_unknown_subcommand(self):
+        # reference __main__.py:152-155: unknown command -> message + rc 1
         rv = run_cwipc("bogus")
-        assert rv.returncode == 2
+        assert rv.returncode == 1
+        assert "Unknown command" in rv.stderr
+
+    def test_help_lists_commands(self):
+        # reference __main__.py:35-59: help enumerates main/additional/special
+        # commands with first docstring lines, exits 1
+        rv = run_cwipc("help")
+        assert rv.returncode == 1
+        for section in ("Main commands:", "Additional commands:", "Special commands:"):
+            assert section in rv.stderr
+        for cmd in ("view", "grab", "register", "forward", "netserver", "parallel"):
+            assert cmd in rv.stderr
+
+    def test_version_flag_aliases(self):
+        rv = run_cwipc("--version")
+        assert rv.returncode == 0
+        assert rv.stdout.strip()
 
     def test_view_headless(self):
         rv = run_cwipc("view", "--synthetic", "--npoints", "1000", "--nodisplay", "--count", "5")
