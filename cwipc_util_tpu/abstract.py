@@ -75,6 +75,31 @@ class cwipc_activesource_abstract(cwipc_source_abstract):
     @abstractmethod
     def get_tileinfo_dict(self, tilenum: int) -> dict: ...
 
+    def get_tileinfo_raw(self, tilenum: int):
+        """Tile info as a ctypes cwipc_tileinfo struct, or None
+        (reference: util.py:846-853).  Built from get_tileinfo_dict, so
+        every active source provides it."""
+        try:
+            info = self.get_tileinfo_dict(tilenum)
+        except Exception:
+            return None
+        if not info:
+            return None
+        from .util import cwipc_tileinfo, cwipc_vector
+
+        raw = cwipc_tileinfo()
+        normal = info.get("normal", {}) or {}
+        raw.normal = cwipc_vector(
+            float(normal.get("x", 0.0)),
+            float(normal.get("y", 0.0)),
+            float(normal.get("z", 0.0)),
+        )
+        name = info.get("cameraName", b"") or b""
+        raw.cameraName = name if isinstance(name, bytes) else str(name).encode("utf8")
+        raw.ncamera = int(info.get("ncamera", 0))
+        raw.cameraMask = int(info.get("cameraMask", 0))
+        return raw
+
     @abstractmethod
     def reload_config(self, config) -> None: ...
 
@@ -134,6 +159,26 @@ class cwipc_source_wrapper(cwipc_source_abstract):
     def get(self):
         return self._wrapped.get() if self._wrapped else None
 
+    def detach(self) -> "cwipc_source_wrapper":
+        """Hand the wrapped source to a new wrapper; this one is emptied
+        and no longer frees it (reference: util.py:772-784)."""
+        rv = type(self)(self._wrapped)
+        self._wrapped = None
+        return rv
+
+    def as_cwipc_source_p(self):
+        """ctypes-compatible handle (reference: util.py as_cwipc_source_p).
+        Sources in this framework are Python objects; only a source wrapping
+        a native-backed implementation carries a handle."""
+        handle = getattr(self._wrapped, "_native_handle", None) if self._wrapped else None
+        if handle:
+            return handle
+        from .core.errors import CwipcError
+
+        raise CwipcError(
+            "cwipc_source: this source is Python-native and has no C handle"
+        )
+
 
 class cwipc_activesource_wrapper(cwipc_source_wrapper, cwipc_activesource_abstract):
     """Delegating active-source shell (API-compatibility constructor):
@@ -190,3 +235,23 @@ class cwipc_sink_wrapper(cwipc_sink_abstract):
 
     def feed(self, pc, clear: bool) -> bool:
         return self._wrapped.feed(pc, clear) if self._wrapped else False
+
+    def detach(self) -> "cwipc_sink_wrapper":
+        """Hand the wrapped sink to a new wrapper; this one is emptied and
+        no longer frees it (reference: util.py:913-925)."""
+        rv = type(self)(self._wrapped)
+        self._wrapped = None
+        return rv
+
+    def as_cwipc_sink_p(self):
+        """ctypes-compatible handle (reference: util.py as_cwipc_sink_p).
+        Sinks in this framework are Python objects; only a sink wrapping a
+        native-backed implementation carries a handle."""
+        handle = getattr(self._wrapped, "_native_handle", None) if self._wrapped else None
+        if handle:
+            return handle
+        from .core.errors import CwipcError
+
+        raise CwipcError(
+            "cwipc_sink: this sink is Python-native and has no C handle"
+        )

@@ -39,6 +39,36 @@ class cwipc_metadata:
     def data(self, idx: int) -> bytes:
         return self._items[idx][2]
 
+    def pointer(self, idx: int):
+        """ctypes pointer to item idx's bytes (reference: util.py metadata
+        .pointer, backed by cwipc_metadata_pointer).  The buffer it points
+        into is pinned on this collection, so the pointer stays valid for
+        the collection's lifetime."""
+        import ctypes
+
+        data = self._items[idx][2]
+        if not hasattr(self, "_pinned"):
+            self._pinned: Dict[int, Any] = {}
+        buf = self._pinned.get(idx)
+        if buf is None:
+            buf = ctypes.create_string_buffer(data, len(data))
+            self._pinned[idx] = buf
+        return ctypes.cast(buf, ctypes.c_void_p)
+
+    def as_cwipc_metadata_p(self):
+        """ctypes-compatible handle (reference: util.py as_cwipc_metadata_p).
+        Metadata collections in this framework are Python-native; only a
+        collection obtained from a native-backed object carries a handle."""
+        handle = getattr(self, "_native_handle", None)
+        if handle:
+            return handle
+        from .errors import CwipcError
+
+        raise CwipcError(
+            "cwipc_metadata: this collection is Python-native and has no C"
+            " handle; use data()/pointer() to pass its items to native code"
+        )
+
     def _copy_from(self, other: "cwipc_metadata") -> None:
         self._items.extend(other._items)
 

@@ -186,6 +186,7 @@ class cwipc_pointcloud_wrapper:
         if _host_points is not None and _count_hint is None:
             _count_hint = int(_host_points.shape[0])
         self._count_cache: Optional[int] = _count_hint
+        self._native_handle: Optional[ctypes.c_void_p] = None
         self._owned = buffer is not None or _host_points is not None
         if self._owned:
             _track_alloc()
@@ -202,6 +203,13 @@ class cwipc_pointcloud_wrapper:
         if self._owned:
             self._owned = False
             _track_dealloc()
+        if getattr(self, "_native_handle", None):
+            from ..util import cwipc_util_dll_load
+
+            dll = cwipc_util_dll_load()
+            dll.cwipc_pointcloud_free.argtypes = [ctypes.c_void_p]
+            dll.cwipc_pointcloud_free(self._native_handle)
+            self._native_handle = None
         self._buffer = None
         self._lazy_host = None
         # freed means freed: host caches go too, so accessors raise like
@@ -215,6 +223,7 @@ class cwipc_pointcloud_wrapper:
         rv = cwipc_pointcloud_wrapper.__new__(cwipc_pointcloud_wrapper)
         rv.__dict__.update(self.__dict__)
         self._owned = False
+        self._native_handle = None  # rv owns the native twin now
         self._buffer = None
         self._lazy_host = None
         self._np_cache = None
@@ -234,6 +243,39 @@ class cwipc_pointcloud_wrapper:
     def _assert_alive(self) -> None:
         if self._buffer is None and self._lazy_host is None:
             raise CwipcError("cwipc: pointcloud already freed")
+
+    def as_cwipc_p(self) -> ctypes.c_void_p:
+        """ctypes-compatible handle for this cloud, for handing to C code
+        built against the native ABI (reference: util.py:594-597).
+
+        The reference wraps a native object and returns its live pointer;
+        here the cloud is a device/host buffer, so the first call
+        materializes a native twin through libcwipc_util_tpu's
+        ``cwipc_from_packet`` (same points, timestamp and cellsize).  The
+        handle is cached, freed with this wrapper, and transferred by
+        ``detach()`` like the reference's pointer."""
+        self._assert_alive()
+        if self._native_handle:
+            return self._native_handle
+        from ..util import cwipc_util_dll_load
+
+        dll = cwipc_util_dll_load()
+        dll.cwipc_from_packet.restype = ctypes.c_void_p
+        dll.cwipc_from_packet.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_uint64,
+        ]
+        packet = bytes(self.get_packet())
+        err = ctypes.c_char_p(None)
+        handle = dll.cwipc_from_packet(
+            packet, len(packet), ctypes.byref(err), CWIPC_API_VERSION
+        )
+        if not handle:
+            raise CwipcError(
+                err.value.decode("utf8") if err.value else "cwipc_from_packet failed"
+            )
+        self._native_handle = ctypes.c_void_p(handle)
+        return self._native_handle
 
     # -- accessors ---------------------------------------------------------
 

@@ -42,6 +42,13 @@ class BaseFilter(cwipc_abstract_filter):
     def set_keep_source(self) -> None:
         self.keep_source = True
 
+    def print1stat(self, name: str, values, isInt: bool = False) -> None:
+        """Print count/average/min/max of one series (the reference defines
+        this helper on every filter class; reference filters/colorize.py:127)."""
+        from ..utils.stats import print1stat
+
+        print1stat(self.filtername, name, values, isInt)
+
     def filter(self, pc: cwipc_pointcloud_wrapper) -> cwipc_pointcloud_wrapper:
         self.count += 1
         self.stats.add("original_pointcount", pc.count(), isInt=True)

@@ -74,11 +74,24 @@ class Visualizer:
         self.stats = Stats("visualizer")
         self.window = None
         self.display_count = 0
+        self.alive = True
         self.current_pc: Optional[cwipc_pointcloud_wrapper] = None
         if not nodisplay:
+            self.start_window()
+
+    def start(self) -> None:
+        """No-op lifecycle hook (reference: io/visualizer.py:101-102)."""
+
+    def is_alive(self) -> bool:
+        """False once the run loop has ended (reference: io/visualizer.py:113-114)."""
+        return self.alive
+
+    def start_window(self) -> None:
+        """Create the display window (reference: io/visualizer.py:207-212)."""
+        if self.window is None:
             from .visualizer_sink import cwipc_window_sink
 
-            self.window = cwipc_window_sink(title)
+            self.window = cwipc_window_sink(self.title)
 
     def set_producer(self, producer) -> None:
         self.producer = producer
@@ -153,6 +166,7 @@ class Visualizer:
             self.current_pc = None
         if self.window is not None:
             self.window.free()
+        self.alive = False
 
     def _show_timestamps(self, pc, label: str) -> None:
         """Per-cloud timestamp printout (reference: io/visualizer.py:214-223)."""
@@ -165,6 +179,15 @@ class Visualizer:
                     print(f"{label}:    {name}: {md.description(i)}")
 
     # -- interaction ------------------------------------------------------
+
+    def interact_visualiser(self) -> None:
+        """One user-interaction slice with the display window
+        (reference: io/visualizer.py:245-252)."""
+        self._interact_once(50)
+
+    def draw_rgb(self, pc: cwipc_pointcloud_wrapper) -> None:
+        """Show the cloud's RGB aux images (reference: io/visualizer.py:355)."""
+        self._draw_rgb(pc)
 
     def _interact_once(self, millis: int) -> None:
         if self.window is None:

@@ -257,8 +257,10 @@ class _LLDashPlaySource(cwipc_activerawmultisource_abstract):
         self.free(force=True)
 
     def free(self, *, force: bool = False) -> None:
-        if self.handle:
-            tmp_handle = self.handle
+        # getattr: __del__ reaches here even when __init__ failed before
+        # self.handle was assigned (e.g. the DLL itself failed to load)
+        tmp_handle = getattr(self, "handle", None)
+        if tmp_handle:
             self.handle = None
             self.dll.lldplay_destroy(tmp_handle)
 

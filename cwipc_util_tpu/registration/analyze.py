@@ -361,6 +361,21 @@ class OverlapAnalyzer(BaseAlgorithm, OverlapAnalysisAlgorithm):
 
 DEFAULT_ANALYZER_ALGORITHM = RegistrationAnalyzerSymmetric
 
+# Reference-parity names (reference: registration/analyze.py:18-20,391-395).
+# The reference's KD tree is scipy's; this framework dispatches NN search
+# per backend (TPU kernel / scipy), but code that builds its own trees via
+# KD_TREE_TYPE keeps working.
+import scipy.spatial as _scipy_spatial
+
+KD_TREE_TYPE = _scipy_spatial.KDTree
+BaseRegistrationAnalyzer = RegistrationAnalyzer
+
+ALL_ANALYZER_ALGORITHMS = [
+    RegistrationAnalyzer,
+    RegistrationAnalyzerSymmetric,
+    OverlapAnalyzer,
+]
+
 HELP_ANALYZER_ALGORITHMS = """
 Analyzer algorithms:
     RegistrationAnalyzer           one-directional NN-distance statistics

@@ -24,6 +24,10 @@ from ..core.errors import CwipcError
 
 CAMERACONFIG_VERSION = 5
 
+# A 4x4 trafo as JSON carries it: a list of 4 lists of 4 floats
+# (reference: cameraconfig.py:10).
+PythonTrafo = List[List[float]]
+
 
 class Transform:
     """A 4x4 matrix with a dirty flag for change tracking."""
@@ -42,6 +46,16 @@ class Transform:
         if not np.array_equal(m, self._matrix):
             self._matrix = m
             self._dirty = True
+
+    def get(self) -> PythonTrafo:
+        """The matrix in its JSON form (reference: cameraconfig.py:28-29)."""
+        return self.to_json()
+
+    def apply_matrix(self, matrix: Any) -> None:
+        """Left-multiply an adjustment onto the current matrix
+        (reference: cameraconfig.py:45-48)."""
+        m = np.asarray(matrix, np.float64).reshape(4, 4)
+        self.set_matrix(m @ self._matrix)
 
     def reset(self) -> None:
         self.set_matrix(np.identity(4))
@@ -87,10 +101,13 @@ class CameraConfig:
     def is_loaded(self) -> bool:
         return self._loaded
 
+    def load_from_file(self) -> None:
+        """Load from self.filename (reference: cameraconfig.py:117-119)."""
+        self.load()
+
     def save(self) -> None:
         """Write the file, keeping the previous version as filename~."""
-        for i, t in enumerate(self.transforms):
-            self._data["camera"][i]["trafo"] = t.to_json()
+        self.refresh_transforms()
         if os.path.exists(self.filename):
             backup = self.filename + "~"
             if os.path.exists(backup):
@@ -106,9 +123,24 @@ class CameraConfig:
         self.save()
 
     def get_json_data(self) -> bytes:
-        for i, t in enumerate(self.transforms):
-            self._data["camera"][i]["trafo"] = t.to_json()
+        self.refresh_transforms()
         return json.dumps(self._data).encode("utf8")
+
+    def get(self) -> bytes:
+        """The config as JSON bytes (reference: cameraconfig.py:139-140)."""
+        return self.get_json_data()
+
+    def refresh_transforms(self) -> None:
+        """Copy the live Transform matrices back into the JSON camera
+        entries (reference: cameraconfig.py:86-90)."""
+        for i, t in enumerate(self.transforms):
+            if i < len(self._data.get("camera", [])):
+                self._data["camera"][i]["trafo"] = t.to_json()
+
+    def init_transforms(self) -> None:
+        """(Re)build the Transform list from the JSON camera entries
+        (reference: cameraconfig.py:64-70)."""
+        self._refresh_transforms()
 
     def _refresh_transforms(self) -> None:
         # preserve dirtiness: rebuilding from _data must not make unsaved
@@ -149,12 +181,14 @@ class CameraConfig:
     def all_identity(self) -> bool:
         return all(t.is_identity() for t in self.transforms)
 
+    def is_identity(self) -> bool:
+        """Reference-parity name (reference: cameraconfig.py:92-96)."""
+        return self.all_identity()
+
     def get_entry(self, path: str) -> Any:
         # sync live transforms first: _data only sees them at save time, so
         # a read-after-write of camera.N.trafo would return stale matrices
-        for i, t in enumerate(self.transforms):
-            if i < len(self._data.get("camera", [])):
-                self._data["camera"][i]["trafo"] = t.to_json()
+        self.refresh_transforms()
         node: Any = self._data
         for part in path.split("."):
             if isinstance(node, list):
@@ -170,9 +204,7 @@ class CameraConfig:
             raise CwipcError(f"cameraconfig: expected key=value: {assignment}")
         # sync live (possibly unsaved) transforms into _data first, so the
         # trailing refresh does not revert them to the last-saved matrices
-        for i, t in enumerate(self.transforms):
-            if i < len(self._data.get("camera", [])):
-                self._data["camera"][i]["trafo"] = t.to_json()
+        self.refresh_transforms()
         path, value = assignment.split("=", 1)
         try:
             parsed: Any = json.loads(value)

@@ -41,6 +41,11 @@ from .util import BaseMulticamAlgorithm, cwipc_transform, transformation_identit
 
 DEFAULT_MARKER_SIZE = 0.2  # meters
 
+# Marker geometry types (reference: multicoarse.py:21-22): a marker's
+# position is its 3D corner outline; collections map marker id -> outline.
+MarkerPosition = List[Tuple[float, float, float]]
+MarkerPositions = Dict[int, MarkerPosition]
+
 
 def _marker_world_corners(size: float = DEFAULT_MARKER_SIZE) -> np.ndarray:
     """Marker 0 flat on the floor, centered at the origin; corner order
@@ -80,6 +85,28 @@ class MultiCameraCoarse(BaseMulticamAlgorithm):
         # marker id -> known world corners [4,3]
         self.known_markers: Dict[int, np.ndarray] = {0: _marker_world_corners()}
         self.registered: List[bool] = []
+        self.serial_for_tilenum: Dict[int, str] = {}
+        self.grabber = None
+
+    def set_serial_dict(self, sd: Dict[int, str]) -> None:
+        """Record the tilemask -> camera-serial mapping for reporting
+        (reference: multicoarse.py:66-67)."""
+        self.serial_for_tilenum = sd
+
+    def set_grabber(self, grabber) -> None:
+        """Attach the live capturer, for variants that read aux images
+        (reference: multicoarse.py:69-71)."""
+        assert self.grabber is None
+        self.grabber = grabber
+
+    def set_transformation(self, cam_index: int, trafo: RegistrationTransformation) -> None:
+        """Pre-seed one camera's transformation (a camera registered by an
+        earlier run keeps its matrix; reference: multicoarse.py:92-95)."""
+        if not self.transformations:
+            self.transformations = [
+                transformation_identity() for _ in range(self.camera_count())
+            ]
+        self.transformations[cam_index] = trafo
 
     def _find_markers(self, pc: cwipc_pointcloud_wrapper) -> Dict[int, np.ndarray]:
         """Return marker id -> observed corner positions [4,3] in the tile's
@@ -88,8 +115,15 @@ class MultiCameraCoarse(BaseMulticamAlgorithm):
 
     def run(self) -> bool:
         n = self.camera_count()
-        self.transformations = [transformation_identity() for _ in range(n)]
-        self.registered = [False] * n
+        if len(self.transformations) != n:
+            self.transformations = [transformation_identity() for _ in range(n)]
+        # a camera pre-seeded via set_transformation() keeps its matrix and
+        # counts as registered (reference: _get_unregistered_tiles,
+        # multicoarse.py:97-104)
+        self.registered = [
+            not np.array_equal(t, transformation_identity())
+            for t in self.transformations
+        ]
         observed: List[Dict[int, np.ndarray]] = [
             self._find_markers(self.get_pc_for_camnum(i)) for i in range(n)
         ]

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import os
 from functools import partial
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -543,6 +543,17 @@ class RegistrationComputer_ICP_Generalized(RegistrationComputer_ICP_Point2Plane)
 
 
 DEFAULT_FINE_ALIGNMENT_ALGORITHM = RegistrationComputer_ICP_Generalized
+
+# Reference-parity names (reference: registration/fine.py:16,321-325).  The
+# reference types ICP outcomes as open3d's RegistrationResult (aliased to
+# Any); here results are plain (transformation, rmse, correspondences).
+RegistrationResult = Any
+
+ALL_FINE_ALIGNMENT_ALGORITHMS = [
+    RegistrationComputer_ICP_Point2Point,
+    RegistrationComputer_ICP_Point2Plane,
+    RegistrationComputer_ICP_Generalized,
+]
 
 HELP_FINE_ALIGNMENT_ALGORITHMS = """
 Fine alignment algorithms:

@@ -46,6 +46,10 @@ from .analyze import (
 from .fine import DEFAULT_FINE_ALIGNMENT_ALGORITHM
 from .util import BaseMulticamAlgorithm, cwipc_transform, transformation_identity
 
+# Per-camera work list rows: (camera number, tilemask, correspondence,
+# below-correspondence fraction) — reference: multicamera.py:25.
+OrderedCameraList = List[Tuple[int, int, float, float]]
+
 
 def _batched_analysis_enabled() -> bool:
     """Batch analysis NN queries only where a device dispatch has real
@@ -280,6 +284,10 @@ class MultiCameraToGroundTruth(BaseMulticamAlignmentAlgorithm):
     def set_groundtruth_pointcloud(self, pc: cwipc_pointcloud_wrapper) -> None:
         self.ground_truth = pc
 
+    def set_groundtruth(self, pc: cwipc_pointcloud_wrapper) -> None:
+        """Reference-parity name (reference: multicamera.py:422)."""
+        self.set_groundtruth_pointcloud(pc)
+
     def run(self) -> bool:
         assert self.ground_truth is not None, "set_groundtruth_pointcloud() first"
         self._ensure_transforms()
@@ -418,6 +426,14 @@ class MultiCameraIterativeInteractive(MultiCameraIterative):
 
 
 DEFAULT_MULTICAMERA_ALGORITHM = MultiCameraIterative
+
+ALL_MULTICAMERA_ALGORITHMS = [
+    MultiCameraOneToAllOthers,
+    MultiCameraToFloor,
+    MultiCameraIterative,
+    MultiCameraIterativeInteractive,
+    MultiCameraToGroundTruth,
+]
 
 HELP_MULTICAMERA_ALGORITHMS = """
 Multicamera alignment algorithms:

@@ -6,6 +6,8 @@ variants on the software-rendered image path).  Code importing the
 reference path keeps working."""
 
 from .coarse import (  # noqa: F401
+    MarkerPosition,
+    MarkerPositions,
     MultiCameraCoarse,
     MultiCameraCoarseAruco,
     MultiCameraCoarseArucoRgb,

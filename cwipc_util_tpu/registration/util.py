@@ -296,6 +296,10 @@ class BaseMulticamAlgorithm(MulticamAlgorithm):
     def get_pc_for_camnum(self, camnum: int) -> cwipc_pointcloud_wrapper:
         return self.get_pc_for_tilemask(self.tilemask_for_camera_index(camnum))
 
+    def get_pointcloud_for_tilemask(self, tilenum: int) -> cwipc_pointcloud_wrapper:
+        """Reference-parity name (reference: multicoarse.py:54-58)."""
+        return self.get_pc_for_tilemask(tilenum)
+
 
 def project_point_indices(
     xyz: np.ndarray, camera, width: int, height: int

@@ -51,6 +51,37 @@ def setup_signal_dump() -> None:
         faulthandler.register(signal.SIGQUIT, all_threads=True)
 
 
+# The reference's name for the SIGQUIT stack-dump installer
+# (reference: _scriptsupport.py:40-43).
+SetupStackDumper = setup_signal_dump
+
+
+def waitForDebugpy() -> None:
+    """Listen for and block on a debugpy attach on port 5678
+    (reference: _scriptsupport.py:456-461)."""
+    import debugpy  # type: ignore
+
+    debugpy.listen(5678)
+    print(f"{sys.argv[0]}: waiting for debugpy attach on 5678", flush=True)
+    debugpy.wait_for_client()
+    print(f"{sys.argv[0]}: debugger attached")
+
+
+class pipelined_activesource_factory:
+    """Factory composing an active raw-source factory with a decoder factory:
+    calling it builds the reader, wraps it in the decoder, and returns the
+    decoder as the pipeline's active source
+    (reference: _scriptsupport.py:105-114)."""
+
+    def __init__(self, reader_factory, decoder_factory):
+        self.reader_factory = reader_factory
+        self.decoder_factory = decoder_factory
+
+    def __call__(self) -> cwipc_activesource_abstract:
+        reader = self.reader_factory()
+        return self.decoder_factory(reader)
+
+
 def _guess_playback_type(filenames: List[str]) -> Optional[str]:
     exts = {
         ext
@@ -270,6 +301,13 @@ class SourceServer:
         for f in self.pc_filters:
             f.statistics()
 
+    def print1stat(self, name: str, values, isInt: bool = False) -> None:
+        """Print count/average/min/max of one series
+        (reference: _scriptsupport.py:401-413)."""
+        from ..utils.stats import print1stat
+
+        print1stat("grab", name, values, isInt)
+
     def get_latencies(self) -> List[float]:
         return self.latency_grab
 
@@ -331,11 +369,7 @@ def beginOfRun(args: argparse.Namespace) -> None:
                 break
             answer = line.strip()
     if args.debugpy:
-        import debugpy  # type: ignore
-
-        debugpy.listen(5678)
-        print(f"{sys.argv[0]}: waiting for debugpy attach on 5678", flush=True)
-        debugpy.wait_for_client()
+        waitForDebugpy()
     if args.logging:
         levelmap = {
             "error": CWIPC_LOG_LEVEL_ERROR,

@@ -34,6 +34,117 @@ def _read_any(fn):
     return cwipc_read(fn, 0)
 
 
+class AnalyzePointCloud:
+    """Analyzer-suite driver (reference: cwipc_analyze_registration.py:15-119):
+    load a tiled cloud (and optional ground truth), build the per-mode tile
+    work list, analyze each pair, optionally plot and report occupancy."""
+
+    def __init__(self, args):
+        self.args = args
+        self.verbose = args.verbose > 0
+        self.analyzer_class = (
+            getattr(analyze_mod, args.algorithm_analyzer)
+            if args.algorithm_analyzer
+            else DEFAULT_ANALYZER_ALGORITHM
+        )
+        self.pointcloud = None
+        self.target_pointcloud = None
+        self.all_results: List = []
+
+    def load_source(self, source: str) -> None:
+        self.pointcloud = _read_any(source)
+        self.target_pointcloud = self.pointcloud
+
+    def load_target(self, target: str) -> None:
+        self.target_pointcloud = _read_any(target)
+
+    def analyze_pointclouds(self, source, sourcetile: int, target, targettile: int):
+        """Run one analyzer pass source(tile) -> target(tile); returns the
+        AnalysisResults (reference: cwipc_analyze_registration.py:85-119)."""
+        args = self.args
+        analyzer = self.analyzer_class()
+        analyzer.verbose = self.verbose
+        if args.toself:
+            analyzer.set_ignore_nearest(args.nth)
+        analyzer.set_correspondence_measure(args.measure)
+        if args.nokde:
+            analyzer.use_kde = False
+        max_corr = args.max_corr if args.max_corr >= 0 else args.correspondence
+        analyzer.set_max_correspondence_distance(max_corr)
+        if args.min_corr > 0:
+            analyzer.set_min_correspondence_distance(args.min_corr)
+        analyzer.set_ignore_floor(args.ignore_floor)
+        analyzer.set_source_pointcloud(source, sourcetile)
+        analyzer.set_reference_pointcloud(target)
+        analyzer.run()
+        return analyzer.get_results()
+
+    def run(self) -> bool:
+        args = self.args
+        pc = self.pointcloud
+        target_pc = self.target_pointcloud
+        tiles = get_tiles_used(pc)
+        if len(tiles) < 2 and not (args.toself or args.togroundtruth):
+            print(f"analyze_registration: {args.pointcloud} has fewer than 2 tiles")
+            return False
+
+        todo: List[Tuple[int, int]] = []
+        if args.togroundtruth:
+            title = "Distance between this tile and ground-truth"
+            todo = [(t, 0) for t in tiles]
+        elif args.toself:
+            title = f"Distance to the nth={args.nth} point in the same tile"
+            todo = [(t, t) for t in tiles]
+        elif args.totile >= 0:
+            title = f"Distance between this tile and tile {args.totile}"
+            todo = [(t, args.totile) for t in tiles if t != args.totile]
+        elif args.pairwise:
+            title = "Distance between each pair of tiles"
+            todo = [(s, t) for s in tiles for t in tiles if s != t]
+        else:
+            title = "Distance between each tile and all other tiles combined"
+            todo = [(s, 255 - s) for s in tiles]
+
+        for sourcetile, targettile in todo:
+            src = cwipc_tilefilter_masked(pc, sourcetile)
+            if args.toself:
+                ref = cwipc_tilefilter_masked(target_pc, targettile)
+            elif targettile == 0:
+                ref = target_pc
+            else:
+                ref = cwipc_tilefilter_masked(target_pc, targettile)
+            results = self.analyze_pointclouds(src, sourcetile, ref, targettile)
+            self.all_results.append(results)
+            if args.toself:
+                label = f"{sourcetile:#x} self, nth={args.nth}"
+            else:
+                label = f"{sourcetile:#x} to {targettile:#x}"
+            print(f"Alignment {label}: {results.tostr()}")
+            if args.overlap:
+                overlap = OverlapAnalyzer()
+                overlap.verbose = self.verbose
+                overlap.set_source_pointcloud(src, sourcetile)
+                overlap.set_reference_pointcloud(ref)
+                overlap.set_correspondence(results.minCorrespondence)
+                overlap.run()
+                ores = overlap.get_results()
+                print(f"Alignment {label}: overlap fitness: {ores.fitness:.6f}, "
+                      f"inlier rmse: {ores.rmse:.6f}")
+
+        if args.plot:
+            from ..registration.plot import plot_analysis_results
+
+            plot_analysis_results(self.all_results, filename=args.plot, title=title)
+        if args.occupancy >= 0:
+            # the CELLSIZE argument voxelizes first (reference semantics:
+            # cwipc_compute_tile_occupancy(cellsize=...)), which is what makes
+            # multi-camera combination tiles appear in the census
+            for tilenum, count in cwipc_compute_tile_occupancy(pc, cellsize=args.occupancy):
+                print(f"Occupancy: tilenum={tilenum}, count={count}, "
+                      f"ncamera={bin(tilenum).count('1')}")
+        return True
+
+
 def main() -> int:
     parser = BaseArgumentParser(description="Analyze registration quality of a tiled pointcloud")
     parser.add_argument("--correspondence", type=float, default=0.1, help="Max correspondence distance")
@@ -54,90 +165,13 @@ def main() -> int:
     parser.add_argument("pointcloud", help="Tiled pointcloud file")
     args = parser.parse_args()
     beginOfRun(args)
-
-    analyzer_class = DEFAULT_ANALYZER_ALGORITHM
-    if args.algorithm_analyzer:
-        analyzer_class = getattr(analyze_mod, args.algorithm_analyzer)
-
-    pc = _read_any(args.pointcloud)
-    target_pc = _read_any(args.togroundtruth) if args.togroundtruth else pc
-    tiles = get_tiles_used(pc)
-    if len(tiles) < 2 and not (args.toself or args.togroundtruth):
-        print(f"analyze_registration: {args.pointcloud} has fewer than 2 tiles")
-        return 1
-
-    todo: List[Tuple[int, int]] = []
+    driver = AnalyzePointCloud(args)
+    driver.load_source(args.pointcloud)
     if args.togroundtruth:
-        title = "Distance between this tile and ground-truth"
-        todo = [(t, 0) for t in tiles]
-    elif args.toself:
-        title = f"Distance to the nth={args.nth} point in the same tile"
-        todo = [(t, t) for t in tiles]
-    elif args.totile >= 0:
-        title = f"Distance between this tile and tile {args.totile}"
-        todo = [(t, args.totile) for t in tiles if t != args.totile]
-    elif args.pairwise:
-        title = "Distance between each pair of tiles"
-        todo = [(s, t) for s in tiles for t in tiles if s != t]
-    else:
-        title = "Distance between each tile and all other tiles combined"
-        todo = [(s, 255 - s) for s in tiles]
-
-    all_results = []
-    for sourcetile, targettile in todo:
-        src = cwipc_tilefilter_masked(pc, sourcetile)
-        if args.toself:
-            ref = cwipc_tilefilter_masked(target_pc, targettile)
-        elif targettile == 0:
-            ref = target_pc
-        else:
-            ref = cwipc_tilefilter_masked(target_pc, targettile)
-        analyzer = analyzer_class()
-        analyzer.verbose = args.verbose > 0
-        if args.toself:
-            analyzer.set_ignore_nearest(args.nth)
-        analyzer.set_correspondence_measure(args.measure)
-        if args.nokde:
-            analyzer.use_kde = False
-        max_corr = args.max_corr if args.max_corr >= 0 else args.correspondence
-        analyzer.set_max_correspondence_distance(max_corr)
-        if args.min_corr > 0:
-            analyzer.set_min_correspondence_distance(args.min_corr)
-        analyzer.set_ignore_floor(args.ignore_floor)
-        analyzer.set_source_pointcloud(src, sourcetile)
-        analyzer.set_reference_pointcloud(ref)
-        analyzer.run()
-        results = analyzer.get_results()
-        all_results.append(results)
-        if args.toself:
-            label = f"{sourcetile:#x} self, nth={args.nth}"
-        else:
-            label = f"{sourcetile:#x} to {targettile:#x}"
-        print(f"Alignment {label}: {results.tostr()}")
-        if args.overlap:
-            overlap = OverlapAnalyzer()
-            overlap.verbose = args.verbose > 0
-            overlap.set_source_pointcloud(src, sourcetile)
-            overlap.set_reference_pointcloud(ref)
-            overlap.set_correspondence(results.minCorrespondence)
-            overlap.run()
-            ores = overlap.get_results()
-            print(f"Alignment {label}: overlap fitness: {ores.fitness:.6f}, "
-                  f"inlier rmse: {ores.rmse:.6f}")
-
-    if args.plot:
-        from ..registration.plot import plot_analysis_results
-
-        plot_analysis_results(all_results, filename=args.plot, title=title)
-    if args.occupancy >= 0:
-        # the CELLSIZE argument voxelizes first (reference semantics:
-        # cwipc_compute_tile_occupancy(cellsize=...)), which is what makes
-        # multi-camera combination tiles appear in the census
-        for tilenum, count in cwipc_compute_tile_occupancy(pc, cellsize=args.occupancy):
-            print(f"Occupancy: tilenum={tilenum}, count={count}, "
-                  f"ncamera={bin(tilenum).count('1')}")
+        driver.load_target(args.togroundtruth)
+    ok = driver.run()
     endOfRun(args)
-    return 0
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

@@ -8,6 +8,8 @@ import os
 import sys
 
 from . import cwipc_grab
+from .cwipc_grab import FileWriter  # noqa: F401  (reference module surface:
+# cwipc_copy.py defines its own FileWriter; this port shares grab's)
 
 
 # Options that consume a following value must not have their values

@@ -32,36 +32,118 @@ def _read_any(fn):
     return cwipc_read(fn, 0)
 
 
-def _dump_pointclouds(filename, source, target, verbose):
-    """Color-coded combined dump: source red, target green (reference
-    dump_pointclouds)."""
-    if verbose:
-        print(f"Dumping point clouds to {filename}")
-    colored_source = cwipc_colormap(source, 0xFFFFFFFF, 0xAAFF0000)
-    colored_target = cwipc_colormap(target, 0xFFFFFFFF, 0xAA00FF00)
-    combined = cwipc_join(colored_source, colored_target)
-    cwipc_write(filename, combined)
-    colored_source.free()
-    colored_target.free()
-    combined.free()
+class TransformFinder:
+    """Pairwise alignment driver (reference: cwipc_find_transform.py:14-96):
+    load source/target clouds (optionally tile-filtered), analyze before,
+    align, analyze after, emit the transform."""
 
+    def __init__(self, args):
+        self.args = args
+        self.verbose = args.verbose > 0
+        self.source = None
+        self.target = None
+        self.result = None
+        self.transform = None
 
-def _analyze(label, source, target, measures, verbose, plot):
-    analyzer = RegistrationAnalyzer()
-    analyzer.verbose = verbose
-    analyzer.set_source_pointcloud(source)
-    analyzer.set_reference_pointcloud(target)
-    if measures:
-        analyzer.set_correspondence_measure(*measures)
-    analyzer.run()
-    results = analyzer.get_results()
-    print(f"{label} alignment: {results.tostr()}")
-    if plot:
-        from ..registration.plot import plot_analysis_results
+    def load_source(self, source: str) -> None:
+        self.source = _read_any(source)
+        if self.args.sourcetile:
+            self.source = cwipc_tilefilter_masked(self.source, self.args.sourcetile)
 
-        plot_analysis_results([results], filename=plot if isinstance(plot, str) else None,
-                              title=label)
-    return results
+    def load_target(self, target: str) -> None:
+        self.target = _read_any(target) if target else self.source.clone()
+        if self.args.targettile:
+            self.target = cwipc_tilefilter_masked(self.target, self.args.targettile)
+
+    def _fnmod(self) -> str:
+        if self.args.sourcetile or self.args.targettile:
+            return f"_{self.args.sourcetile or 0}_{self.args.targettile or 0}"
+        return ""
+
+    def dump_pointclouds(self, filename: str, source, target) -> None:
+        """Color-coded combined dump: source red, target green
+        (reference: cwipc_find_transform.py:73-80)."""
+        if self.verbose:
+            print(f"Dumping point clouds to {filename}")
+        colored_source = cwipc_colormap(source, 0xFFFFFFFF, 0xAAFF0000)
+        colored_target = cwipc_colormap(target, 0xFFFFFFFF, 0xAA00FF00)
+        combined = cwipc_join(colored_source, colored_target)
+        cwipc_write(filename, combined)
+        colored_source.free()
+        colored_target.free()
+        combined.free()
+
+    def analyze_pointclouds(self, label: str, source, target, plot=False):
+        """One before/after analysis pass; returns the AnalysisResults
+        (reference: cwipc_find_transform.py:81-96)."""
+        analyzer = RegistrationAnalyzer()
+        analyzer.verbose = self.verbose
+        analyzer.set_source_pointcloud(source)
+        analyzer.set_reference_pointcloud(target)
+        if self.args.measure:
+            analyzer.set_correspondence_measure(*self.args.measure)
+        analyzer.run()
+        results = analyzer.get_results()
+        print(f"{label} alignment: {results.tostr()}")
+        if plot:
+            from ..registration.plot import plot_analysis_results
+
+            plot_analysis_results(
+                [results],
+                filename=plot if isinstance(plot, str) else None,
+                title=label,
+            )
+        return results
+
+    def save_output(self, filename: str) -> None:
+        assert self.result is not None
+        cwipc_write(filename, self.result)
+
+    def run(self) -> bool:
+        fnmod = self._fnmod()
+        if self.args.dump:
+            self.dump_pointclouds(
+                f"find_transform_before{fnmod}.ply", self.source, self.target
+            )
+        pre = self.analyze_pointclouds("Before", self.source, self.target)
+        correspondence = self.args.correspondence
+        if correspondence < 0:
+            correspondence = pre.minCorrespondence
+
+        cls = getattr(fine, self.args.algorithm, None)
+        if cls is None:
+            print(f"Unknown algorithm {self.args.algorithm}."
+                  f"{fine.HELP_FINE_ALIGNMENT_ALGORITHMS}")
+            return False
+        print(f"Using aligner {cls.__name__} with correspondence threshold {correspondence}")
+        aligner = cls()
+        aligner.verbose = self.verbose
+        aligner.set_source_pointcloud(self.source)
+        aligner.set_reference_pointcloud(self.target)
+        aligner.set_correspondence(correspondence)
+        if not aligner.run():
+            print("find_transform: alignment failed")
+            return False
+        self.transform = aligner.get_result_transformation()
+        self.result = aligner.get_result_pointcloud()
+
+        if self.args.dump:
+            cwipc_write(f"find_transform_result{fnmod}.ply", self.result)
+            self.dump_pointclouds(
+                f"find_transform_after{fnmod}.ply", self.result, self.target
+            )
+        self.analyze_pointclouds("After", self.result, self.target, self.args.plot)
+        if self.args.output:
+            self.save_output(self.args.output)
+
+        np.set_printoptions(suppress=True, precision=6)
+        print(np.asarray(self.transform))
+        rows = ", ".join(
+            "[" + ", ".join(f"{v:.6f}" for v in row) + "]"
+            for row in np.asarray(self.transform)
+        )
+        print(f"Transform filter needed: --filter 'transform44([{rows}])'")
+        return True
 
 
 def main() -> int:
@@ -78,56 +160,12 @@ def main() -> int:
     parser.add_argument("target", nargs="?", help="Target pointcloud file (default: same as source)")
     args = parser.parse_args()
     beginOfRun(args)
-    verbose = args.verbose > 0
-
-    src = _read_any(args.source)
-    tgt = _read_any(args.target) if args.target else src.clone()
-    if args.sourcetile:
-        src = cwipc_tilefilter_masked(src, args.sourcetile)
-    if args.targettile:
-        tgt = cwipc_tilefilter_masked(tgt, args.targettile)
-
-    fnmod = f"_{args.sourcetile or 0}_{args.targettile or 0}" if (args.sourcetile or args.targettile) else ""
-    if args.dump:
-        _dump_pointclouds(f"find_transform_before{fnmod}.ply", src, tgt, verbose)
-
-    pre = _analyze("Before", src, tgt, args.measure, verbose, False)
-    correspondence = args.correspondence
-    if correspondence < 0:
-        correspondence = pre.minCorrespondence
-
-    cls = getattr(fine, args.algorithm, None)
-    if cls is None:
-        print(f"Unknown algorithm {args.algorithm}.{fine.HELP_FINE_ALIGNMENT_ALGORITHMS}")
-        return 1
-    print(f"Using aligner {cls.__name__} with correspondence threshold {correspondence}")
-    aligner = cls()
-    aligner.verbose = verbose
-    aligner.set_source_pointcloud(src)
-    aligner.set_reference_pointcloud(tgt)
-    aligner.set_correspondence(correspondence)
-    if not aligner.run():
-        print("find_transform: alignment failed")
-        return 1
-    transform = aligner.get_result_transformation()
-    result = aligner.get_result_pointcloud()
-
-    if args.dump:
-        cwipc_write(f"find_transform_result{fnmod}.ply", result)
-        _dump_pointclouds(f"find_transform_after{fnmod}.ply", result, tgt, verbose)
-    _analyze("After", result, tgt, args.measure, verbose, args.plot)
-    if args.output:
-        cwipc_write(args.output, result)
-
-    np.set_printoptions(suppress=True, precision=6)
-    print(np.asarray(transform))
-    rows = ", ".join(
-        "[" + ", ".join(f"{v:.6f}" for v in row) + "]"
-        for row in np.asarray(transform)
-    )
-    print(f"Transform filter needed: --filter 'transform44([{rows}])'")
+    finder = TransformFinder(args)
+    finder.load_source(args.source)
+    finder.load_target(args.target)
+    ok = finder.run()
     endOfRun(args)
-    return 0
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

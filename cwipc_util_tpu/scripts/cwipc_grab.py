@@ -62,19 +62,23 @@ class FileWriter:
             return f"{self.count_written:04d}"
         return str(pc.timestamp())
 
-    def _write_aux(self, pc: cwipc_pointcloud_wrapper) -> None:
+    def _write_aux(
+        self, pc: cwipc_pointcloud_wrapper, images: bool = True, skeletons: bool = True
+    ) -> bool:
         """Write RGB/depth aux images and skeleton files when the matching
         --rgb/--depth/--skeleton flag was given (reference:
-        python/cwipc/scripts/cwipc_grab.py:210-212)."""
+        python/cwipc/scripts/cwipc_grab.py:210-212).  Returns whether
+        anything was written."""
         md = pc._metadata
         if md is None:
-            return
+            return False
         import json
 
+        wrote = False
         for i in range(md.count()):
             name = md.name(i)
             ts = self._stem(pc)
-            want_img = (
+            want_img = images and (
                 (self.rgb and name.startswith("rgb"))
                 or (self.depth and name.startswith("depth"))
             )
@@ -89,9 +93,10 @@ class FileWriter:
 
                     out = os.path.join(self.dirname, f"{name}-{ts}.{ext}")
                     cv2.imwrite(out, img[..., ::-1] if img.ndim == 3 else img)
+                    wrote = True
                 except ImportError:
                     pass
-            elif self.skeleton and name.startswith("skeleton"):
+            elif skeletons and self.skeleton and name.startswith("skeleton"):
                 from ..core.pointcloud import parse_skeleton_collection
 
                 n_s, n_j, joints = parse_skeleton_collection(md.data(i))
@@ -109,6 +114,8 @@ class FileWriter:
                         ),
                         fp,
                     )
+                wrote = True
+        return wrote
 
     def feed(self, pc: cwipc_pointcloud_wrapper) -> None:
         if self.incore:
@@ -145,6 +152,55 @@ class FileWriter:
         for pc in self.pending:
             self._write_one(pc)
         self.pending = []
+
+    # -- reference-parity sink surface (reference: cwipc_grab.py FileWriter:
+    # start/stop/run/setup_encoder/save_pc/save_images/save_skeletons) ------
+
+    def start(self) -> None:
+        """No-op lifecycle hook (the reference's FileWriter has none either)."""
+
+    def stop(self) -> None:
+        """Flush any --incore buffered clouds."""
+        self.flush_pending()
+
+    def run(self) -> bool:
+        """Drain loop: in the reference the writer thread consumes a queue
+        here; this writer saves synchronously in feed(), so run() waits for
+        the producer to finish and flushes buffered clouds.  Returns success
+        like the reference."""
+        import time as _time
+
+        while self.producer is not None and self.producer.is_alive():
+            _time.sleep(0.1)
+        self.flush_pending()
+        return True
+
+    def setup_encoder(self, params: Optional[dict]) -> None:
+        """(Re)create the compressed-output encoder from a parameter dict
+        (reference: cwipc_grab.py FileWriter.setup_encoder)."""
+        from ..codec import cwipc_new_encoder
+
+        self.encoder = cwipc_new_encoder(**(params or {}))
+        self.compressed = True
+
+    def save_pc(self, pc: cwipc_pointcloud_wrapper) -> bool:
+        """Save one cloud (and requested aux data) now; False on error."""
+        try:
+            self._write_one(pc)
+            return True
+        except (OSError, ValueError, AssertionError) as e:
+            print(f"writer: error: {e}")
+            return False
+
+    def save_images(self, pc: cwipc_pointcloud_wrapper) -> bool:
+        """Save the cloud's RGB/depth aux images per --rgb/--depth; True if
+        any image was written."""
+        return self._write_aux(pc, images=True, skeletons=False)
+
+    def save_skeletons(self, pc: cwipc_pointcloud_wrapper) -> bool:
+        """Save the cloud's skeleton metadata per --skeleton; True if any
+        skeleton was written."""
+        return self._write_aux(pc, images=False, skeletons=True)
 
     def statistics(self) -> None:
         print(f"filewriter: written={self.count_written}")

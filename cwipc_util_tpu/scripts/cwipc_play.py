@@ -9,6 +9,11 @@ from . import cwipc_view
 from .cwipc_copy import VIEW_VALUE_FLAGS, _positionals
 
 
+def help_commands():
+    """Print the viewer keymap (reference: cwipc_play.py:12-13)."""
+    cwipc_view.help_commands()
+
+
 def main() -> int:
     # `play INPUT` is `view --playback INPUT`; rewrite argv and delegate.
     argv = sys.argv[1:]

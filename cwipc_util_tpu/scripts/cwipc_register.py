@@ -50,6 +50,41 @@ from ._scriptsupport import (
 DEFAULT_FILENAME = "cameraconfig.json"
 
 
+def _make_registration_visualizer_class():
+    # Lazy base import: the viewer stack (cv2/GL) must not load for
+    # headless register runs that never go interactive.
+    from ..io.visualizer import Visualizer
+
+    class RegistrationVisualizer(Visualizer):
+        """Viewer variant for interactive capture: the 'w' key selects the
+        current cloud instead of writing a file, and cameraconfig reloads
+        go through the registrator (reference: cwipc_register.py:41-59)."""
+
+        captured_pc = None
+        reload_cameraconfig_callback = None
+
+        def write_current_pointcloud(self):
+            if self.current_pc is not None:
+                self.captured_pc = self.current_pc.clone()
+                self.stopped = True
+
+        def reload_cameraconfig(self):
+            if self.reload_cameraconfig_callback:
+                self.reload_cameraconfig_callback()
+            super().reload_cameraconfig()
+
+    return RegistrationVisualizer
+
+
+def __getattr__(name):
+    # module-level lazy attribute (PEP 562): RegistrationVisualizer is part
+    # of the reference module surface but must not import the viewer stack
+    # until requested
+    if name == "RegistrationVisualizer":
+        return _make_registration_visualizer_class()
+    raise AttributeError(name)
+
+
 class Registrator:
     def __init__(self, args):
         self.args = args
@@ -144,6 +179,20 @@ class Registrator:
                 print(f"register: created {self.cameraconfig.filename}")
         return True
 
+    def create_cameraconfig(self) -> None:
+        """Reference-parity name (reference: cwipc_register.py:456-472):
+        probe with auto-config and save the capturer's defaults."""
+        if not self.create_cameraconfig_via_auto():
+            raise RuntimeError("Cannot get cameraconfig")
+
+    def create_nograb_cameraconfig(self) -> None:
+        """--nograb runs read the cameraconfig.json next to the input
+        (reference: cwipc_register.py:474-475)."""
+        if self.cameraconfig is None:
+            self.cameraconfig = CameraConfig(DEFAULT_FILENAME)
+        with open(DEFAULT_FILENAME, "rb") as fp:
+            self.cameraconfig.load(fp.read())
+
     def _capture_some_frames(self, count: int = 2) -> None:
         """Warm up so get_config() reflects all parameters (reference :665-681)."""
         got = 0
@@ -186,23 +235,9 @@ class Registrator:
         (reference RegistrationVisualizer + interactive_capture, :44-59,:499-518)."""
         import threading
 
-        from ..io.visualizer import Visualizer
         from ._scriptsupport import SourceServer
 
-        class RegistrationVisualizer(Visualizer):
-            captured_pc = None
-            reload_cameraconfig_callback = None
-
-            def write_current_pointcloud(self):
-                if self.current_pc is not None:
-                    self.captured_pc = self.current_pc.clone()
-                    self.stopped = True
-
-            def reload_cameraconfig(self):
-                if self.reload_cameraconfig_callback:
-                    self.reload_cameraconfig_callback()
-                super().reload_cameraconfig()
-
+        RegistrationVisualizer = _make_registration_visualizer_class()
         visualizer = RegistrationVisualizer(
             self.verbose, title="cwipc_register", args=self.args
         )

@@ -18,6 +18,77 @@ def _read_any(fn):
     return cwipc_read(fn, 0)
 
 
+class AlignmentFinder:
+    """Multicamera-aligner driver (reference: cwipc_test_aligner.py:18-86):
+    resolve the algorithm classes from the args, load the tiled input,
+    run the aligner and report/save the outcome."""
+
+    def __init__(self, args):
+        self.args = args
+        self.verbose = args.verbose > 0
+        self.pointcloud = None
+        self.aligner = None
+        if args.togroundtruth:
+            self.multicamera_aligner_class = multicamera.MultiCameraToGroundTruth
+        elif args.algorithm:
+            self.multicamera_aligner_class = getattr(multicamera, args.algorithm, None)
+        else:
+            self.multicamera_aligner_class = multicamera.DEFAULT_MULTICAMERA_ALGORITHM
+        self.alignment_class = (
+            getattr(fine_mod, args.algorithm_fine) if args.algorithm_fine else None
+        )
+        self.analyzer_class = (
+            getattr(analyze_mod, args.algorithm_analyzer)
+            if args.algorithm_analyzer
+            else None
+        )
+
+    def load_input(self, source: str) -> None:
+        self.pointcloud = _read_any(source)
+
+    def save_output(self, filename: str) -> None:
+        assert self.aligner is not None
+        cwipc_write(filename, self.aligner.get_result_pointcloud_full())
+        print(f"test_aligner: wrote {filename}")
+
+    def run(self) -> bool:
+        cls = self.multicamera_aligner_class
+        if cls is None:
+            print(f"Unknown algorithm {self.args.algorithm}."
+                  f"{multicamera.HELP_MULTICAMERA_ALGORITHMS}")
+            return False
+        self.aligner = cls()
+        self.aligner.verbose = self.verbose
+        if self.args.togroundtruth:
+            self.aligner.set_groundtruth_pointcloud(_read_any(self.args.togroundtruth))
+        if self.alignment_class is not None:
+            self.aligner.set_aligner_class(self.alignment_class)
+        if self.analyzer_class is not None:
+            self.aligner.set_analyzer_class(self.analyzer_class)
+        self.aligner.set_tiled_pointcloud(self.pointcloud)
+        if self.args.correspondence:
+            self.aligner.set_max_correspondence(self.args.correspondence)
+        ok = self.aligner.run()
+        print(self.aligner.report_change())
+        if not ok:
+            print("test_aligner: alignment failed")
+            return False
+        if self.args.plot:
+            from ..registration.plot import plot_analysis_results
+
+            results = [
+                r for r in getattr(self.aligner, "post_analysis_results", [])
+                if r is not None
+            ]
+            if results:
+                plot_analysis_results(results, filename=self.args.plot,
+                                      title="After alignment")
+                print(f"test_aligner: wrote {self.args.plot}")
+        if self.args.output:
+            self.save_output(self.args.output)
+        return True
+
+
 def main() -> int:
     parser = BaseArgumentParser(description="Test a multicamera alignment algorithm on a tiled file")
     parser.add_argument("--algorithm", "--algorithm_multicamera", dest="algorithm", default="MultiCameraIterative", help="Multicamera algorithm class name")
@@ -39,43 +110,11 @@ def main() -> int:
         print("test_aligner: a pointcloud file is required")
         return 1
     beginOfRun(args)
-
-    pc = _read_any(args.pointcloud)
-    if args.togroundtruth:
-        cls = multicamera.MultiCameraToGroundTruth
-    else:
-        cls = getattr(multicamera, args.algorithm, None)
-    if cls is None:
-        print(f"Unknown algorithm {args.algorithm}.{multicamera.HELP_MULTICAMERA_ALGORITHMS}")
-        return 1
-    aligner = cls()
-    aligner.verbose = args.verbose > 0
-    if args.togroundtruth:
-        aligner.set_groundtruth_pointcloud(_read_any(args.togroundtruth))
-    if args.algorithm_fine:
-        aligner.set_aligner_class(getattr(fine_mod, args.algorithm_fine))
-    if args.algorithm_analyzer:
-        aligner.set_analyzer_class(getattr(analyze_mod, args.algorithm_analyzer))
-    aligner.set_tiled_pointcloud(pc)
-    if args.correspondence:
-        aligner.set_max_correspondence(args.correspondence)
-    ok = aligner.run()
-    print(aligner.report_change())
-    if not ok:
-        print("test_aligner: alignment failed")
-        return 1
-    if args.plot:
-        from ..registration.plot import plot_analysis_results
-
-        results = [r for r in getattr(aligner, "post_analysis_results", []) if r is not None]
-        if results:
-            plot_analysis_results(results, filename=args.plot, title="After alignment")
-            print(f"test_aligner: wrote {args.plot}")
-    if args.output:
-        cwipc_write(args.output, aligner.get_result_pointcloud_full())
-        print(f"test_aligner: wrote {args.output}")
+    finder = AlignmentFinder(args)
+    finder.load_input(args.pointcloud)
+    ok = finder.run()
     endOfRun(args)
-    return 0
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

@@ -18,6 +18,11 @@ from ._scriptsupport import (
 )
 
 
+def help_commands():
+    """Print the viewer keymap (reference: cwipc_view.py:12-13)."""
+    print(Visualizer.HELP)
+
+
 def make_parser() -> ArgumentParser:
     parser = ArgumentParser(description="View pointcloud streams")
     parser.add_argument("--nodisplay", action="store_true", help="Run without a display window (count clouds only)")
