@@ -1,0 +1,166 @@
+"""End-to-end streaming throughput: forward -> TCP -> timing-sink loopback.
+
+Measures the sustained full-stack delivery rate and end-to-end latency —
+synthetic grab -> [encode] -> netserver TCP framing -> netclient ->
+[decode] -> drop sink — over localhost, per config:
+
+* ``raw``         — 16-byte point records, no codec (--noencode/--nodecode)
+* ``compressed``  — the CTC1 codec path (octree geometry + JPEG colors)
+
+The producer is PACED (default 30 fps, the production capture rate): an
+unpaced synthetic source spins the grab loop flat out and — on a small
+host — starves the encoder/serializer threads of CPU, so every queue
+drops and the delivered rate collapses to a scheduling artifact instead
+of the pipeline's capacity.  With pacing, the delivered rate is
+min(offered, slowest-stage capacity) and the latency distribution shows
+the drop-on-full freshness policy doing its job.
+
+The consumer is ``cwipc timing``, which CSV-records each cloud's arrival
+wall-clock (received_ms) and end-to-end latency (received - capture
+timestamp); the steady-state rate comes from the arrival deltas with the
+first WARMUP clouds (process spawn, socket dial, jit compiles) discarded.
+
+The pipeline runs on the CPU jax backend by default so the number is a
+host-pipeline figure independent of the TPU relay's ~33 ms dispatch +
+slow readback pipe (a directly-attached TPU does not pay those); pass
+--tpu to let the subprocesses claim the accelerator instead.
+
+Usage: python benchmarks/stream_bench.py [--npoints 160000] [--fps 30]
+Prints one JSON line per config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+COUNT = 200
+WARMUP = 20
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _env(tpu: bool) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    if not tpu:
+        env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def _percentile(sorted_vals, q: float):
+    i = min(int(q * (len(sorted_vals) - 1) + 0.5), len(sorted_vals) - 1)
+    return sorted_vals[i]
+
+
+def run_config(name: str, encode: bool, npoints: int, tpu: bool,
+               fps: int, count: int = COUNT, warmup: int = WARMUP) -> dict:
+    env = _env(tpu)
+    port = _free_port()
+    fargs = [
+        sys.executable, "-m", "cwipc_util_tpu", "forward",
+        "--synthetic", "--npoints", str(npoints), "--fps", str(fps),
+        "--port", str(port),
+        # no --count: unlimited; the producer is killed when done
+    ]
+    if not encode:
+        fargs.append("--noencode")
+    fwd = subprocess.Popen(
+        fargs, env=env, cwd=REPO,
+        stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT,
+    )
+    csv_path = tempfile.mktemp(suffix=".csv", prefix=f"stream_bench_{name}_")
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                socket.create_connection(("127.0.0.1", port), timeout=1).close()
+                break
+            except OSError:
+                if fwd.poll() is not None:
+                    raise RuntimeError(f"forward exited rc={fwd.returncode}")
+                time.sleep(0.2)
+        else:
+            raise RuntimeError("forward never opened its port")
+        targs = [
+            sys.executable, "-m", "cwipc_util_tpu", "timing",
+            "--netclient", f"localhost:{port}",
+            "--count", str(count), "--output", csv_path,
+        ]
+        if not encode:
+            targs.append("--nodecode")
+        rc = subprocess.run(
+            targs, env=env, cwd=REPO, timeout=900,
+            stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT,
+        ).returncode
+        if rc != 0:
+            raise RuntimeError(f"timing consumer exited rc={rc}")
+        with open(csv_path) as fp:
+            rows = list(csv.DictReader(fp))
+    finally:
+        fwd.terminate()
+        try:
+            fwd.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            fwd.kill()
+            fwd.wait()
+        if os.path.exists(csv_path):
+            os.unlink(csv_path)
+    if len(rows) <= warmup + 1:
+        raise RuntimeError(f"only {len(rows)} clouds recorded")
+    steady = rows[warmup:]
+    t0 = int(steady[0]["received_ms"])
+    t1 = int(steady[-1]["received_ms"])
+    n = len(steady) - 1
+    per_cloud = max((t1 - t0) / 1e3 / n, 1e-9)
+    lat = sorted(int(r["latency_ms"]) for r in steady)
+    pts = int(steady[-1]["pointcount"])
+    return {
+        "config": name,
+        "npoints": pts,
+        "offered_fps": fps,
+        "delivered_fps": round(1.0 / per_cloud, 2),
+        "points_per_sec": round(pts / per_cloud),
+        "latency_ms_p50": _percentile(lat, 0.50),
+        "latency_ms_p95": _percentile(lat, 0.95),
+        "measured_clouds": n + 1,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--npoints", type=int, default=160000,
+                    help="synthetic cloud size (reference default 160k)")
+    ap.add_argument("--fps", type=int, default=30,
+                    help="offered (paced) capture rate")
+    ap.add_argument("--tpu", action="store_true",
+                    help="let subprocesses claim the accelerator "
+                         "(default: CPU jax backend)")
+    ap.add_argument("--count", type=int, default=COUNT)
+    ap.add_argument("--configs", nargs="*", default=["raw", "compressed"])
+    args = ap.parse_args()
+    for name in args.configs:
+        res = run_config(name, encode=(name == "compressed"),
+                         npoints=args.npoints, tpu=args.tpu, fps=args.fps,
+                         count=args.count)
+        print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()
