@@ -163,7 +163,7 @@ def main() -> None:
         # relay, so the default run skips it); the most recent on-chip
         # measurement is recorded here for the round artifact.  See
         # BASELINE.md "round 3 final" for the methodology.
-        "exact_chain_last_measured": 3315608,
+        "exact_chain_last_measured": 3374991,
     }
 
     if args.exact:
@@ -176,9 +176,13 @@ def main() -> None:
         def exact_once(b: PointBuffer, seed: jax.Array):
             eps = seed.astype(jnp.float32) * 1e-12
             bi = PointBuffer(xyz=b.xyz + eps, rgba=b.rgba, count=b.count)
+            # pinned at the certified 1<<18 capacity (the configuration the
+            # on-chip keep-mask oracle test runs and the compile cache holds;
+            # the exact chain's cost is ~95% plane-chunk selection, which the
+            # post-downsample capacity does not touch)
             out, resid = downsample_outliers_tilefilter_exact(
                 bi, cellsize, k=k, mult=mult, tile=tile,
-                out_capacity=out_capacity, gy=504, gz=152, cap=28,
+                out_capacity=1 << 18, gy=504, gz=152, cap=28,
                 chunk=int(os.environ.get("CWIPC_EXACT_CHUNK", "256")),
             )
             return out.count + resid * 0
