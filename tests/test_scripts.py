@@ -723,3 +723,25 @@ class TestAnalyzeRegistrationModes:
         rv = run_cwipc("analyze_registration", "--togroundtruth", scene, scene)
         assert rv.returncode == 0, rv.stderr[-400:]
         assert rv.stdout.count("to 0x0") == 3
+
+
+class TestStreamBench:
+    def test_stream_bench_raw_small(self):
+        """The streaming throughput harness (benchmarks/stream_bench.py)
+        measures a real forward->netclient loopback: delivered rate and
+        latency percentiles come out positive and the paced producer is
+        cleaned up.  Tiny cloud + count keeps this a smoke test."""
+        sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+        try:
+            import stream_bench
+        finally:
+            sys.path.pop(0)
+        res = stream_bench.run_config(
+            "raw", encode=False, npoints=1000, tpu=False, fps=30,
+            count=25, warmup=5,
+        )
+        assert res["measured_clouds"] == 20
+        assert res["delivered_fps"] > 0
+        assert res["latency_ms_p50"] >= 0
+        assert res["latency_ms_p95"] >= res["latency_ms_p50"]
+        assert res["npoints"] == 961  # floor(sqrt(1000))^2, reference mapping
