@@ -212,6 +212,66 @@ class TestShardedChainRangeMerge:
         )
         assert int(flags) & 1
 
+    def test_rangemerge_degenerate_single_voxel(self, mesh):
+        """All input points in ONE voxel: the sample-sort splitters are all
+        equal (every sampled key identical), so every row routes to a
+        single range — the split must stay within the block bound and the
+        merge must emit exactly one centroid, clean flags."""
+        import jax.numpy as jnp
+
+        from cwipc_util_tpu.core.buffers import PointBuffer
+        from cwipc_util_tpu.parallel.rangemerge import sharded_chain_rangemerge
+
+        cap = 1024
+        rng = np.random.default_rng(7)
+        xyz = (0.5 + rng.uniform(0, 0.01, size=(cap, 3))).astype(np.float32)
+        buf = PointBuffer(
+            xyz=jax.numpy.asarray(xyz),
+            rgba=jnp.full((cap,), (1 << 24) | 0x808080, jnp.uint32),
+            count=jnp.asarray(cap, jnp.int32),
+        )
+        got, flags = sharded_chain_rangemerge(
+            mesh, buf, 0.05, k=8, mult=2.0, tile=0
+        )
+        assert int(flags) == 0, f"flags {int(flags)}"
+        assert int(got.count) == 1
+        c = np.asarray(got.xyz[0])
+        assert np.allclose(c, xyz.mean(axis=0), atol=1e-3)
+
+    def test_rangemerge_empty_and_partial_shards(self, mesh):
+        """A count that covers only the first shard (the rest all padding)
+        and the fully-empty cloud must both run clean: no flags, parity
+        with the single-device chain / zero output respectively."""
+        import jax.numpy as jnp
+
+        from cwipc_util_tpu.core.buffers import PointBuffer
+        from cwipc_util_tpu.ops.chain import downsample_outliers_tilefilter
+        from cwipc_util_tpu.parallel.rangemerge import sharded_chain_rangemerge
+
+        gen = cwipc.cwipc_synthetic(0, 4000)
+        gen.start()
+        pc = gen.get()
+        gen.stop()
+        full = pc._access_buffer()
+        d = len(mesh.devices.ravel())
+        small_n = full.capacity // d // 2  # strictly inside shard 0
+        buf = PointBuffer(
+            xyz=full.xyz, rgba=full.rgba, count=jnp.asarray(small_n, jnp.int32)
+        )
+        expected = downsample_outliers_tilefilter(
+            buf, jnp.float32(0.05), k=8, mult=jnp.float32(2.0), tile=jnp.uint32(0)
+        )
+        got, flags = sharded_chain_rangemerge(mesh, buf, 0.05, k=8, mult=2.0, tile=0)
+        assert int(flags) == 0, f"flags {int(flags)}"
+        assert abs(int(expected.count) - int(got.count)) <= 2
+
+        empty = PointBuffer(
+            xyz=full.xyz, rgba=full.rgba, count=jnp.asarray(0, jnp.int32)
+        )
+        got0, flags0 = sharded_chain_rangemerge(mesh, empty, 0.05, k=8, mult=2.0, tile=0)
+        assert int(flags0) == 0
+        assert int(got0.count) == 0
+
 
 class TestShardedChainExact:
     def test_sharded_exact_chain_matches_single_device(self, mesh):
