@@ -138,13 +138,27 @@ int lldpkg_push_buffer(void *handle, int stream_index, const char *buffer,
         if (h) report(h->error_cb, 0, "lldpkg_push_buffer: bad stream index");
         return 0;
     }
-    char path[1200];
+    if (!buffer || size == 0) {
+        /* a zero-length frame is inexpressible in the two-phase grab
+         * protocol (size 0 means "nothing pending") and would stall the
+         * stream forever — reject it at the source */
+        report(h->error_cb, 0, "lldpkg_push_buffer: empty frame rejected");
+        return 0;
+    }
+    char path[1200], tmp[1220];
     snprintf(path, sizeof(path), "%s/s%d_%08ld.frame", h->dir, stream_index,
              h->push_seq[stream_index]);
-    FILE *fp = fopen(path, "wb");
+    snprintf(tmp, sizeof(tmp), "%s.tmp", path);
+    /* write-then-rename: the player's phase-1 size probe must never see a
+     * partially-flushed frame file */
+    FILE *fp = fopen(tmp, "wb");
     if (!fp) return 0;
-    fwrite(buffer, 1, size, fp);
-    fclose(fp);
+    size_t wrote = fwrite(buffer, 1, size, fp);
+    if (fclose(fp) != 0 || wrote != size || rename(tmp, path) != 0) {
+        remove(tmp);
+        report(h->error_cb, 0, "lldpkg_push_buffer: write failed");
+        return 0;
+    }
     h->push_seq[stream_index]++;
     return 1;
 }

@@ -265,9 +265,22 @@ class _LLDashPlaySource(cwipc_activerawmultisource_abstract):
             self.dll.lldplay_destroy(tmp_handle)
 
     def _pump(self) -> None:
+        try:
+            self._pump_inner()
+        except Exception as e:
+            print(f"lldash_play: pump thread: {e}", file=sys.stderr, flush=True)
+            self.error_condition = True
+        finally:
+            # Whatever ended the pump (stop(), an async error, a protocol
+            # error), consumers must observe EOF instead of waiting for
+            # frames that will never arrive: eof()/available() key off
+            # stopped (reference closes all tile sources in its finally).
+            self.stopped = True
+
+    def _pump_inner(self) -> None:
         frame_info = FrameInfo()
         n_streams = self.dll.lldplay_get_stream_count(self.handle)
-        while not self.stopped and self.handle:
+        while not self.stopped and not self.error_condition and self.handle:
             got_any = False
             for stream_idx in range(n_streams):
                 # two-phase grab: NULL buffer asks the pending frame's size
@@ -282,6 +295,10 @@ class _LLDashPlaySource(cwipc_activerawmultisource_abstract):
                 length2 = self.dll.lldplay_grab_frame(
                     self.handle, stream_idx, ptr, length, frame_info
                 )
+                if length2 == 0:
+                    # select_tile_quality disabled this stream between the
+                    # two phases — a benign race, not a protocol error
+                    continue
                 if length2 != length:
                     raise LLDashPlayoutError(
                         f"lldplay_grab_frame(stream={stream_idx}): promised"
@@ -317,7 +334,15 @@ class _LLDashPlaySource(cwipc_activerawmultisource_abstract):
         """Tile info reconstructed from the repurposed SRD fields
         (reference source_lldplay.py:316-324)."""
         mp4_4cc, tile_number, (x, y, z), quality_count = self.tile_info[tilenum]
-        normal = dict(x=x / 1000.0, y=y / 1000.0, z=z / 1000.0)
+        # The sink stores int(component*1000) two's-complement-wrapped into
+        # the unsigned SRD field (reference sink_lldpkg.py:205-207); decode
+        # SIGNED so back-facing tile normals survive the round trip.  (The
+        # reference decodes unsigned at source_lldplay.py:322, turning
+        # z=-1.0 into 4294966.296 — a bug, deliberately not preserved.)
+        def _signed(v: int) -> float:
+            return ctypes.c_int32(v).value / 1000.0
+
+        normal = dict(x=_signed(x), y=_signed(y), z=_signed(z))
         return dict(normal=normal, cameraName=f"tile-{tilenum}",
                     cameraMask=tile_number, nquality=quality_count,
                     mp4_4cc=mp4_4cc)

@@ -131,6 +131,18 @@ class MultiCameraCoarse(BaseMulticamAlgorithm):
             for i, obs in enumerate(observed):
                 print(f"coarse: camera {i}: markers {sorted(obs.keys())}")
 
+        # a pre-seeded camera's observations seed the propagation chain:
+        # markers it sees have known world poses through its matrix, exactly
+        # as if it had been registered in an earlier pass (reference run
+        # loop iterates all cameras, registered ones republish marker poses)
+        for i in range(n):
+            if not self.registered[i]:
+                continue
+            T = self.transformations[i]
+            for mid, c in observed[i].items():
+                if mid not in self.known_markers:
+                    self.known_markers[mid] = c @ T[:3, :3].T + T[:3, 3]
+
         for _pass in range(self.max_passes):
             progress = False
             for i in range(n):

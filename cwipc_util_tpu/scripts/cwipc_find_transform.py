@@ -46,12 +46,17 @@ class TransformFinder:
         self.transform = None
 
     def load_source(self, source: str) -> None:
+        self._source_filename = source
         self.source = _read_any(source)
         if self.args.sourcetile:
             self.source = cwipc_tilefilter_masked(self.source, self.args.sourcetile)
 
     def load_target(self, target: str) -> None:
-        self.target = _read_any(target) if target else self.source.clone()
+        # With no explicit target the target is the SOURCE FILE, re-read
+        # unfiltered — load_source may already have reduced self.source to
+        # --sourcetile, and tile-vs-tile alignment within one file needs
+        # the full cloud (or its --targettile subset) as the target.
+        self.target = _read_any(target if target else self._source_filename)
         if self.args.targettile:
             self.target = cwipc_tilefilter_masked(self.target, self.args.targettile)
 

@@ -79,9 +79,12 @@ def _make_registration_visualizer_class():
 def __getattr__(name):
     # module-level lazy attribute (PEP 562): RegistrationVisualizer is part
     # of the reference module surface but must not import the viewer stack
-    # until requested
+    # until requested.  Cached in globals() so every access returns the SAME
+    # class object (isinstance/subclass checks across accesses must hold).
     if name == "RegistrationVisualizer":
-        return _make_registration_visualizer_class()
+        cls = _make_registration_visualizer_class()
+        globals()[name] = cls
+        return cls
     raise AttributeError(name)
 
 

@@ -91,13 +91,15 @@ class DropWriter:
                     r[f"{name}.depth_age"] = ts - descr["depth_timestamp"]
                 if "color_timestamp" in descr:
                     r[f"{name}.color_age"] = ts - descr["color_timestamp"]
-            if self.details:
-                print(f"timing: {r}", file=sys.stderr)
             if self.savergb:
                 self.savergb_counter -= 1
                 if self.savergb_counter <= 0:
                     self.savergb_counter = self.savergb
                     self.save_rgb(pc, md)
+        # every record prints, metadata or not (the reference prints each
+        # record unconditionally under --details)
+        if self.details:
+            print(f"timing: {r}", file=sys.stderr)
         self.results.append(r)
         self.writerecord(r)
 

@@ -26,13 +26,14 @@ def fake_signals(monkeypatch):
     import cwipc_util_tpu.net.source_lldplay as src_mod
 
     build = NATIVE_DIR / "build"
-    if not (build / "liblldash_packager.so").exists():
-        rv = subprocess.run(
-            ["make", "-C", str(NATIVE_DIR), "fakesignals"],
-            capture_output=True, text=True,
-        )
-        if rv.returncode != 0:
-            pytest.skip(f"fake SIGNALS build failed: {rv.stderr[-500:]}")
+    # always invoke make: it is incremental, and a stale .so (older than
+    # fake_signals.c) must be rebuilt, not silently used
+    rv = subprocess.run(
+        ["make", "-C", str(NATIVE_DIR), "fakesignals"],
+        capture_output=True, text=True,
+    )
+    if rv.returncode != 0 or not (build / "liblldash_packager.so").exists():
+        pytest.skip(f"fake SIGNALS build failed: {rv.stderr[-500:]}")
     monkeypatch.setenv("SIGNALS_SMD_PATH", str(build))
     monkeypatch.setattr(sink_mod, "_lldpkg_dll_reference", None)
     monkeypatch.setattr(src_mod, "_lldplay_dll_reference", None)
@@ -243,3 +244,78 @@ def test_cli_tiled_dash_loopback(fake_signals, tmp_path):
     )
     assert rv.returncode == 0, rv.stderr[-500:]
     assert "fused_tiles" in rv.stdout  # the synchronizer merged tile streams
+
+
+def test_lldplay_negative_normal_roundtrip(fake_signals, tmp_path):
+    """Back-facing tile normals survive the SRD round trip.  The sink stores
+    int(component*1000) two's-complement-wrapped into the unsigned SRD field
+    (reference sink_lldpkg.py:205-207); the player decodes SIGNED.  (The
+    reference's unsigned decode at source_lldplay.py:322 turns z=-1.0 into
+    4294966.296 — a bug deliberately not preserved.)"""
+    from cwipc_util_tpu.net.sink_lldpkg import cwipc_sink_lldpkg
+    from cwipc_util_tpu.net.source_lldplay import cwipc_multisource_lldplay
+
+    url = str(tmp_path / "cdn-neg") + "/"
+    sink = cwipc_sink_lldpkg(url)
+    sink.set_fourcc("cwi1")
+    sink.add_stream(tilenum=1, tiledesc={
+        "normal": {"x": -0.5, "y": 0.25, "z": -1.0}, "cameraMask": 1})
+    sink.start()
+    assert sink.feed(b"f", 0)
+    sink.stop()
+
+    src = cwipc_multisource_lldplay(url)
+    assert src.start()
+    info = src.get_tileinfo_dict(0)
+    src.stop()
+    assert info["normal"] == {"x": -0.5, "y": 0.25, "z": -1.0}
+
+
+def test_lldpkg_empty_frame_rejected(fake_signals, tmp_path):
+    """A zero-length frame is inexpressible in the two-phase grab protocol
+    (size 0 = "nothing pending") and would stall its stream forever in the
+    player; the packager rejects it at the source."""
+    from cwipc_util_tpu.net.sink_lldpkg import cwipc_sink_lldpkg
+
+    url = str(tmp_path / "cdn-empty") + "/"
+    sink = cwipc_sink_lldpkg(url)
+    sink.set_fourcc("cwi0")
+    sink.add_stream(tilenum=0)
+    sink.start()
+    assert not sink.feed(b"", 0)
+    assert sink.feed(b"real", 0)  # the stream is still usable afterwards
+    sink.stop()
+    assert (tmp_path / "cdn-empty" / "s0_00000000.frame").read_bytes() == b"real"
+
+
+def test_lldplay_pump_error_surfaces_as_eof(fake_signals, tmp_path):
+    """A failure in the pump thread must surface as EOF + error_condition so
+    consumers wake up, instead of silently killing the daemon thread and
+    leaving available(wait=True)/get() blocked forever."""
+    from cwipc_util_tpu.net.sink_lldpkg import cwipc_sink_lldpkg
+    from cwipc_util_tpu.net.source_lldplay import cwipc_multisource_lldplay
+
+    url = str(tmp_path / "cdn-err") + "/"
+    sink = cwipc_sink_lldpkg(url)
+    sink.set_fourcc("cwi0")
+    sink.add_stream(tilenum=0)
+    sink.start()
+    assert sink.feed(b"frame", 0)
+    sink.stop()
+
+    src = cwipc_multisource_lldplay(url)
+
+    def boom():
+        raise RuntimeError("synthetic pump failure")
+
+    src._pump_inner = boom  # the thread target looks it up at call time
+    assert src.start()
+    deadline = time.time() + 5
+    while time.time() < deadline and not src.stopped:
+        time.sleep(0.01)
+    assert src.stopped
+    assert src.error_condition
+    view = src.get_tile_source(0)
+    assert view.eof()
+    assert view.get() is None
+    src.stop()

@@ -570,3 +570,64 @@ class TestNormals:
         rel = pts - pts.min(axis=0)
         interior = (rel[:, 0] > 0.05) & (rel[:, 0] < 0.26) & (rel[:, 1] > 0.05) & (rel[:, 1] < 0.26)
         assert np.all(np.abs(nz[interior]) > 0.99), "far-origin normals degraded"
+
+
+class TestCoarsePreSeed:
+    """A camera pre-seeded via set_transformation() must seed the marker
+    propagation chain: markers it observes have known world poses through
+    its matrix, exactly as if it had been registered in an earlier pass
+    (reference: multicoarse.py run loop republishes marker poses from
+    registered cameras)."""
+
+    @staticmethod
+    def _stub(observations):
+        from cwipc_util_tpu.registration.coarse import MultiCameraCoarse
+
+        class StubCoarse(MultiCameraCoarse):
+            def __init__(self, obs):
+                super().__init__()
+                self._obs = obs
+
+            def camera_count(self):
+                return len(self._obs)
+
+            def get_pc_for_camnum(self, camnum):
+                return camnum  # _find_markers keys on it directly
+
+            def _find_markers(self, camnum):
+                return {
+                    mid: np.asarray(c, np.float64)
+                    for mid, c in self._obs[camnum].items()
+                }
+
+        return StubCoarse(observations)
+
+    def _observations(self):
+        from cwipc_util_tpu.registration.coarse import _marker_world_corners
+
+        # marker 5 lives at a known world pose; neither camera sees the
+        # floor marker 0, so camera 1 can only register through camera 0's
+        # published pose of marker 5
+        w5 = _marker_world_corners() + np.array([1.0, 0.0, 0.5])
+        t0 = np.array([0.3, 0.1, -0.2])
+        t1 = np.array([-0.5, 0.2, 0.4])
+        obs = [{5: w5 - t0}, {5: w5 - t1}]
+        return obs, t0, t1
+
+    def test_preseeded_camera_seeds_marker_propagation(self):
+        obs, t0, t1 = self._observations()
+        algo = self._stub(obs)
+        T0 = np.identity(4)
+        T0[:3, 3] = t0
+        algo.set_transformation(0, T0)
+        assert algo.run(), "camera 1 did not register through the pre-seed"
+        T1 = algo.get_result_transformations()[1]
+        np.testing.assert_allclose(T1[:3, 3], t1, atol=1e-9)
+        np.testing.assert_allclose(T1[:3, :3], np.identity(3), atol=1e-9)
+
+    def test_without_preseed_chain_cannot_start(self):
+        # control: with no pre-seed nobody sees a known marker, so the
+        # propagation chain never starts
+        obs, _, _ = self._observations()
+        algo = self._stub(obs)
+        assert not algo.run()

@@ -237,6 +237,46 @@ class TestNetworkPipelines:
                 want = 1.0 if i == j else 0.0
                 assert abs(m[i * 4 + j] - want) < 0.01
 
+    def test_find_transform_tile_vs_full_file(self, tmp_path):
+        """With --sourcetile but no target file, the target is the SOURCE
+        FILE re-read unfiltered — not a clone of the already-filtered
+        source (which would align a tile against itself)."""
+        import argparse
+
+        import cwipc_util_tpu as cwipc
+        from cwipc_util_tpu.scripts.cwipc_find_transform import TransformFinder
+
+        pts = [(float(i) * 0.01, 0.0, 0.0, 128, 128, 128, 1 if i < 40 else 2)
+               for i in range(100)]
+        pc = cwipc.cwipc_from_points(pts, 0)
+        f = tmp_path / "two_tiles.cwipcdump"
+        cwipc.cwipc_write_debugdump(str(f), pc)
+        pc.free()
+
+        args = argparse.Namespace(sourcetile=1, targettile=0, verbose=0,
+                                  measure=None, correspondence=-1,
+                                  dump=False, plot=None, output=None)
+        finder = TransformFinder(args)
+        finder.load_source(str(f))
+        finder.load_target(None)
+        assert finder.source.count() == 40
+        assert finder.target.count() == 100  # the full file, not the tile
+
+        # and --targettile selects from the full file, not the source tile
+        args.targettile = 2
+        finder2 = TransformFinder(args)
+        finder2.load_source(str(f))
+        finder2.load_target(None)
+        assert finder2.source.count() == 40
+        assert finder2.target.count() == 60
+
+    def test_register_visualizer_class_is_cached(self):
+        """Module __getattr__ returns the SAME lazily-built class object on
+        every access (isinstance/subclass checks must hold across accesses)."""
+        from cwipc_util_tpu.scripts import cwipc_register as m
+
+        assert m.RegistrationVisualizer is m.RegistrationVisualizer
+
     def test_create_analysis_test_and_aligner(self, tmp_path):
         """create_analysis_test emits a perturbed multicam cloud that
         test_aligner can load and improve."""
