@@ -212,9 +212,11 @@ class TestCodec:
 
     def test_encode_is_one_device_roundtrip(self, small_pc, monkeypatch):
         """The fused encode program must cost exactly ONE device readback
-        per frame (the 30 fps budget: the v1 path paid three)."""
+        per frame (the 30 fps budget: the v1 path paid three) — and the
+        CPU-backend host path must cost ZERO."""
         import jax
 
+        monkeypatch.setenv("CWIPC_CODEC_HOST", "0")  # force the device path
         enc = codec.cwipc_new_encoder(params=codec.cwipc_encoder_params(octree_bits=9))
         enc.feed(small_pc)  # warm the jit cache
         calls = []
@@ -223,6 +225,41 @@ class TestCodec:
         enc.feed(small_pc)
         assert len(calls) == 1
         assert enc.get_bytes()
+
+        monkeypatch.setenv("CWIPC_CODEC_HOST", "1")
+        enc.feed(small_pc)
+        assert len(calls) == 1  # no further device traffic
+        assert enc.get_bytes()
+
+    def test_host_and_device_geometry_agree(self, small_pc, monkeypatch):
+        """The CPU-host geometry twin and the fused device program produce
+        the same voxel set up to the documented centroid-rounding seam:
+        identical counts/colors/tiles, positions within one quantization
+        step (the device derives keys from voxel centroids, which can
+        round across a cell boundary; the host quantizes raw points)."""
+        import numpy as np
+
+        decoded = {}
+        step = None
+        for mode in ("0", "1"):
+            monkeypatch.setenv("CWIPC_CODEC_HOST", mode)
+            enc = codec.cwipc_new_encoder(
+                params=codec.cwipc_encoder_params(octree_bits=9, jpeg_quality=100)
+            )
+            enc.feed(small_pc)
+            blob = enc.get_bytes()
+            import struct as _struct
+
+            step = _struct.unpack("<f", blob[20:24])[0]
+            dec = codec.cwipc_new_decoder()
+            dec.feed(blob)
+            decoded[mode] = dec.get().get_numpy_array()
+        a, b = decoded["0"], decoded["1"]
+        assert a.shape[0] == b.shape[0]
+        for f in ("x", "y", "z"):
+            assert float(np.abs(a[f] - b[f]).max()) <= step * 1.0001
+        for f in ("r", "g", "b", "tile"):
+            assert np.array_equal(a[f], b[f])
 
     def test_decoder_rejects_legacy_and_new_widths(self, small_pc):
         """Adaptive delta widths round-trip at every octree_bits scale."""
