@@ -92,6 +92,82 @@ class TestColsSelectKernel:
             sums_p[real], sums_x[real], rtol=1e-5, atol=1e-5
         )
 
+    def test_occupancy_tiers_match_xla(self):
+        """The per-tile static occupancy tiers (16/24/full) must all be
+        exercised and agree with the XLA selection.  The cloud mixes a
+        dense blob (columns near cap=28 -> top tier), a medium blob
+        (~17-24 -> middle tier) and sparse fill (<=16 -> low tier)."""
+        from cwipc_util_tpu.ops.cols_knn import _cols_build, _cols_select
+        from cwipc_util_tpu.ops.pallas_cols_select import TILE, cols_select_pallas
+
+        gy = gz = 24
+        cap, k = 28, 9
+        cell = 0.02
+        rng = np.random.default_rng(11)
+        # columns are (y, z); occupancy = points per distinct (y, z) cell.
+        # Place points on distinct x-cells within chosen columns so the
+        # column occupancy is exact and no cap overflow occurs.
+        pts = []
+        def fill_columns(y0, z0, ny, nz, occ):
+            for iy in range(ny):
+                for iz in range(nz):
+                    for ix in range(occ):
+                        jitter = rng.random(3) * cell * 0.4
+                        pts.append([
+                            (ix * 2) * cell + jitter[0],
+                            (y0 + iy) * cell + jitter[1],
+                            (z0 + iz) * cell + jitter[2],
+                        ])
+        fill_columns(2, 2, 4, 4, 27)    # dense blob -> top tier
+        fill_columns(12, 2, 4, 4, 20)   # medium blob -> middle tier
+        fill_columns(2, 14, 5, 5, 5)    # sparse -> low tier
+        n = len(pts)
+        capn = 1 << int(np.ceil(np.log2(n)))
+        xyz = np.zeros((capn, 3), np.float32)
+        xyz[:n] = np.asarray(pts, np.float32)
+        built = _cols_build(
+            jnp.asarray(xyz), jnp.int32(n), jnp.float32(cell), gy=gy, gz=gz,
+            cap=cap, chunk=64,
+        )
+        xs_g, ys_g, zs_g = built[:3]
+        gyz = gy * gz
+
+        # confirm the scene really spans all three tiers, using the
+        # kernel's exact dispatch quantity: max column occupancy over the
+        # tile's whole SLAB (plane rows [t*TILE - off_al, +sw), F32_MAX
+        # padding outside)
+        off = 4 * gz + 4
+        off_al = TILE * (-(-off // TILE))
+        sw = TILE * (-(-(TILE + off_al + off) // TILE))
+        occ_cols = (np.asarray(xs_g)[:, :cap] < 1e30).sum(axis=1)  # incl halo
+        ntiles = -(-gyz // TILE)
+        tiers = set()
+        for t in range(ntiles):
+            lo = t * TILE - off_al + off  # xs_g row coords (halo offset +off)
+            sl = occ_cols[max(0, lo) : max(0, lo + sw)]
+            m = sl.max() if sl.size else 0
+            tiers.add(16 if m <= 16 else (24 if m <= 24 else 32))
+        assert tiers == {16, 24, 32}, f"scene covers tiers {tiers}"
+
+        chunk = 64
+        c0s = jnp.arange(gyz // chunk, dtype=jnp.int32) * chunk
+        sums_x, kth_x = _cols_select(
+            xs_g, ys_g, zs_g, c0s, k=k, gy=gy, gz=gz, cap=cap, chunk=chunk,
+            voxel_unique=False,
+        )
+        sums_x = np.asarray(sums_x).reshape(gyz, cap)
+        kth_x = np.asarray(kth_x).reshape(gyz, cap)
+        sums_p, kth_p = cols_select_pallas(
+            xs_g, ys_g, zs_g, k=k, gy=gy, gz=gz, cap=cap, interpret=True
+        )
+        sums_p, kth_p = np.asarray(sums_p), np.asarray(kth_p)
+        occ = np.asarray(xs_g)[off : off + gyz, :] < 1e30
+        np.testing.assert_array_equal(kth_p[occ], kth_x[occ])
+        real = occ & (kth_x < 1e30)
+        np.testing.assert_allclose(
+            sums_p[real], sums_x[real], rtol=1e-5, atol=1e-5
+        )
+
     def test_tile_range_matches_full(self):
         """Sharded-caller contract: running the kernel over tile ranges
         and concatenating equals the full-plane run (incl. an
