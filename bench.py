@@ -71,7 +71,11 @@ def main() -> None:
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="Write a jax.profiler trace of the timed runs to DIR")
     ap.add_argument("--exact", action="store_true",
-                    help="Also measure the exact-outlier chain variant")
+                    help="(default since round 4; kept for compatibility)")
+    ap.add_argument("--skip-exact", action="store_true",
+                    help="Skip the exact-outlier chain measurement (its "
+                         "first compile costs minutes through the "
+                         "remote-compile relay; cached afterwards)")
     args = ap.parse_args()
 
     _backend_watchdog()
@@ -158,20 +162,16 @@ def main() -> None:
         "value": round(pts_per_sec),
         "unit": "points/sec",
         "vs_baseline": round(pts_per_sec / 1e9, 4),
-        # The certified-exact chain variant is measured by `bench.py
-        # --exact` (its compile costs minutes through the remote-compile
-        # relay, so the default run skips it); the most recent on-chip
-        # measurement is recorded here for the round artifact.  See
-        # BASELINE.md "round 3 final" for the methodology.
-        "exact_chain_last_measured": 3374991,
     }
 
-    if args.exact:
+    if not args.skip_exact:
         # The exact-outlier chain (column-grid kNN + brute fixup):
         # semantically parity-faithful, and orders of magnitude slower —
         # exact k-of-C selection is the measured wall on this chip (see
-        # cwipc_util_tpu/ops/cols_knn.py).  Timed with K=2 differencing
-        # (the per-iteration cost dwarfs relay jitter).
+        # cwipc_util_tpu/ops/cols_knn.py and benchmarks/ceiling.py; the
+        # round-4 bounds study, benchmarks/bounds_study.py, shows why no
+        # cheap-bound hybrid can shortcut it).  Timed with K=2
+        # differencing (the per-iteration cost dwarfs relay jitter).
         @jax.jit
         def exact_once(b: PointBuffer, seed: jax.Array):
             eps = seed.astype(jnp.float32) * 1e-12
@@ -197,6 +197,50 @@ def main() -> None:
         exact_pts = n_points / max(t1 - t0_overhead, 1e-9)
         result["exact_chain_value"] = round(exact_pts)
         result["exact_chain_note"] = "exact-outlier chain (cols kNN), pts/sec"
+
+        # Keep-decision agreement of the fast (window-kNN) chain against
+        # the exact chain, measured on the bench cloud: run both once and
+        # compare output voxel SETS (both chains keep or drop whole
+        # voxels of the same downsample, so set difference == decision
+        # disagreement).  This puts both axes — speed AND parity — in
+        # every round artifact.
+        @jax.jit
+        def fast_once(b: PointBuffer):
+            return downsample_outliers_tilefilter(
+                b, cellsize, k=k, mult=mult, tile=tile,
+                out_capacity=out_capacity,
+            )
+
+        @jax.jit
+        def exact_out(b: PointBuffer):
+            out, _ = downsample_outliers_tilefilter_exact(
+                b, cellsize, k=k, mult=mult, tile=tile,
+                out_capacity=1 << 18, gy=504, gz=152, cap=28,
+                chunk=int(os.environ.get("CWIPC_EXACT_CHUNK", "256")),
+            )
+            return out
+
+        def voxel_set(out) -> set:
+            # both chains emit bit-identical centroids for a commonly-kept
+            # voxel (same downsample program, bit-exact compaction), so
+            # raw f32 bytes are the right set key
+            n = int(np.asarray(out.count))
+            xyz = np.ascontiguousarray(np.asarray(out.xyz[:n], np.float32))
+            return {r.tobytes() for r in xyz}
+
+        from cwipc_util_tpu.ops import voxelize
+
+        @jax.jit
+        def down_count(b: PointBuffer):
+            return voxelize.downsample_cm(b, cellsize, out_capacity)[4]
+
+        fast_set = voxel_set(fast_once(buf))
+        exact_set = voxel_set(exact_out(buf))
+        total = int(np.asarray(down_count(buf)))  # decisions made
+        sym_diff = len(fast_set ^ exact_set)
+        result["fast_keep_agreement_pct"] = round(
+            100.0 * (total - sym_diff) / total, 2
+        )
 
     print(json.dumps(result))
 

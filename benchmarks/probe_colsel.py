@@ -167,6 +167,32 @@ def stage_residual():
     t_of(fix_body, (xyz, cnt, unc_j), "brute fixup (real mask)")
 
 
+def occupancy_stats(planes):
+    """Host-side tier/occupancy statistics for the bench planes."""
+    from cwipc_util_tpu.ops.pallas_cols_select import (
+        SLOT_TIERS, TILE, slab_occupancy,
+    )
+
+    xs_g = planes[0]
+    gyz = GY * GZ
+    ntiles = -(-gyz // TILE)
+    capp = -(-CAP // 8) * 8
+    tier_list = sorted({min(t, capp) for t in (*SLOT_TIERS, capp)})
+    occs = [slab_occupancy(xs_g, gz=GZ, cap=CAP, tile=t) for t in range(ntiles)]
+    hist = {tc: 0 for tc in tier_list}
+    for m in occs:
+        hist[next(tc for tc in tier_list if m <= tc)] += 1
+    print(f"tiles={ntiles} occ_b mean={np.mean(occs):.1f} "
+          f"p50={np.percentile(occs, 50):.0f} max={max(occs)} tiers={hist}")
+    # per-tile query-side max (the slot loop bound)
+    off = 4 * GZ + 4
+    occ_cols = (np.asarray(xs_g)[off:off + gyz, :CAP] < 1e30).sum(axis=1)
+    occ_q = [occ_cols[t * TILE:(t + 1) * TILE].max() for t in range(ntiles)]
+    print(f"occ_q (slot-loop bound) mean={np.mean(occ_q):.1f} "
+          f"p50={np.percentile(occ_q, 50):.0f}; col-occ mean "
+          f"{occ_cols[occ_cols > 0].mean():.2f} (occupied cols)")
+
+
 def main():
     which = sys.argv[1:] or ["pallas", "xla"]
     if "residual" in which:
@@ -175,6 +201,29 @@ def main():
         if not which:
             return
     planes = build_planes()
+
+    if "stats" in which:
+        occupancy_stats(planes)
+        which = [w for w in which if w != "stats"]
+
+    strips = [w for w in which if w.startswith("strip")]
+    if strips:
+        # strip-down levels of the kernel body (cumulative cost method):
+        # full > nofinal > bisectN > build.  strip[:LEVELS] to subset.
+        from cwipc_util_tpu.ops.pallas_cols_select import cols_select_pallas
+
+        arg = strips[0][len("strip"):].lstrip(":")
+        levels = arg.split(",") if arg else [
+            "full", "nofinal", "bisect16", "bisect8", "bisect1", "build",
+        ]
+        for lv in levels:
+            def pal(xs, ys, zs, lv=lv):
+                return cols_select_pallas(
+                    xs, ys, zs, k=K_NN, gy=GY, gz=GZ, cap=CAP, probe=lv
+                )
+
+            diff_time(pal, planes, f"strip:{lv}", k_loop=8)
+        which = [w for w in which if not w.startswith("strip")]
 
     if "pallas" in which:
         from cwipc_util_tpu.ops.pallas_cols_select import cols_select_pallas

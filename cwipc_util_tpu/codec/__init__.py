@@ -728,7 +728,22 @@ class cwipc_decoder_wrapper:
         (magic, octree_bits, flags, _res, n, timestamp, step, ox, oy, oz,
          lpos, lcol, ltile) = struct.unpack(_HDR_FMT, data[:_HDR_SIZE])
         if magic != MAGIC:
-            raise CwipcError("cwipc_decoder: bad magic")
+            # Loud, specific rejection of foreign bitstreams: the most
+            # likely source of a non-CTC1 .cwicpc is the reference
+            # ecosystem's MPEG-anchor `_cwipc_codec` plugin (encoder use:
+            # reference python/cwipc/net/sink_encoder.py:147-156), whose
+            # bitstream this codec deliberately does not implement (see
+            # module docstring).  Name the incompatibility instead of a
+            # bare "bad magic" so users know WHY their file fails.
+            raise CwipcError(
+                "cwipc_decoder: not a CTC1 stream (magic "
+                f"{magic!r}, expected {MAGIC!r}). This framework's codec "
+                "uses its own CTC1 wire format and cannot decode "
+                "MPEG-anchor bitstreams produced by the reference "
+                "cwipc_codec plugin; re-encode the source material with "
+                "this framework's encoder (e.g. `cwipc copy in.ply "
+                "out.cwicpc`)."
+            )
         off = _HDR_SIZE
         if n == 0:
             # host-backed like the n>0 path: an empty frame must not force

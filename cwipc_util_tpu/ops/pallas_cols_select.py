@@ -66,10 +66,36 @@ _M = 4  # ring radius in cells (must match cols_knn._M)
 
 TILE = 128  # plane rows (query columns) per grid step
 
+# Static occupancy tiers for the per-tile selection-pass specialization:
+# a tile whose max ring-column occupancy is <= t dispatches to a pass
+# statically sized at t candidate slots per column (the full CAP bucket
+# is always appended as the final tier).  Shared with tests so dispatch
+# expectations aren't re-derived by hand.
+SLOT_TIERS = (16, 24)
+
+
+def slab_occupancy(xs_g, gz: int, cap: int, tile: int) -> int:
+    """Max column occupancy over one tile's candidate reach — the exact
+    quantity the kernel's tier dispatch uses (occ_b), computed from the
+    un-transposed xs plane for tests/diagnostics.  ``xs_g`` is the padded
+    [off + gyz + tail, cap] plane from cols_knn._cols_build."""
+    import numpy as np
+
+    off = _M * gz + _M
+    off_al = TILE * (-(-off // TILE))
+    occ_cols = (np.asarray(xs_g)[:, :cap] < _F32_MAX / 2).sum(axis=1)
+    # slab lane L of tile t maps to xs_g row t*TILE + L - off_al + off;
+    # the kernel's occupancy slice covers slab lanes [off_al - off,
+    # off_al + off + TILE) = xs_g rows [t*TILE, t*TILE + 2*off + TILE)
+    lo = tile * TILE
+    hi = lo + 2 * off + TILE
+    sl = occ_cols[max(0, lo):max(0, hi)]
+    return int(sl.max()) if sl.size else 0
+
 
 def _select_kernel(tile0_ref, plane_hbm, sums_ref, kth_ref, slab, d2, sem,
-                   *, cap: int, capp: int, gz: int, k: int, off_al: int,
-                   sw: int, nt_max: int):
+                   *, cap: int, capp: int, gz: int, k: int, off: int,
+                   off_al: int, sw: int, nt_max: int, probe: str = "full"):
     # off_al is the lane offset of the queries inside the slab — a
     # multiple of 128 (Mosaic requires aligned lanes for dynamic-sublane
     # loads; the wrapper pads the plane front accordingly).  Ring reads
@@ -105,13 +131,21 @@ def _select_kernel(tile0_ref, plane_hbm, sums_ref, kth_ref, slab, d2, sem,
     occ_q = jnp.max(
         jnp.sum((q_all_x < _F32_MAX / 2).astype(jnp.int32), axis=0)
     )
-    # The same bound on the CANDIDATE side, over the whole slab (queries +
-    # ring halo; alignment padding is F32_MAX and counts as empty): every
-    # candidate with slot >= occ_b is empty in every ring column, so the
-    # statically-specialized branch below scans only enough slots to
-    # cover it — skipped slots would be +inf and lose every comparison.
+    # The same bound on the CANDIDATE side, over exactly the lanes the
+    # ring reads can reach from this tile's queries ([off_al - off,
+    # off_al + off + TILE)): every candidate with slot >= occ_b is empty
+    # in every ring column, so the statically-specialized branch below
+    # scans only enough slots to cover it — skipped slots would be +inf
+    # and lose every comparison.  (Scanning the whole slab instead would
+    # also count alignment-padding and past-reach lanes; a dense column
+    # just outside the reach would then push the tile into a heavier
+    # tier than its candidates require.)
     occ_b = jnp.max(
-        jnp.sum((slab[0:capp, :] < _F32_MAX / 2).astype(jnp.int32), axis=0)
+        jnp.sum(
+            (slab[0:capp, pl.ds(off_al - off, 2 * off + TILE)] < _F32_MAX / 2)
+            .astype(jnp.int32),
+            axis=0,
+        )
     )
 
     def run(capp_sel: int):
@@ -141,14 +175,18 @@ def _select_kernel(tile0_ref, plane_hbm, sums_ref, kth_ref, slab, d2, sem,
                     d2j = jnp.where(cand_iota == s_q, _INF, d2j)
                 d2[j * capp_sel : (j + 1) * capp_sel, :] = d2j
 
+            if probe == "build":  # strip-down probe: build cost only
+                acc_s, acc_k = acc
+                touch = jnp.sum(d2[0:nrows, :], axis=0, keepdims=True)
+                return jnp.where(hit, touch, acc_s), acc_k
+
             bits = jax.lax.bitcast_convert_type(d2[0:nrows, :], jnp.int32)
 
-            # 31-step count-bisection on the (non-negative, order-
-            # preserving) f32 bit patterns: smallest v with
-            # count(d2 <= v) >= k is the k-th smallest squared distance.
-            # +inf (empty slots) always loses; a query with < k real
-            # candidates converges onto inf and is flagged for the
-            # caller's exact fixup via kth.
+            # Count-bisection on the (non-negative, order-preserving) f32
+            # bit patterns: smallest v with count(d2 <= v) >= k is the
+            # k-th smallest squared distance.  +inf (empty slots) always
+            # loses; a query with < k real candidates converges onto inf
+            # and is flagged for the caller's exact fixup via kth.
             def bis(_i, lh):
                 lo, hi = lh
                 mid = lo + ((hi - lo) >> 1)
@@ -156,9 +194,18 @@ def _select_kernel(tile0_ref, plane_hbm, sums_ref, kth_ref, slab, d2, sem,
                 ge = cnt >= k
                 return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
 
+            nsteps = 31
+            if probe.startswith("bisect"):  # strip-down: reduced steps
+                nsteps = int(probe[len("bisect"):])
             lo0 = jnp.zeros((1, TILE), jnp.int32)
             hi0 = jnp.full((1, TILE), jnp.iinfo(jnp.int32).max, jnp.int32)
-            _lo, hi = jax.lax.fori_loop(0, 31, bis, (lo0, hi0))
+            _lo, hi = jax.lax.fori_loop(0, nsteps, bis, (lo0, hi0))
+
+            if probe == "nofinal":  # strip-down: skip the sum pass
+                acc_s, acc_k = acc
+                kth_d = jnp.sqrt(jax.lax.bitcast_convert_type(hi, jnp.float32))
+                return (jnp.where(hit, kth_d, acc_s),
+                        jnp.where(hit, kth_d, acc_k))
 
             lt = bits < hi
             cnt_lt = jnp.sum(lt.astype(jnp.int32), axis=0, keepdims=True)
@@ -185,10 +232,11 @@ def _select_kernel(tile0_ref, plane_hbm, sums_ref, kth_ref, slab, d2, sem,
         sums_ref[:, :] = acc_s
         kth_ref[:, :] = acc_k
 
-    # Static occupancy tiers.  Most bench-cloud tiles land in the middle
-    # tier (densest ring column ~18-24 of CAP=28); near-empty boundary
-    # tiles take the cheapest one.  Exactly one branch runs per tile.
-    tiers = sorted({min(t, capp) for t in (16, 24, capp)})
+    # Static occupancy tiers (SLOT_TIERS + the full bucket).  Most
+    # bench-cloud tiles land in the middle tier (densest ring column
+    # ~18-24 of CAP=28); near-empty boundary tiles take the cheapest
+    # one.  Exactly one branch runs per tile.
+    tiers = sorted({min(t, capp) for t in (*SLOT_TIERS, capp)})
     for n, t_cap in enumerate(tiers):
         cond = occ_b <= t_cap
         if n:
@@ -199,7 +247,8 @@ def _select_kernel(tile0_ref, plane_hbm, sums_ref, kth_ref, slab, d2, sem,
             run(t_cap)
 
 
-@partial(jax.jit, static_argnames=("k", "gy", "gz", "cap", "ntiles_run", "interpret"))
+@partial(jax.jit, static_argnames=(
+    "k", "gy", "gz", "cap", "ntiles_run", "interpret", "probe"))
 def cols_select_pallas(
     xs_g: jax.Array,
     ys_g: jax.Array,
@@ -211,6 +260,7 @@ def cols_select_pallas(
     tile0: jax.Array | None = None,
     ntiles_run: int | None = None,
     interpret: bool = False,
+    probe: str = "full",
 ) -> tuple[jax.Array, jax.Array]:
     """Exact (sum of k smallest distances, k-th distance) for every slot
     of the column grid, as [gyz, cap] arrays.  Inputs are the padded
@@ -226,10 +276,11 @@ def cols_select_pallas(
     off = _M * gz + _M
     off_al = TILE * (-(-off // TILE))  # 128-aligned query-lane offset
     capp = -(-cap // 8) * 8
-    # The occupancy bound scans at least one chunk = 81*8 candidate rows;
-    # the "no k-th found -> converge onto +inf -> caller fixup" contract
-    # needs k to fit in that minimum scan.
-    assert k <= (2 * _M + 1) ** 2 * 8, f"k={k} exceeds the minimum chunk scan"
+    # The smallest tier scans 81*min(min(SLOT_TIERS), capp) candidate
+    # rows; the "no k-th found -> converge onto +inf -> caller fixup"
+    # contract needs k to fit in that minimum scan.
+    min_scan = (2 * _M + 1) ** 2 * min(min(SLOT_TIERS), capp)
+    assert k <= min_scan, f"k={k} exceeds the smallest tier scan {min_scan}"
     ntiles = -(-gyz // TILE)
     sw = TILE * (-(-(TILE + off_al + off) // TILE))
     lp = (ntiles - 1) * TILE + sw
@@ -253,9 +304,13 @@ def cols_select_pallas(
 
     plane = jnp.concatenate([prep(xs_g), prep(ys_g), prep(zs_g)], axis=0)
 
+    # ``probe`` selects deliberately-incomplete kernel bodies for the
+    # strip-down profiling method (BASELINE.md): "build" skips selection,
+    # "bisectN" truncates the bisection to N steps, "nofinal" skips the
+    # sum pass.  Anything but "full" returns WRONG results by design.
     kernel = partial(
-        _select_kernel, cap=cap, capp=capp, gz=gz, k=k, off_al=off_al, sw=sw,
-        nt_max=ntiles,
+        _select_kernel, cap=cap, capp=capp, gz=gz, k=k, off=off,
+        off_al=off_al, sw=sw, nt_max=ntiles, probe=probe,
     )
     sums_t, kth_t = pl.pallas_call(
         kernel,

@@ -98,7 +98,12 @@ class TestColsSelectKernel:
         dense blob (columns near cap=28 -> top tier), a medium blob
         (~17-24 -> middle tier) and sparse fill (<=16 -> low tier)."""
         from cwipc_util_tpu.ops.cols_knn import _cols_build, _cols_select
-        from cwipc_util_tpu.ops.pallas_cols_select import TILE, cols_select_pallas
+        from cwipc_util_tpu.ops.pallas_cols_select import (
+            SLOT_TIERS,
+            TILE,
+            cols_select_pallas,
+            slab_occupancy,
+        )
 
         gy = gz = 24
         cap, k = 28, 9
@@ -132,22 +137,17 @@ class TestColsSelectKernel:
         xs_g, ys_g, zs_g = built[:3]
         gyz = gy * gz
 
-        # confirm the scene really spans all three tiers, using the
-        # kernel's exact dispatch quantity: max column occupancy over the
-        # tile's whole SLAB (plane rows [t*TILE - off_al, +sw), F32_MAX
-        # padding outside)
-        off = 4 * gz + 4
-        off_al = TILE * (-(-off // TILE))
-        sw = TILE * (-(-(TILE + off_al + off) // TILE))
-        occ_cols = (np.asarray(xs_g)[:, :cap] < 1e30).sum(axis=1)  # incl halo
+        # confirm the scene really spans every dispatch tier, using the
+        # kernel's own dispatch quantity (slab_occupancy) and its own
+        # tier list (SLOT_TIERS + the full capp bucket)
+        capp = -(-cap // 8) * 8
+        tier_list = sorted({min(t, capp) for t in (*SLOT_TIERS, capp)})
         ntiles = -(-gyz // TILE)
         tiers = set()
         for t in range(ntiles):
-            lo = t * TILE - off_al + off  # xs_g row coords (halo offset +off)
-            sl = occ_cols[max(0, lo) : max(0, lo + sw)]
-            m = sl.max() if sl.size else 0
-            tiers.add(16 if m <= 16 else (24 if m <= 24 else 32))
-        assert tiers == {16, 24, 32}, f"scene covers tiers {tiers}"
+            m = slab_occupancy(xs_g, gz=gz, cap=cap, tile=t)
+            tiers.add(next(tc for tc in tier_list if m <= tc))
+        assert tiers == set(tier_list), f"scene covers tiers {tiers}"
 
         chunk = 64
         c0s = jnp.arange(gyz // chunk, dtype=jnp.int32) * chunk
@@ -161,6 +161,7 @@ class TestColsSelectKernel:
             xs_g, ys_g, zs_g, k=k, gy=gy, gz=gz, cap=cap, interpret=True
         )
         sums_p, kth_p = np.asarray(sums_p), np.asarray(kth_p)
+        off = 4 * gz + 4  # plane front-halo rows (cols_knn off_max)
         occ = np.asarray(xs_g)[off : off + gyz, :] < 1e30
         np.testing.assert_array_equal(kth_p[occ], kth_x[occ])
         real = occ & (kth_x < 1e30)

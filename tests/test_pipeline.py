@@ -5,6 +5,7 @@ cameras)."""
 
 import os
 import socket
+import struct
 import threading
 import time
 
@@ -544,6 +545,37 @@ class TestCodecRobustness:
             dec = codec.cwipc_new_decoder()
             with pytest.raises(cwipc.CwipcError):
                 dec.feed(blob)
+
+    def test_foreign_anchor_bitstream_rejected_loudly(self, tmp_path, small_pc):
+        """A reference-ecosystem .cwicpc (MPEG-anchor `_cwipc_codec`
+        bitstream) must fail with a message that NAMES the codec
+        incompatibility, not a bare parse error (round-4 interop gap:
+        this codec's CTC1 format is deliberately not anchor
+        bit-compatible — codec/__init__.py module docstring).  The anchor
+        codec's source is not in the reference mirror, so this feeds a
+        synthetic anchor-style frame: a plausible foreign header and
+        payload that is structurally unlike CTC1."""
+        # anchor-style synthetic frame: foreign 4CC + version words + blob
+        foreign = (
+            b"CWIC" + struct.pack("<IIQ", 2, 85, 0) + os.urandom(256)
+        )
+        dec = codec.cwipc_new_decoder()
+        with pytest.raises(cwipc.CwipcError) as ei:
+            dec.feed(foreign)
+        msg = str(ei.value)
+        assert "CTC1" in msg
+        assert "cwipc_codec" in msg  # names the anchor plugin
+        assert "re-encode" in msg  # tells the user what to do
+
+        # the same failure surfaces through .cwicpc file playback
+        p = tmp_path / "frame-0001.cwicpc"
+        p.write_bytes(foreign)
+        src = cwipc_playback(str(tmp_path), ext=".cwicpc")
+        try:
+            with pytest.raises(cwipc.CwipcError, match="CTC1"):
+                src.get()
+        finally:
+            src.stop()
 
 
 class TestPlaybackTileconfigSeek:
