@@ -40,37 +40,44 @@ _AXIS_MAX = (1 << _AXIS_BITS) - 1
 FINE_FACTOR = 8.0
 
 
-def _nn_pass(
+def _nn_prepare(ref_xyz, rvalid, ridx, cell):
+    """Reference-side preparation for one grid scale: cell keys, the key
+    sort and the gathered coordinates.  Loop-invariant for iterative
+    callers (ICP re-queries a MOVING source against a FIXED reference
+    every iteration — re-sorting the reference per iteration would put
+    two sorts and a large gather inside the loop body, which is what made
+    the round-3 fused-ICP program impossible to compile remotely)."""
+    rv = jnp.floor(ref_xyz / cell).astype(jnp.int32)
+    vmin = jnp.min(jnp.where(rvalid[:, None], rv, _SENTINEL), axis=0)
+    vmin = jnp.where(vmin == _SENTINEL, 0, vmin)
+    vc = jnp.clip(rv - vmin[None, :], 0, _AXIS_MAX)
+    rkey = (vc[:, 0] << (2 * _AXIS_BITS)) | (vc[:, 1] << _AXIS_BITS) | vc[:, 2]
+    rkey = jnp.where(rvalid, rkey, _SENTINEL)
+    srkey, sridx = jax.lax.sort((rkey, ridx), num_keys=1)
+    srxyz = ref_xyz[sridx]
+    return srkey, sridx, srxyz, vmin
+
+
+def _nn_query(
     src_xyz: jax.Array,
     sv_valid: jax.Array,
-    ref_xyz: jax.Array,
-    rvalid: jax.Array,
-    ridx: jax.Array,
+    prep,
     cell: jax.Array,
     radius: jax.Array,
     cell_cap: int,
     block: int,
 ):
-    """One grid scale: NN within `radius`, candidates from the 3x3x3 ring of
-    `cell`-sized cells (exact when radius <= cell and cells don't overflow)."""
+    """Query one prepared grid scale: NN within `radius`, candidates from
+    the 3x3x3 cell ring (exact when radius <= cell and cells don't
+    overflow)."""
     scap = src_xyz.shape[0]
-    rcap = ref_xyz.shape[0]
+    srkey, sridx, srxyz, vmin = prep
+    rcap = srxyz.shape[0]
 
-    rv = jnp.floor(ref_xyz / cell).astype(jnp.int32)
-    vmin = jnp.min(jnp.where(rvalid[:, None], rv, _SENTINEL), axis=0)
-    vmin = jnp.where(vmin == _SENTINEL, 0, vmin)
-
-    def keys_of(xyz, valid):
-        v = jnp.floor(xyz / cell).astype(jnp.int32) - vmin[None, :]
-        vc = jnp.clip(v, 0, _AXIS_MAX)
-        key = (vc[:, 0] << (2 * _AXIS_BITS)) | (vc[:, 1] << _AXIS_BITS) | vc[:, 2]
-        return jnp.where(valid, key, _SENTINEL), vc
-
-    rkey, _ = keys_of(ref_xyz, rvalid)
-    _, sv = keys_of(src_xyz, sv_valid)
-
-    srkey, sridx = jax.lax.sort((rkey, ridx), num_keys=1)
-    srxyz = ref_xyz[sridx]
+    sv = jnp.clip(
+        jnp.floor(src_xyz / cell).astype(jnp.int32) - vmin[None, :],
+        0, _AXIS_MAX,
+    )
 
     off = jnp.arange(-1, 2, dtype=jnp.int32)
     ox, oy, oz = jnp.meshgrid(off, off, off, indexing="ij")
@@ -109,6 +116,22 @@ def _nn_pass(
     starts = jnp.arange(nblocks, dtype=jnp.int32) * block
     dists, idxs = jax.lax.map(row_block, starts)
     return dists.reshape(pad)[:scap], idxs.reshape(pad)[:scap]
+
+
+def _nn_pass(
+    src_xyz: jax.Array,
+    sv_valid: jax.Array,
+    ref_xyz: jax.Array,
+    rvalid: jax.Array,
+    ridx: jax.Array,
+    cell: jax.Array,
+    radius: jax.Array,
+    cell_cap: int,
+    block: int,
+):
+    """One grid scale end-to-end: prepare the reference, then query."""
+    prep = _nn_prepare(ref_xyz, rvalid, ridx, cell)
+    return _nn_query(src_xyz, sv_valid, prep, cell, radius, cell_cap, block)
 
 
 @partial(jax.jit, static_argnames=("cell_cap", "block"))

@@ -73,6 +73,11 @@ TILE = 128  # plane rows (query columns) per grid step
 # expectations aren't re-derived by hand.
 SLOT_TIERS = (16, 24)
 
+# Ring columns actually scanned: the 9x9 Chebyshev ring minus its 4
+# corner columns (geometrically outside the 4-cell coverage radius; see
+# the `ring` construction in _select_kernel).
+RING_COLS = (2 * _M + 1) ** 2 - 4
+
 
 def slab_occupancy(xs_g, gz: int, cap: int, tile: int) -> int:
     """Max column occupancy over one tile's candidate reach — the exact
@@ -112,7 +117,18 @@ def _select_kernel(tile0_ref, plane_hbm, sums_ref, kth_ref, slab, d2, sem,
     dma.start()
     dma.wait()
 
-    offsets = [dy * gz + dz for dy in range(-_M, _M + 1) for dz in range(-_M, _M + 1)]
+    # Ring column set: the 9x9 Chebyshev ring MINUS its 4 corner columns.
+    # A corner column's nearest point to any query in the center cell is
+    # >= sqrt(3^2+3^2) = 4.24 cells away — beyond the 4-cell coverage
+    # radius — so corners can never contribute to a COVERED query's k
+    # smallest, and uncovered queries go to the caller's fixup either
+    # way.  (The XLA path keeps all 81; sums/kth agree wherever covered.)
+    ring = [
+        (dy, dz)
+        for dy in range(-_M, _M + 1)
+        for dz in range(-_M, _M + 1)
+        if max(abs(dy) - 1, 0) ** 2 + max(abs(dz) - 1, 0) ** 2 < _M * _M
+    ]
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (capp, TILE), 0)
 
     # The query block, read ONCE per tile with static (aligned) indices —
@@ -154,7 +170,7 @@ def _select_kernel(tile0_ref, plane_hbm, sums_ref, kth_ref, slab, d2, sem,
         Exact for every tile whose max ring-column occupancy <= capp_sel;
         the pl.when dispatch below guarantees that precondition.
         """
-        nrows = len(offsets) * capp_sel
+        nrows = len(ring) * capp_sel
         cand_iota = jax.lax.broadcasted_iota(jnp.int32, (capp_sel, TILE), 0)
 
         def per_slot(s_q, acc):
@@ -162,18 +178,37 @@ def _select_kernel(tile0_ref, plane_hbm, sums_ref, kth_ref, slab, d2, sem,
             qx = jnp.sum(jnp.where(hit, q_all_x, 0.0), axis=0, keepdims=True)
             qy = jnp.sum(jnp.where(hit, q_all_y, 0.0), axis=0, keepdims=True)
             qz = jnp.sum(jnp.where(hit, q_all_z, 0.0), axis=0, keepdims=True)
-            for j, oj in enumerate(offsets):
-                lane0 = off_al + oj
-                cx = slab[0:capp_sel, pl.ds(lane0, TILE)]
-                cy = slab[capp : capp + capp_sel, pl.ds(lane0, TILE)]
-                cz = slab[2 * capp : 2 * capp + capp_sel, pl.ds(lane0, TILE)]
-                dx = cx - qx
-                dy_ = cy - qy
-                dz_ = cz - qz
-                d2j = dx * dx + dy_ * dy_ + dz_ * dz_
-                if oj == 0:  # the query's own slot in the center column
-                    d2j = jnp.where(cand_iota == s_q, _INF, d2j)
-                d2[j * capp_sel : (j + 1) * capp_sel, :] = d2j
+            # Candidate reads are grouped by dy: the dz offsets of one dy
+            # are consecutive lanes, so ONE lane-ALIGNED widened load per
+            # (dy, channel) serves all of them via static value slices.
+            # Reading each ring column directly as an unaligned ref slice
+            # measured 67 ms of the 189 ms kernel (probe `alignbuild`,
+            # round 4): Mosaic lowers unaligned lane reads expensively,
+            # while static slices of a loaded value are cheap rotates.
+            j = 0
+            for dy in range(-_M, _M + 1):
+                dzs = [dz for (dy2, dz) in ring if dy2 == dy]
+                base = off_al + dy * gz + dzs[0]
+                base_al = (base // TILE) * TILE
+                rel = base - base_al
+                w = (dzs[-1] - dzs[0]) + TILE
+                span = TILE * (-(-(rel + w) // TILE))
+                bx = slab[0:capp_sel, pl.ds(base_al, span)]
+                by = slab[capp : capp + capp_sel, pl.ds(base_al, span)]
+                bz = slab[2 * capp : 2 * capp + capp_sel, pl.ds(base_al, span)]
+                for dz in dzs:
+                    o = rel + (dz - dzs[0])
+                    cx = jax.lax.slice(bx, (0, o), (capp_sel, o + TILE))
+                    cy = jax.lax.slice(by, (0, o), (capp_sel, o + TILE))
+                    cz = jax.lax.slice(bz, (0, o), (capp_sel, o + TILE))
+                    dx = cx - qx
+                    dy_ = cy - qy
+                    dz_ = cz - qz
+                    d2j = dx * dx + dy_ * dy_ + dz_ * dz_
+                    if dy == 0 and dz == 0:  # self-pair in the center col
+                        d2j = jnp.where(cand_iota == s_q, _INF, d2j)
+                    d2[j * capp_sel : (j + 1) * capp_sel, :] = d2j
+                    j += 1
 
             if probe == "build":  # strip-down probe: build cost only
                 acc_s, acc_k = acc
@@ -276,13 +311,15 @@ def cols_select_pallas(
     off = _M * gz + _M
     off_al = TILE * (-(-off // TILE))  # 128-aligned query-lane offset
     capp = -(-cap // 8) * 8
-    # The smallest tier scans 81*min(min(SLOT_TIERS), capp) candidate
-    # rows; the "no k-th found -> converge onto +inf -> caller fixup"
-    # contract needs k to fit in that minimum scan.
-    min_scan = (2 * _M + 1) ** 2 * min(min(SLOT_TIERS), capp)
+    # The smallest tier scans RING_COLS*min(min(SLOT_TIERS), capp)
+    # candidate rows; the "no k-th found -> converge onto +inf -> caller
+    # fixup" contract needs k to fit in that minimum scan.
+    min_scan = RING_COLS * min(min(SLOT_TIERS), capp)
     assert k <= min_scan, f"k={k} exceeds the smallest tier scan {min_scan}"
     ntiles = -(-gyz // TILE)
-    sw = TILE * (-(-(TILE + off_al + off) // TILE))
+    # one extra 128-lane block so the build's lane-ALIGNED widened reads
+    # (aligned-down start + rounded-up span) never overrun the slab
+    sw = TILE * (-(-(TILE + off_al + off) // TILE)) + TILE
     lp = (ntiles - 1) * TILE + sw
     full = ntiles_run is None
     if full:
@@ -325,7 +362,7 @@ def cols_select_pallas(
             ),
             scratch_shapes=[
                 pltpu.VMEM((3 * capp, sw), jnp.float32),
-                pltpu.VMEM(((2 * _M + 1) ** 2 * capp, TILE), jnp.float32),
+                pltpu.VMEM((RING_COLS * capp, TILE), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         ),

@@ -188,17 +188,41 @@ def _icp_fused(
 
         return jax.lax.fori_loop(0, 4, inner, jnp.eye(4, dtype=jnp.float32))
 
-    def cond(carry):
-        _T, _prev, it, done = carry
-        return (it < max_iters) & jnp.logical_not(done)
+    # Reference-side NN preparation (grid keys, sort, gather) is
+    # loop-invariant — the reference cloud never moves, only the source
+    # pose does.  Hoisting it leaves only the query (source keys +
+    # searchsorted + ring scan) inside the loop: the round-3 formulation
+    # re-sorted the reference EVERY iteration inside lax.while_loop, and
+    # that program's remote TPU compile did not finish in 50 minutes;
+    # the hoisted fixed-trip form compiles and runs on-chip (round 4).
+    from ..ops.knn import FINE_FACTOR, _nn_prepare, _nn_query
 
-    def body(carry):
-        T, prev_err, it, _done = carry
+    rcap_full = ref_xyz.shape[0]
+    ridx_full = jnp.arange(rcap_full, dtype=jnp.int32)
+    rvalid = ridx_full < ref_count
+    svalid = row < src_count
+    maxd = jnp.maximum(jnp.asarray(corr, jnp.float32), 1e-9)
+    fine_cell = maxd / FINE_FACTOR
+    prep_f = _nn_prepare(ref_xyz, rvalid, ridx_full, fine_cell)
+    prep_c = _nn_prepare(ref_xyz, rvalid, ridx_full, maxd)
+    qblock = min(4096, cap)
+
+    def nn_query(src):
+        d_f, i_f = _nn_query(src, svalid, prep_f, fine_cell, fine_cell, 48, qblock)
+        d_c, i_c = _nn_query(src, svalid, prep_c, maxd, maxd, 48, qblock)
+        take_fine = d_f <= d_c
+        dist = jnp.where(take_fine, d_f, d_c)
+        idx = jnp.where(take_fine, i_f, i_c)
+        dist = jnp.where(svalid, dist, jnp.inf)
+        return dist, jnp.where(svalid, idx, -1)
+
+    def body(it, carry):
+        T, prev_err, done = carry
         # HIGHEST on every coordinate/pose matmul: the TPU default lowers
         # f32 matmul to bf16, which would round absolute coordinates by
         # ~0.4% into each NN search and degrade the composed pose
         src = jnp.matmul(src0, T[:3, :3].T, precision=_HI) + T[:3, 3]
-        dist, idx = nn_search(src, src_count, ref_xyz, ref_count, corr)
+        dist, idx = nn_query(src)
         valid = jnp.isfinite(dist) & (row < src_count)
         w = valid.astype(jnp.float32)
         m = jnp.sum(w)
@@ -217,11 +241,17 @@ def _icp_fused(
         delta = jnp.where(too_few, jnp.eye(4, dtype=jnp.float32), delta)
         T2 = jnp.matmul(delta, T, precision=_HI)
         conv = jnp.abs(prev_err - err) < tol * jnp.maximum(prev_err, 1e-12)
-        return (T2, err, it + 1, too_few | conv)
+        # fixed-trip loop: converged iterations pass the carry through
+        # unchanged (same break semantics as the host loop; the wasted
+        # trailing iterations are the price of a statically-bounded
+        # program, which is what the TPU compiler needs)
+        T2 = jnp.where(done, T, T2)
+        err = jnp.where(done, prev_err, err)
+        return (T2, err, done | too_few | conv)
 
     T0 = jnp.eye(4, dtype=jnp.float32)
-    T, _e, _i, _d = jax.lax.while_loop(
-        cond, body, (T0, jnp.float32(jnp.inf), jnp.int32(0), jnp.bool_(False))
+    T, _e, _d = jax.lax.fori_loop(
+        0, max_iters, body, (T0, jnp.float32(jnp.inf), jnp.bool_(False))
     )
     return T
 

@@ -275,3 +275,106 @@ def test_registration_icp_on_tpu(tpu):
     dt, dr = transformation_compare(residual, transformation_identity())
     assert dt < 0.004, f"translation residual {dt}"
     assert dr < 0.02, f"rotation residual {dr}"
+
+
+def test_cols_select_range_split_on_chip(tpu):
+    """Round-4 VERDICT #7: the sharded exact chain's TPU-mesh variant runs
+    the Pallas selection kernel per tile RANGE on each device
+    (cols_select_pallas(tile0, ntiles_run)).  The CPU dryrun certifies
+    only the XLA chunk formulation; this runs the REAL kernel per
+    subrange sequentially on the one real chip and asserts concatenation
+    equals the full-plane run — bit-for-bit, including the over-the-end
+    range (which recomputes the last tile; the caller slices duplicates).
+    """
+    import cwipc_util_tpu as cwipc
+    from cwipc_util_tpu.ops.cols_knn import _cols_build
+    from cwipc_util_tpu.ops.pallas_cols_select import TILE, cols_select_pallas
+
+    gen = cwipc.cwipc_synthetic(0, 40000)
+    gen.start()
+    pc = gen.get()
+    gen.stop()
+    down = cwipc.cwipc_downsample(pc, 0.008)
+    xyz = np.zeros((1 << 16, 3), np.float32)
+    n = down.count()
+    xyz[:n] = down.get_numpy_matrix(onlyGeometry=True).astype(np.float32)
+    cell = jnp.float32(0.008)
+    gy, gz, cap, k = 96, 128, 24, 30
+
+    with jax.default_device(tpu):
+        xs_g, ys_g, zs_g, *_ = _cols_build(
+            jnp.asarray(xyz), jnp.int32(n), cell, gy=gy, gz=gz, cap=cap,
+            chunk=256,
+        )
+        sums_f, kth_f = cols_select_pallas(
+            xs_g, ys_g, zs_g, k=k, gy=gy, gz=gz, cap=cap
+        )
+        gyz = gy * gz
+        ntiles = -(-gyz // TILE)  # 96 tiles
+        ndev, pdt = 4, -(-ntiles // 4)
+        parts = []
+        for me in range(ndev):
+            s, kt = cols_select_pallas(
+                xs_g, ys_g, zs_g, k=k, gy=gy, gz=gz, cap=cap,
+                tile0=jnp.int32(me * pdt), ntiles_run=pdt,
+            )
+            parts.append((np.asarray(s), np.asarray(kt)))
+    sums_r = np.concatenate([p[0] for p in parts])[:gyz]
+    kth_r = np.concatenate([p[1] for p in parts])[:gyz]
+    np.testing.assert_array_equal(kth_r, np.asarray(kth_f))
+    np.testing.assert_array_equal(sums_r, np.asarray(sums_f))
+
+
+def test_rangemerge_reduce_range_split_on_chip(tpu):
+    """Round-4 VERDICT #7, rangemerge half: the per-shard Pallas voxel
+    reduce (what each device runs after the all_to_all key exchange) must
+    compose over a Morton-range split — running it per range on the one
+    real chip and concatenating equals the whole-cloud run.  Ranges are
+    split at a voxel-key boundary, exactly how rangemerge partitions."""
+    from cwipc_util_tpu.parallel.rangemerge import _merge_downsample_cm, _morton_keys
+
+    rng = np.random.default_rng(11)
+    n, capn = 30000, 1 << 15
+    xyz = np.zeros((capn, 3), np.float32)
+    xyz[:n] = rng.random((n, 3), dtype=np.float32) * 0.5
+    rgba = np.zeros((capn,), np.uint32)
+    rgba[:n] = rng.integers(0, 1 << 24, n).astype(np.uint32) | (1 << 24)
+    cell = jnp.float32(0.01)
+    vmin = jnp.zeros((3,), jnp.int32)
+
+    x, y, z = (jnp.asarray(xyz[:, i]) for i in range(3))
+    rg = jnp.asarray(rgba)
+    valid_all = jnp.arange(capn) < n
+
+    with jax.default_device(tpu):
+        keys = np.asarray(
+            _morton_keys(x, y, z, valid_all, vmin, cell)
+        )
+        split = np.int64(np.median(keys[:n]))  # a voxel-key boundary
+        ocap = 1 << 14
+        full = _merge_downsample_cm(x, y, z, rg, valid_all, vmin, cell, ocap)
+        lo = _merge_downsample_cm(
+            x, y, z, rg, valid_all & (jnp.asarray(keys) < split), vmin, cell, ocap
+        )
+        hi = _merge_downsample_cm(
+            x, y, z, rg, valid_all & (jnp.asarray(keys) >= split), vmin, cell, ocap
+        )
+        nf, nl, nh = int(full[4]), int(lo[4]), int(hi[4])
+
+    assert nf == nl + nh, (nf, nl, nh)
+    cat = {
+        tuple(v)
+        for part, np_ in ((lo, nl), (hi, nh))
+        for v in np.stack(
+            [np.asarray(part[0][:np_]), np.asarray(part[1][:np_]),
+             np.asarray(part[2][:np_])], axis=1
+        ).round(6)
+    }
+    ful = {
+        tuple(v)
+        for v in np.stack(
+            [np.asarray(full[0][:nf]), np.asarray(full[1][:nf]),
+             np.asarray(full[2][:nf])], axis=1
+        ).round(6)
+    }
+    assert cat == ful
