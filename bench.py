@@ -184,6 +184,7 @@ def main() -> None:
                 bi, cellsize, k=k, mult=mult, tile=tile,
                 out_capacity=1 << 18, gy=504, gz=152, cap=28,
                 chunk=int(os.environ.get("CWIPC_EXACT_CHUNK", "256")),
+                cell_normal=True,  # concrete 4mm cellsize
             )
             return out.count + resid * 0
 
@@ -217,6 +218,7 @@ def main() -> None:
                 b, cellsize, k=k, mult=mult, tile=tile,
                 out_capacity=1 << 18, gy=504, gz=152, cap=28,
                 chunk=int(os.environ.get("CWIPC_EXACT_CHUNK", "256")),
+                cell_normal=True,
             )
             return out
 

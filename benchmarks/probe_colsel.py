@@ -218,6 +218,11 @@ def main():
         ]
         for lv in levels:
             def pal(xs, ys, zs, lv=lv):
+                if lv == "seeded":  # the bench configuration (cell_normal)
+                    return cols_select_pallas(
+                        xs, ys, zs, k=K_NN, gy=GY, gz=GZ, cap=CAP,
+                        cell=jnp.float32(2.0 / 1000 * 2.0), seeded=True,
+                    )
                 return cols_select_pallas(
                     xs, ys, zs, k=K_NN, gy=GY, gz=GZ, cap=CAP, probe=lv
                 )

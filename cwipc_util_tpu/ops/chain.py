@@ -93,7 +93,8 @@ def chain_tail_cm(x, y, z, rgba, cnt, *, k, window, mult, tile) -> PointBuffer:
     return compaction.compact_cm(x, y, z, rgba, keep, cnt)
 
 
-@partial(jax.jit, static_argnames=("k", "out_capacity", "gy", "gz", "cap", "chunk"))
+@partial(jax.jit, static_argnames=(
+    "k", "out_capacity", "gy", "gz", "cap", "chunk", "cell_normal"))
 def downsample_outliers_tilefilter_exact(
     buf: PointBuffer,
     cellsize: jax.Array,
@@ -105,6 +106,7 @@ def downsample_outliers_tilefilter_exact(
     gz: int,
     cap: int,
     chunk: int = 256,
+    cell_normal: bool = False,
 ) -> tuple[PointBuffer, jax.Array]:
     """EXACT-outlier variant of the fused chain: the outlier stage uses
     the column-grid exact kNN (ops/cols_knn.py) plus a blocked brute-force
@@ -127,7 +129,7 @@ def downsample_outliers_tilefilter_exact(
     # top-9 pre-selection (see cols_knn.py)
     md, unc = cols_knn_mean_distance(
         xyz, cnt, jnp.asarray(cellsize, jnp.float32), k, gy=gy, gz=gz, cap=cap,
-        chunk=chunk, voxel_unique=True,
+        chunk=chunk, voxel_unique=True, cell_normal=cell_normal,
     )
     md_fix = bruteforce_md_subset(xyz, cnt, unc, k)
     md = jnp.where(unc, md_fix, md)

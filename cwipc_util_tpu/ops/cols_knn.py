@@ -264,7 +264,8 @@ def _cols_finish(sums, kths, slot_orig, valid, drop_ring, cell, *, k, gy, gz, ca
     return md, unc
 
 
-@partial(jax.jit, static_argnames=("k", "gy", "gz", "cap", "chunk", "voxel_unique"))
+@partial(jax.jit, static_argnames=(
+    "k", "gy", "gz", "cap", "chunk", "voxel_unique", "cell_normal"))
 def cols_knn_mean_distance(
     xyz: jax.Array,
     count: jax.Array,
@@ -275,6 +276,7 @@ def cols_knn_mean_distance(
     cap: int,
     chunk: int = 256,
     voxel_unique: bool = False,
+    cell_normal: bool = False,
     vmin_override: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact mean k-NN distance over the column grid.
@@ -286,8 +288,12 @@ def cols_knn_mean_distance(
     Requirements: rebased y/z extents fit (gy, gz) and no (y, z) column
     holds more than `cap` points.  `voxel_unique` promises distinct
     cells per point (the downsample postcondition), enabling the
-    per-column pre-selection.  Violations are reported via `uncovered`,
-    never silently wrong.
+    per-column pre-selection.  `cell_normal` additionally promises the
+    cellsize is a normal f32 with 16*cell^2 finite (any physical
+    cellsize; callers holding a concrete value should set it), enabling
+    the seeded bisection on the accelerator path.  Violations of the
+    stated promises aside, errors are reported via `uncovered`, never
+    silently wrong.
     """
     gyz = gy * gz
     nchunks = -(-gyz // chunk)
@@ -310,7 +316,13 @@ def cols_knn_mean_distance(
     def _sel_pallas(xs_g, ys_g, zs_g):
         from .pallas_cols_select import cols_select_pallas
 
-        return cols_select_pallas(xs_g, ys_g, zs_g, k=k, gy=gy, gz=gz, cap=cap)
+        # seeded bisection: valid under voxel uniqueness (d_k >= cell/2
+        # volume bound, k >= 27) for normal-f32 cells, which cell_normal
+        # statically certifies (callers with a concrete cellsize set it)
+        return cols_select_pallas(
+            xs_g, ys_g, zs_g, k=k, gy=gy, gz=gz, cap=cap,
+            cell=cell, seeded=voxel_unique and cell_normal and k >= 27,
+        )
 
     # TPU computations run the fused VMEM selection kernel (the XLA
     # formulation is HBM-streaming-bound — see pallas_cols_select.py);

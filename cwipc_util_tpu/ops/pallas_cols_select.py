@@ -71,7 +71,7 @@ TILE = 128  # plane rows (query columns) per grid step
 # statically sized at t candidate slots per column (the full CAP bucket
 # is always appended as the final tier).  Shared with tests so dispatch
 # expectations aren't re-derived by hand.
-SLOT_TIERS = (16, 24)
+SLOT_TIERS = (12, 16, 20, 24)
 
 # Ring columns actually scanned: the 9x9 Chebyshev ring minus its 4
 # corner columns (geometrically outside the 4-cell coverage radius; see
@@ -98,9 +98,22 @@ def slab_occupancy(xs_g, gz: int, cap: int, tile: int) -> int:
     return int(sl.max()) if sl.size else 0
 
 
-def _select_kernel(tile0_ref, plane_hbm, sums_ref, kth_ref, slab, d2, sem,
-                   *, cap: int, capp: int, gz: int, k: int, off: int,
-                   off_al: int, sw: int, nt_max: int, probe: str = "full"):
+# Seeded-bisection window: when the caller certifies the voxel-unique
+# d_k >= cell/2 volume bound (see cols_select_pallas), the k-th squared
+# distance lies in [bits((0.499c)^2), bits((4.0001c)^2)] — a bit-space
+# window of at most log2((4/0.499)^2) ~ 6.01 exponent steps.  W_SEED is
+# that width with margin; it is cell-INDEPENDENT for normal f32 cells
+# (multiplying a normal float by 2^e adds exactly e<<23 to its bits).
+W_SEED = 6 * (1 << 23) + (1 << 21)
+T_SEED = 13  # ceil(log2(W_SEED)) - 12: leaves a <= 2^13-bit window
+T_FULL = 18  # unseeded: 2^31 initial width, same final window size
+R_CONT = 13  # continuation steps to fully converge a 2^13-bit window
+
+
+def _select_kernel(scalars_ref, plane_hbm, sums_ref, kth_ref, slab, cnd, d2,
+                   sem, *, cap: int, capp: int, gz: int, k: int, off: int,
+                   off_al: int, sw: int, nt_max: int, seeded: bool = False,
+                   probe: str = "full"):
     # off_al is the lane offset of the queries inside the slab — a
     # multiple of 128 (Mosaic requires aligned lanes for dynamic-sublane
     # loads; the wrapper pads the plane front accordingly).  Ring reads
@@ -110,7 +123,7 @@ def _select_kernel(tile0_ref, plane_hbm, sums_ref, kth_ref, slab, d2, sem,
     # clamp keeps over-the-end ranges (per-device rounding) reading
     # in-bounds — they recompute the last tile, and the caller slices
     # the duplicate trailing rows off after its gather.
-    t = jnp.minimum(tile0_ref[0] + pl.program_id(0), nt_max - 1)
+    t = jnp.minimum(scalars_ref[0] + pl.program_id(0), nt_max - 1)
     dma = pltpu.make_async_copy(
         plane_hbm.at[:, pl.ds(t * TILE, sw)], slab, sem
     )
@@ -173,42 +186,54 @@ def _select_kernel(tile0_ref, plane_hbm, sums_ref, kth_ref, slab, d2, sem,
         nrows = len(ring) * capp_sel
         cand_iota = jax.lax.broadcasted_iota(jnp.int32, (capp_sel, TILE), 0)
 
+        # Candidate gathering is SLOT-INVARIANT: materialize the 77 ring
+        # columns' channel blocks ONCE per tile into the cnd scratch, so
+        # the per-slot build is three contiguous aligned loads + the
+        # distance arithmetic.  The slicing itself is grouped by dy: the
+        # dz offsets of one dy are consecutive lanes, so one lane-ALIGNED
+        # widened load per (dy, channel) serves all of them via static
+        # value slices.  (History: per-slot unaligned ref reads measured
+        # 67 ms of a 189 ms kernel; per-slot value slices ~55 ms — both
+        # replaced by this hoist, round 4.)
+        j = 0
+        for dy in range(-_M, _M + 1):
+            dzs = [dz for (dy2, dz) in ring if dy2 == dy]
+            base = off_al + dy * gz + dzs[0]
+            base_al = (base // TILE) * TILE
+            rel = base - base_al
+            w = (dzs[-1] - dzs[0]) + TILE
+            span = TILE * (-(-(rel + w) // TILE))
+            bx = slab[0:capp_sel, pl.ds(base_al, span)]
+            by = slab[capp : capp + capp_sel, pl.ds(base_al, span)]
+            bz = slab[2 * capp : 2 * capp + capp_sel, pl.ds(base_al, span)]
+            for dz in dzs:
+                o = rel + (dz - dzs[0])
+                cnd[j * capp_sel : (j + 1) * capp_sel, :] = jax.lax.slice(
+                    bx, (0, o), (capp_sel, o + TILE)
+                )
+                cnd[nrows + j * capp_sel : nrows + (j + 1) * capp_sel, :] = (
+                    jax.lax.slice(by, (0, o), (capp_sel, o + TILE))
+                )
+                cnd[2 * nrows + j * capp_sel : 2 * nrows + (j + 1) * capp_sel, :] = (
+                    jax.lax.slice(bz, (0, o), (capp_sel, o + TILE))
+                )
+                j += 1
+        j_self = ring.index((0, 0))
+
         def per_slot(s_q, acc):
             hit = row_iota == s_q
             qx = jnp.sum(jnp.where(hit, q_all_x, 0.0), axis=0, keepdims=True)
             qy = jnp.sum(jnp.where(hit, q_all_y, 0.0), axis=0, keepdims=True)
             qz = jnp.sum(jnp.where(hit, q_all_z, 0.0), axis=0, keepdims=True)
-            # Candidate reads are grouped by dy: the dz offsets of one dy
-            # are consecutive lanes, so ONE lane-ALIGNED widened load per
-            # (dy, channel) serves all of them via static value slices.
-            # Reading each ring column directly as an unaligned ref slice
-            # measured 67 ms of the 189 ms kernel (probe `alignbuild`,
-            # round 4): Mosaic lowers unaligned lane reads expensively,
-            # while static slices of a loaded value are cheap rotates.
-            j = 0
-            for dy in range(-_M, _M + 1):
-                dzs = [dz for (dy2, dz) in ring if dy2 == dy]
-                base = off_al + dy * gz + dzs[0]
-                base_al = (base // TILE) * TILE
-                rel = base - base_al
-                w = (dzs[-1] - dzs[0]) + TILE
-                span = TILE * (-(-(rel + w) // TILE))
-                bx = slab[0:capp_sel, pl.ds(base_al, span)]
-                by = slab[capp : capp + capp_sel, pl.ds(base_al, span)]
-                bz = slab[2 * capp : 2 * capp + capp_sel, pl.ds(base_al, span)]
-                for dz in dzs:
-                    o = rel + (dz - dzs[0])
-                    cx = jax.lax.slice(bx, (0, o), (capp_sel, o + TILE))
-                    cy = jax.lax.slice(by, (0, o), (capp_sel, o + TILE))
-                    cz = jax.lax.slice(bz, (0, o), (capp_sel, o + TILE))
-                    dx = cx - qx
-                    dy_ = cy - qy
-                    dz_ = cz - qz
-                    d2j = dx * dx + dy_ * dy_ + dz_ * dz_
-                    if dy == 0 and dz == 0:  # self-pair in the center col
-                        d2j = jnp.where(cand_iota == s_q, _INF, d2j)
-                    d2[j * capp_sel : (j + 1) * capp_sel, :] = d2j
-                    j += 1
+            dx = cnd[0:nrows, :] - qx
+            dy_ = cnd[nrows : 2 * nrows, :] - qy
+            dz_ = cnd[2 * nrows : 3 * nrows, :] - qz
+            d2[0:nrows, :] = dx * dx + dy_ * dy_ + dz_ * dz_
+            # self-pair: the query's own slot in the center column only
+            c0, c1 = j_self * capp_sel, (j_self + 1) * capp_sel
+            d2[c0:c1, :] = jnp.where(
+                cand_iota == s_q, _INF, d2[c0:c1, :]
+            )
 
             if probe == "build":  # strip-down probe: build cost only
                 acc_s, acc_k = acc
@@ -222,19 +247,82 @@ def _select_kernel(tile0_ref, plane_hbm, sums_ref, kth_ref, slab, d2, sem,
             # k-th smallest squared distance.  +inf (empty slots) always
             # loses; a query with < k real candidates converges onto inf
             # and is flagged for the caller's exact fixup via kth.
-            def bis(_i, lh):
-                lo, hi = lh
+            # The carried clo tracks count(d2 <= lo - 1) < k, which the
+            # min-advance tail below needs.
+            def bis(_i, state):
+                lo, hi, clo = state
                 mid = lo + ((hi - lo) >> 1)
                 cnt = jnp.sum((bits <= mid).astype(jnp.int32), axis=0, keepdims=True)
                 ge = cnt >= k
-                return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+                return (
+                    jnp.where(ge, lo, mid + 1),
+                    jnp.where(ge, mid, hi),
+                    jnp.where(ge, clo, cnt),
+                )
 
-            nsteps = 31
-            if probe.startswith("bisect"):  # strip-down: reduced steps
-                nsteps = int(probe[len("bisect"):])
-            lo0 = jnp.zeros((1, TILE), jnp.int32)
-            hi0 = jnp.full((1, TILE), jnp.iinfo(jnp.int32).max, jnp.int32)
-            _lo, hi = jax.lax.fori_loop(0, nsteps, bis, (lo0, hi0))
+            imax = jnp.iinfo(jnp.int32).max
+            if seeded:
+                # scalars_ref[1] = bits((0.499*cell)^2), a certified lower
+                # bound on the k-th squared distance's bit pattern; values
+                # beyond the window (kth > ~4c, or < k candidates) converge
+                # onto the window top, which classifies as uncovered ->
+                # caller fixup, exactly like the unseeded +inf contract.
+                lo0 = jnp.full((1, TILE), scalars_ref[1], jnp.int32)
+                hi0 = lo0 + W_SEED
+                # candidates BELOW the seed exist (the nearest neighbors);
+                # the advance tail needs clo == count(bits <= lo-1), so
+                # seed it with one count scan
+                c00 = jnp.sum(
+                    (bits < lo0).astype(jnp.int32), axis=0, keepdims=True
+                )
+            else:
+                lo0 = jnp.zeros((1, TILE), jnp.int32)
+                hi0 = jnp.full((1, TILE), imax, jnp.int32)
+                c00 = jnp.zeros((1, TILE), jnp.int32)
+
+            if probe.startswith("bisect") or probe == "noadvance":
+                # strip-down probes: a plain truncated/full bisection
+                nsteps = 31 if probe == "noadvance" else int(probe[len("bisect"):])
+                _lo, hi, _c = jax.lax.fori_loop(0, nsteps, bis, (lo0, hi0, c00))
+            else:
+                # Bisect-then-advance: T coarse steps bound d_k to a
+                # 2^(31-T)-bit window, then each ADVANCE extracts the
+                # smallest candidate value >= lo with one masked-min scan
+                # and confirms it with one count scan — d_k is usually
+                # the first or second distinct value in the window, so 2
+                # advances replace the last 31-T bisection steps (each
+                # advance costs ~2 steps; measured round 4).  Lanes whose
+                # window holds >2 distinct values below d_k fall through
+                # to a RARE per-tile continuation that finishes the plain
+                # bisection — exactness is unconditional either way.
+                T, R = (T_SEED if seeded else T_FULL), R_CONT
+                lo, hi, clo = jax.lax.fori_loop(0, T, bis, (lo0, hi0, c00))
+                kth_bits = hi
+                resolved = jnp.zeros((1, TILE), jnp.bool_)
+                for _adv in range(2):
+                    # min candidate >= lo (NOT >: d_k may equal lo)
+                    m = jnp.min(
+                        jnp.where(bits >= lo, bits, imax), axis=0, keepdims=True
+                    )
+                    ceq = jnp.sum((bits == m).astype(jnp.int32), axis=0, keepdims=True)
+                    c = clo + ceq  # == count(d2 <= m): no values in [lo, m)
+                    newly = (c >= k) & jnp.logical_not(resolved)
+                    kth_bits = jnp.where(newly, m, kth_bits)
+                    adv = jnp.logical_not(resolved | (c >= k))
+                    lo = jnp.where(adv, m + 1, lo)
+                    clo = jnp.where(adv, c, clo)
+                    resolved = resolved | (c >= k)
+                unres_any = jnp.max(jnp.logical_not(resolved).astype(jnp.int32))
+                lo_c = jnp.where(resolved, kth_bits, lo)
+                hi_c = jnp.where(resolved, kth_bits, hi)
+
+                def _cont(ops):
+                    l0, h0, cl0 = ops
+                    return jax.lax.fori_loop(0, R, bis, (l0, h0, cl0))[1]
+
+                hi = jax.lax.cond(
+                    unres_any > 0, _cont, lambda ops: ops[1], (lo_c, hi_c, clo)
+                )
 
             if probe == "nofinal":  # strip-down: skip the sum pass
                 acc_s, acc_k = acc
@@ -283,7 +371,7 @@ def _select_kernel(tile0_ref, plane_hbm, sums_ref, kth_ref, slab, d2, sem,
 
 
 @partial(jax.jit, static_argnames=(
-    "k", "gy", "gz", "cap", "ntiles_run", "interpret", "probe"))
+    "k", "gy", "gz", "cap", "ntiles_run", "interpret", "seeded", "probe"))
 def cols_select_pallas(
     xs_g: jax.Array,
     ys_g: jax.Array,
@@ -295,6 +383,8 @@ def cols_select_pallas(
     tile0: jax.Array | None = None,
     ntiles_run: int | None = None,
     interpret: bool = False,
+    cell: jax.Array | None = None,
+    seeded: bool = False,
     probe: str = "full",
 ) -> tuple[jax.Array, jax.Array]:
     """Exact (sum of k smallest distances, k-th distance) for every slot
@@ -329,6 +419,21 @@ def cols_select_pallas(
         if tile0 is None
         else jnp.asarray(tile0, jnp.int32).reshape(1)
     )
+    # ``seeded`` = the caller certifies (a) the cloud is voxel-unique at
+    # ``cell`` with k >= 27, giving d_k >= cell/2 even with a one-cell fp
+    # quantization slop (volume bound: (floor(2d/c)+3)^3 >= k+1), and
+    # (b) cell is a normal f32 with 16*cell^2 finite (any sane physical
+    # cellsize).  The bisection then starts from a 2^25.6-bit window
+    # instead of 2^31 — 5 fewer count scans per slot.
+    if seeded:
+        assert cell is not None, "seeded selection needs the cell size"
+        assert k >= 27, "the d_k >= cell/2 volume bound needs k >= 27"
+        lo_seed = jax.lax.bitcast_convert_type(
+            jnp.square(jnp.asarray(cell, jnp.float32) * 0.499), jnp.int32
+        ).reshape(1)
+        scalars = jnp.concatenate([t0, lo_seed])
+    else:
+        scalars = jnp.concatenate([t0, jnp.zeros((1,), jnp.int32)])
 
     def prep(a):
         at = a[:, :cap].T  # [cap, L0] with an `off`-lane front halo
@@ -347,7 +452,7 @@ def cols_select_pallas(
     # sum pass.  Anything but "full" returns WRONG results by design.
     kernel = partial(
         _select_kernel, cap=cap, capp=capp, gz=gz, k=k, off=off,
-        off_al=off_al, sw=sw, nt_max=ntiles, probe=probe,
+        off_al=off_al, sw=sw, nt_max=ntiles, seeded=seeded, probe=probe,
     )
     sums_t, kth_t = pl.pallas_call(
         kernel,
@@ -362,6 +467,7 @@ def cols_select_pallas(
             ),
             scratch_shapes=[
                 pltpu.VMEM((3 * capp, sw), jnp.float32),
+                pltpu.VMEM((3 * RING_COLS * capp, TILE), jnp.float32),
                 pltpu.VMEM((RING_COLS * capp, TILE), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
@@ -370,7 +476,7 @@ def cols_select_pallas(
             jax.ShapeDtypeStruct((capp, ntiles_run * TILE), jnp.float32),
             jax.ShapeDtypeStruct((capp, ntiles_run * TILE), jnp.float32),
         ),
-    )(t0, plane)
+    )(scalars, plane)
     if full:
         return sums_t[:cap, :gyz].T, kth_t[:cap, :gyz].T
     return sums_t[:cap].T, kth_t[:cap].T

@@ -171,7 +171,8 @@ def sharded_chain(
 
 
 def make_sharded_chain_exact(
-    mesh: Mesh, k: int, gy: int, gz: int, cap: int, chunk: int = 256
+    mesh: Mesh, k: int, gy: int, gz: int, cap: int, chunk: int = 256,
+    cell_normal: bool = False,
 ):
     """The EXACT chain (downsample -> column-grid exact outlier removal ->
     tilefilter) sharded over the mesh.
@@ -257,6 +258,10 @@ def make_sharded_chain_exact(
             sums_l, kths_l = cols_select_pallas(
                 xs_g, ys_g, zs_g, k=k, gy=gy, gz=gz, cap=cap,
                 tile0=me * pdt, ntiles_run=pdt,
+                # same seeding contract as the single-device exact chain:
+                # the sharded chain downsamples first (voxel-unique); the
+                # caller's static cell_normal certifies a sane cellsize
+                cell=cellsize, seeded=bool(cell_normal and k >= 27),
             )
             return (
                 jax.lax.all_gather(sums_l, CAMERA_AXIS).reshape(
@@ -310,7 +315,10 @@ def sharded_chain_exact(
     n = len(mesh.devices.ravel())
     xyz, rgba, counts = shard_pointbuffer(buf, n)
     sh = camera_sharding(mesh)
-    step = make_sharded_chain_exact(mesh, k=k, gy=gy, gz=gz, cap=cap, chunk=chunk)
+    step = make_sharded_chain_exact(
+        mesh, k=k, gy=gy, gz=gz, cap=cap, chunk=chunk,
+        cell_normal=bool(1e-18 < float(cellsize) < 1e17),
+    )
     return step(
         jax.device_put(xyz, sh),
         jax.device_put(rgba, sh),

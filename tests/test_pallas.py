@@ -111,7 +111,7 @@ class TestColsSelectKernel:
             slab_occupancy,
         )
 
-        gy = gz = 24
+        gy, gz = 64, 24
         cap, k = 28, 9
         cell = 0.02
         rng = np.random.default_rng(11)
@@ -129,9 +129,16 @@ class TestColsSelectKernel:
                             (y0 + iy) * cell + jitter[1],
                             (z0 + iz) * cell + jitter[2],
                         ])
-        fill_columns(2, 2, 4, 4, 27)    # dense blob -> top tier
-        fill_columns(12, 2, 4, 4, 20)   # medium blob -> middle tier
-        fill_columns(2, 14, 5, 5, 5)    # sparse -> low tier
+        # One blob per dispatch tier.  A tile's occupancy slice covers
+        # plane rows [t*128 - off, t*128 + off + 128) = y within about
+        # [-4.2, +9.5] rows of its queries (off = 4*gz+4 = 100), so blobs
+        # 15 y-rows apart are seen by disjoint tile sets; tiles between
+        # blobs are near-empty and land in the smallest tier.
+        fill_columns(0, 2, 4, 4, 27)    # -> full-cap tier (32)
+        fill_columns(15, 2, 4, 4, 22)   # -> tier 24
+        fill_columns(30, 2, 3, 4, 18)   # -> tier 20
+        fill_columns(45, 2, 3, 4, 14)   # -> tier 16
+        fill_columns(60, 2, 2, 4, 6)    # -> tier 12
         n = len(pts)
         capn = 1 << int(np.ceil(np.log2(n)))
         xyz = np.zeros((capn, 3), np.float32)
@@ -179,6 +186,57 @@ class TestColsSelectKernel:
         np.testing.assert_array_equal(kth_p[cov], kth_x[cov])
         np.testing.assert_allclose(
             sums_p[cov], sums_x[cov], rtol=1e-5, atol=1e-5
+        )
+
+    def test_seeded_bisection_matches_unseeded(self):
+        """The seeded bisection (d_k >= cell/2 volume bound, k >= 27 on a
+        voxel-unique cloud) must produce BIT-IDENTICAL results to the
+        unseeded path — identical coverage classification, kth and sums."""
+        from cwipc_util_tpu.ops.cols_knn import _cols_build
+        from cwipc_util_tpu.ops.pallas_cols_select import cols_select_pallas
+
+        gy, gz = 32, 24
+        cap, k = 28, 30
+        cell = 0.02
+        rng = np.random.default_rng(3)
+        # voxel-unique by construction: distinct cells per point
+        pts = []
+        for iy in range(3, 28):
+            for iz in range(3, 20):
+                for ix in range(int(rng.integers(1, 9))):
+                    jitter = rng.random(3) * cell * 0.9
+                    pts.append([ix * cell + jitter[0],
+                                iy * cell + jitter[1],
+                                iz * cell + jitter[2]])
+        n = len(pts)
+        capn = 1 << int(np.ceil(np.log2(n)))
+        xyz = np.zeros((capn, 3), np.float32)
+        xyz[:n] = np.asarray(pts, np.float32)
+        built = _cols_build(
+            jnp.asarray(xyz), jnp.int32(n), jnp.float32(cell), gy=gy, gz=gz,
+            cap=cap, chunk=64,
+        )
+        xs_g, ys_g, zs_g = built[:3]
+        a = cols_select_pallas(
+            xs_g, ys_g, zs_g, k=k, gy=gy, gz=gz, cap=cap, interpret=True
+        )
+        b = cols_select_pallas(
+            xs_g, ys_g, zs_g, k=k, gy=gy, gz=gz, cap=cap, interpret=True,
+            cell=jnp.float32(cell), seeded=True,
+        )
+        gyz = gy * gz
+        off = 4 * gz + 4
+        occ = np.asarray(xs_g)[off:off + gyz, :cap] < 1e30
+        r_cut = cell * 4.0 * (1.0 - 1e-6)
+        kth_a, kth_b = np.asarray(a[1]), np.asarray(b[1])
+        np.testing.assert_array_equal(
+            (kth_a < r_cut)[occ], (kth_b < r_cut)[occ]
+        )
+        cov = occ & (kth_a < r_cut)
+        assert cov.sum() > 50
+        np.testing.assert_array_equal(kth_b[cov], kth_a[cov])
+        np.testing.assert_array_equal(
+            np.asarray(b[0])[cov], np.asarray(a[0])[cov]
         )
 
     def test_tile_range_matches_full(self):

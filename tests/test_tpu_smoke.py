@@ -175,6 +175,7 @@ def test_exact_chain_keep_mask_matches_oracle_on_bench_cloud(tpu):
         out, resid = downsample_outliers_tilefilter_exact(
             buf, cellsize, k=k, mult=jnp.float32(mult), tile=jnp.uint32(0),
             out_capacity=out_capacity, gy=504, gz=152, cap=28,
+            cell_normal=True,  # bench configuration: seeded bisection on
         )
         n_out = int(out.count)
         got_xyz = np.asarray(out.xyz[:n_out])
@@ -351,7 +352,10 @@ def test_rangemerge_reduce_range_split_on_chip(tpu):
             _morton_keys(x, y, z, valid_all, vmin, cell)
         )
         split = np.int64(np.median(keys[:n]))  # a voxel-key boundary
-        ocap = 1 << 14
+        # 30k random points in a 50^3-cell box -> ~27k distinct voxels;
+        # ocap must hold them all or counts clamp and the split totals
+        # cannot reconcile
+        ocap = 1 << 15
         full = _merge_downsample_cm(x, y, z, rg, valid_all, vmin, cell, ocap)
         lo = _merge_downsample_cm(
             x, y, z, rg, valid_all & (jnp.asarray(keys) < split), vmin, cell, ocap
