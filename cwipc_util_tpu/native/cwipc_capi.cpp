@@ -1201,3 +1201,272 @@ extern "C" cwipc_source *cwipc_capturer(const char *configFilename,
     }
     return nullptr;
 }
+
+/* ---- codec geometry stage (see cwipc_capi.h) --------------------------- */
+
+extern "C" int cwipc_enc_geometry(const struct cwipc_point *points, int n,
+                                  uint32_t tilemask, int octree_bits,
+                                  float exp_factor, float voxelsize,
+                                  int64_t *keys_out, uint32_t *drgba_out,
+                                  int32_t *vmin_out, float *step_out) {
+    if (!points || n < 0 || octree_bits < 1 || octree_bits > 10 || !keys_out ||
+        !drgba_out || !vmin_out || !step_out)
+        return -1;
+    /* pass 1: bbox over the (tile-filtered) cloud.  All arithmetic is f32,
+     * matching the numpy twin (codec/__init__.py _geometry_host) op for op
+     * so the two paths stay bit-identical. */
+    float mn[3] = {3.0e38f, 3.0e38f, 3.0e38f};
+    float mx[3] = {-3.0e38f, -3.0e38f, -3.0e38f};
+    int nk = 0;
+    for (int i = 0; i < n; i++) {
+        if (tilemask && ((uint32_t)points[i].tile & tilemask) == 0) continue;
+        nk++;
+        const float c[3] = {points[i].x, points[i].y, points[i].z};
+        for (int a = 0; a < 3; a++) {
+            if (c[a] < mn[a]) mn[a] = c[a];
+            if (c[a] > mx[a]) mx[a] = c[a];
+        }
+    }
+    if (nk == 0) {
+        *step_out = 0.0f;
+        vmin_out[0] = vmin_out[1] = vmin_out[2] = 0;
+        return 0;
+    }
+    float ef = exp_factor > 1.0f ? exp_factor : 1.0f;
+    float extent = 0.0f;
+    for (int a = 0; a < 3; a++) {
+        float e = mx[a] - mn[a];
+        if (e > extent) extent = e;
+    }
+    extent = extent * ef;
+    if (extent < 1e-6f) extent = 1e-6f;
+    float step = extent / (float)(1 << octree_bits);
+    if (voxelsize > 0.0f && voxelsize > step) step = voxelsize;
+    *step_out = step;
+    const int cap = (1 << octree_bits) - 1;
+
+    /* pass 2: quantize + per-axis minimum (vmin comes from the quantized
+     * cells, exactly like the numpy v.min()) */
+    std::vector<int32_t> cells(3 * (size_t)nk);
+    int32_t vmin[3] = {INT32_MAX, INT32_MAX, INT32_MAX};
+    {
+        int j = 0;
+        for (int i = 0; i < n; i++) {
+            if (tilemask && ((uint32_t)points[i].tile & tilemask) == 0)
+                continue;
+            const float c[3] = {points[i].x, points[i].y, points[i].z};
+            for (int a = 0; a < 3; a++) {
+                int32_t v = (int32_t)floorf(c[a] / step);
+                cells[3 * (size_t)j + a] = v;
+                if (v < vmin[a]) vmin[a] = v;
+            }
+            j++;
+        }
+    }
+    for (int a = 0; a < 3; a++) vmin_out[a] = vmin[a];
+
+    /* Morton spread table for 10-bit cell coordinates */
+    static uint32_t spread_tab[1024];
+    static bool tab_init = false;
+    if (!tab_init) {
+        for (uint32_t v = 0; v < 1024; v++) {
+            uint32_t x = v;
+            x = (x | (x << 16)) & 0x030000FFu;
+            x = (x | (x << 8)) & 0x0300F00Fu;
+            x = (x | (x << 4)) & 0x030C30C3u;
+            x = (x | (x << 2)) & 0x09249249u;
+            spread_tab[v] = x;
+        }
+        tab_init = true;
+    }
+
+    /* pass 3: composite (key<<32 | source-index) items; index keeps the
+     * radix stable AND addresses the source point during the reduce */
+    std::vector<uint64_t> items((size_t)nk), tmp((size_t)nk);
+    std::vector<int32_t> srcidx;
+    const bool filtered = tilemask != 0;
+    if (filtered) srcidx.reserve((size_t)nk);
+    {
+        int j = 0;
+        for (int i = 0; i < n; i++) {
+            if (filtered && ((uint32_t)points[i].tile & tilemask) == 0)
+                continue;
+            uint32_t key = 0;
+            for (int a = 0; a < 3; a++) {
+                int32_t r = cells[3 * (size_t)j + a] - vmin[a];
+                if (r < 0) r = 0;
+                if (r > cap) r = cap;
+                key |= spread_tab[r] << a;
+            }
+            items[(size_t)j] = ((uint64_t)key << 32) | (uint32_t)j;
+            if (filtered) srcidx.push_back(i);
+            j++;
+        }
+    }
+
+    /* LSD radix sort on the 30 key bits: three 10-bit passes */
+    for (int pass = 0; pass < 3; pass++) {
+        const int shift = 32 + 10 * pass;
+        size_t hist[1025] = {0};
+        for (int i = 0; i < nk; i++)
+            hist[((items[(size_t)i] >> shift) & 1023) + 1]++;
+        for (int b = 0; b < 1024; b++) hist[b + 1] += hist[b];
+        for (int i = 0; i < nk; i++)
+            tmp[hist[(items[(size_t)i] >> shift) & 1023]++] = items[(size_t)i];
+        items.swap(tmp);
+    }
+
+    /* pass 4: run reduction (exact integer channel sums; the f32 mean
+     * division and u32 truncation match PCL and the numpy twin) */
+    int m = 0;
+    size_t i = 0;
+    while (i < (size_t)nk) {
+        const uint32_t key = (uint32_t)(items[i] >> 32);
+        uint32_t sr = 0, sg = 0, sb = 0, tor = 0;
+        size_t cnt = 0;
+        do {
+            const int src0 = (int)(uint32_t)items[i];
+            const struct cwipc_point &p =
+                points[filtered ? srcidx[(size_t)src0] : src0];
+            sr += p.r;
+            sg += p.g;
+            sb += p.b;
+            tor |= p.tile;
+            cnt++;
+            i++;
+        } while (i < (size_t)nk && (uint32_t)(items[i] >> 32) == key);
+        const float fc = (float)cnt;
+        const uint32_t mr = (uint32_t)((float)sr / fc);
+        const uint32_t mg = (uint32_t)((float)sg / fc);
+        const uint32_t mb = (uint32_t)((float)sb / fc);
+        keys_out[m] = (int64_t)key;
+        drgba_out[m] = (tor << 24) | (mr << 16) | (mg << 8) | mb;
+        m++;
+    }
+    return m;
+}
+
+/* ---- codec octree occupancy stream (see cwipc_capi.h) ------------------ */
+
+extern "C" int cwipc_enc_octree(const int64_t *keys, int m, int depth,
+                                uint8_t *out) {
+    if (!keys || m <= 0 || depth < 1 || depth > 15 || !out) return -1;
+    /* build levels leaf-first into a scratch, then emit root-first */
+    std::vector<std::vector<uint8_t>> levels((size_t)depth);
+    std::vector<int64_t> cur(keys, keys + m), nxt;
+    for (int L = 0; L < depth; L++) {
+        std::vector<uint8_t> &masks = levels[(size_t)L];
+        nxt.clear();
+        size_t i = 0;
+        while (i < cur.size()) {
+            const int64_t parent = cur[i] >> 3;
+            uint8_t mask = 0;
+            do {
+                mask |= (uint8_t)(1u << (cur[i] & 7));
+                i++;
+            } while (i < cur.size() && (cur[i] >> 3) == parent);
+            masks.push_back(mask);
+            nxt.push_back(parent);
+        }
+        cur.swap(nxt);
+    }
+    int total = 0;
+    for (int L = depth - 1; L >= 0; L--) {
+        memcpy(out + total, levels[(size_t)L].data(), levels[(size_t)L].size());
+        total += (int)levels[(size_t)L].size();
+    }
+    return total;
+}
+
+extern "C" int cwipc_dec_octree(const uint8_t *stream, int slen, int depth,
+                                int64_t *keys_out, int n) {
+    if (!stream || slen <= 0 || depth < 1 || depth > 15 || !keys_out || n < 0)
+        return -1;
+    std::vector<int64_t> cur(1, 0), nxt;
+    size_t pos = 0;
+    for (int L = 0; L < depth; L++) {
+        const size_t nn = cur.size();
+        if (pos + nn > (size_t)slen) return -1; /* truncated */
+        nxt.clear();
+        for (size_t i = 0; i < nn; i++) {
+            const uint8_t mask = stream[pos + i];
+            const int64_t base = cur[i] << 3;
+            for (int b = 0; b < 8; b++)
+                if (mask & (1u << b)) nxt.push_back(base | b);
+        }
+        pos += nn;
+        cur.swap(nxt);
+    }
+    if (pos != (size_t)slen || cur.size() != (size_t)n) return -1;
+    memcpy(keys_out, cur.data(), cur.size() * sizeof(int64_t));
+    return (int)cur.size();
+}
+
+/* ---- fused codec decode tail (see cwipc_capi.h) ------------------------ */
+
+static inline uint32_t cwipc__compact1by2(uint32_t x) {
+    x &= 0x09249249u;
+    x = (x | (x >> 2)) & 0x030C30C3u;
+    x = (x | (x >> 4)) & 0x0300F00Fu;
+    x = (x | (x >> 8)) & 0x030000FFu;
+    x = (x | (x >> 16)) & 0x000003FFu;
+    return x;
+}
+
+static inline int64_t cwipc__compact1by4_64(int64_t x) {
+    x &= 0x1249249249249249LL;
+    x = (x | (x >> 2)) & 0x10C30C30C30C30C3LL;
+    x = (x | (x >> 4)) & 0x100F00F00F00F00FLL;
+    x = (x | (x >> 8)) & 0x001F0000FF0000FFLL;
+    x = (x | (x >> 16)) & 0x001F00000000FFFFLL;
+    x = (x | (x >> 32)) & 0x00000000001FFFFFLL;
+    return x;
+}
+
+extern "C" int cwipc_dec_geometry(const uint8_t *occ, int slen, int depth,
+                                  int wide, float step, const float *origin,
+                                  const uint8_t *rgb, int rgb_is_bgr,
+                                  const uint8_t *tiles,
+                                  struct cwipc_point *out, int n) {
+    if (!occ || slen <= 0 || depth < 1 || depth > 15 || !origin || !rgb ||
+        !tiles || !out || n < 0)
+        return -1;
+    std::vector<int64_t> cur(1, 0), nxt;
+    size_t pos = 0;
+    for (int L = 0; L < depth; L++) {
+        const size_t nn = cur.size();
+        if (pos + nn > (size_t)slen) return -1;
+        nxt.clear();
+        for (size_t i = 0; i < nn; i++) {
+            const uint8_t mask = occ[pos + i];
+            const int64_t base = cur[i] << 3;
+            for (int b = 0; b < 8; b++)
+                if (mask & (1u << b)) nxt.push_back(base | b);
+        }
+        pos += nn;
+        cur.swap(nxt);
+    }
+    if (pos != (size_t)slen || cur.size() != (size_t)n) return -1;
+    for (int i = 0; i < n; i++) {
+        const int64_t k = cur[(size_t)i];
+        float cx, cy, cz;
+        if (wide) {
+            cx = (float)cwipc__compact1by4_64(k);
+            cy = (float)cwipc__compact1by4_64(k >> 1);
+            cz = (float)cwipc__compact1by4_64(k >> 2);
+        } else {
+            cx = (float)cwipc__compact1by2((uint32_t)k);
+            cy = (float)cwipc__compact1by2((uint32_t)k >> 1);
+            cz = (float)cwipc__compact1by2((uint32_t)k >> 2);
+        }
+        out[i].x = (cx + 0.5f) * step + origin[0];
+        out[i].y = (cy + 0.5f) * step + origin[1];
+        out[i].z = (cz + 0.5f) * step + origin[2];
+        const uint8_t *c = rgb + 3 * (size_t)i;
+        out[i].r = rgb_is_bgr ? c[2] : c[0];
+        out[i].g = c[1];
+        out[i].b = rgb_is_bgr ? c[0] : c[2];
+        out[i].tile = tiles[i];
+    }
+    return n;
+}

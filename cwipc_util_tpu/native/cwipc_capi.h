@@ -234,6 +234,47 @@ void cwipc_metadata__move(cwipc_metadata *src, cwipc_metadata *dest);
 cwipc_source *cwipc_proxy(const char *host, int port, char **errorMessage,
                           uint64_t apiVersion);
 
+/* ---- codec geometry stage (host fast path) ------------------------------
+ * Quantize -> Morton key -> stable radix sort -> per-voxel reduce, the
+ * CTC1 encoder's geometry stage (codec/__init__.py _geometry_host) as one
+ * native pass: the numpy formulation costs ~17 ms/160k points on one core
+ * (one full-array memory pass per ufunc); this runs the same arithmetic
+ * (identical f32 operations, so outputs are bit-identical) in ~4 ms.
+ *
+ * points:   n interleaved cwipc_point records.
+ * tilemask: skip points with (tile & tilemask) == 0 when nonzero.
+ * octree_bits (<= 10 here), exp_factor (>= 1), voxelsize: the step rule
+ *   extent = max-axis-extent * exp_factor (>= 1e-6);
+ *   step = extent / 2^octree_bits; step = max(step, voxelsize).
+ * keys_out[n], drgba_out[n]: caller-allocated; the first *m_out entries
+ *   are the sorted-unique Morton keys and averaged tile<<24|r<<16|g<<8|b.
+ * vmin_out[3]: the rebase origin in cells; step_out: the chosen step.
+ * Returns m (voxel count, 0 for an empty/filtered-empty cloud), or -1 on
+ * invalid arguments. */
+int cwipc_enc_geometry(const struct cwipc_point *points, int n,
+                       uint32_t tilemask, int octree_bits, float exp_factor,
+                       float voxelsize, int64_t *keys_out,
+                       uint32_t *drgba_out, int32_t *vmin_out,
+                       float *step_out);
+
+/* Octree occupancy-byte stream for sorted-unique Morton keys (the CTC1
+ * geometry transport; numpy twins in codec/__init__.py).  enc writes the
+ * root-first byte stream into out (caller capacity >= m * depth) and
+ * returns its length; dec reconstructs exactly n keys from a stream of
+ * length slen, returning n, or -1 on a truncated/inconsistent stream. */
+int cwipc_enc_octree(const int64_t *keys, int m, int depth, uint8_t *out);
+int cwipc_dec_octree(const uint8_t *stream, int slen, int depth,
+                     int64_t *keys_out, int n);
+
+/* Fused decode tail: occupancy stream -> n interleaved cwipc_point
+ * records with positions (cell + 0.5) * step + origin and colors/tiles
+ * copied from the (BGR or RGB) color plane and tile bytes.  Returns n,
+ * or -1 on a truncated/inconsistent stream. */
+int cwipc_dec_geometry(const uint8_t *occ, int slen, int depth, int wide,
+                       float step, const float *origin, const uint8_t *rgb,
+                       int rgb_is_bgr, const uint8_t *tiles,
+                       struct cwipc_point *out, int n);
+
 /* ---- logging / diagnostics ---------------------------------------------------- */
 
 void cwipc_log_configure(int level, cwipc_log_callback_t callback);

@@ -9,13 +9,17 @@ emitter runs at ~3 M candidate-elements/ms.  Measured consequence
 [465k, 343] no matter the formulation — *in XLA*.
 
 This kernel removes the HBM wall: per 128 plane rows it DMAs one
-transposed plane slab into VMEM, builds the full [81*CAP, 128] squared-
-distance matrix for one query slot at a time IN VMEM, and finds the k-th
-smallest via a 31-step count-bisection on the f32 bit patterns — the
-same VPU-rate selection the window-kNN kernel uses
-(pallas_window_knn.py:110-119), but against the COMPLETE exact candidate
-set.  HBM traffic is one read of the plane slabs plus the [plane, cap]
-result write: ~300 MB total at bench scale instead of tens of GB.
+transposed plane slab into VMEM, gathers the ring columns' channel
+blocks ONCE per tile into a candidate scratch (the gathering is
+slot-invariant — recomputing it per slot measured ~40 ms/run before the
+hoist), then per query slot builds the [77*CAP, 128] squared-distance
+matrix IN VMEM and selects the k-th smallest with a seeded
+bisect-then-advance search on the f32 bit patterns (see the selection
+comment in the kernel body).  HBM traffic is one read of the plane
+slabs plus the [plane, cap] result write: ~300 MB total at bench scale
+instead of tens of GB.  Round-4 history at bench scale: 234 ms (31-step
+bisection, per-slot unaligned candidate reads) -> 80 ms (hoisted
+candidates + tiers + advance tail + seeding).
 
 Per-tile occupancy specialization: columns are rank-compacted, so
 candidate slots at index >= the tile's max ring-column occupancy are

@@ -217,6 +217,12 @@ def _icp_fused(
         return dist, jnp.where(svalid, idx, -1)
 
     def body(it, carry):
+        # Converged/stopped iterations skip the whole body via lax.cond —
+        # the fixed-trip loop would otherwise run the (gather-bound) NN
+        # query for all max_iters even after convergence at iteration 3.
+        return jax.lax.cond(carry[2], lambda c: c, _iteration, carry)
+
+    def _iteration(carry):
         T, prev_err, done = carry
         # HIGHEST on every coordinate/pose matmul: the TPU default lowers
         # f32 matmul to bf16, which would round absolute coordinates by
@@ -241,12 +247,6 @@ def _icp_fused(
         delta = jnp.where(too_few, jnp.eye(4, dtype=jnp.float32), delta)
         T2 = jnp.matmul(delta, T, precision=_HI)
         conv = jnp.abs(prev_err - err) < tol * jnp.maximum(prev_err, 1e-12)
-        # fixed-trip loop: converged iterations pass the carry through
-        # unchanged (same break semantics as the host loop; the wasted
-        # trailing iterations are the price of a statically-bounded
-        # program, which is what the TPU compiler needs)
-        T2 = jnp.where(done, T, T2)
-        err = jnp.where(done, prev_err, err)
         return (T2, err, done | too_few | conv)
 
     T0 = jnp.eye(4, dtype=jnp.float32)
@@ -336,20 +336,16 @@ class RegistrationComputer(BaseAlgorithm, AlignmentAlgorithm):
         self._prepare_reference()
 
         # fused path: the whole loop as ONE device program (see
-        # _icp_fused).  The host loop remains for per-iteration callbacks
-        # (the tensor-ICP hook) and for accelerator backends, where the
-        # while_loop-wrapped NN search is very expensive to COMPILE: on the
-        # relay-attached v5e the fused program's remote compile did not
-        # finish within 50 minutes (measured; the host loop's nn_search
-        # program compiles in normal time), so one-shot tools must not pay
-        # it.  CWIPC_FUSED_ICP=1 opts in (long-running registration services
-        # on directly-attached TPUs, where the compile amortizes);
-        # CWIPC_FUSED_ICP=0 forces the host loop everywhere.
-        fused_env = os.environ.get("CWIPC_FUSED_ICP", "")
-        use_fused = (
-            fused_env == "1"
-            or (fused_env != "0" and jax.default_backend() == "cpu")
-        )
+        # _icp_fused), DEFAULT on every backend since round 4.  The
+        # round-3 formulation re-sorted the reference cloud inside the
+        # lax.while_loop body and its remote TPU compile did not finish in
+        # 50 minutes; with the reference preparation hoisted (loop-
+        # invariant) and a fixed-trip cond-gated loop, the v5e compile
+        # measured 24-71 s (16k-65k points, cached afterwards) and the
+        # pose matches the host loop to ~1e-6.  The host loop remains for
+        # per-iteration callbacks (the tensor-ICP hook) and via
+        # CWIPC_FUSED_ICP=0 as the escape hatch.
+        use_fused = os.environ.get("CWIPC_FUSED_ICP", "") != "0"
         if (
             self._fused_variant is not None
             and self.per_iteration_callback is None

@@ -568,3 +568,52 @@ def test_native_degenerate_args(native_lib):
     assert native_lib.cwipc_pointcloud_count(ndown) == pc.count()
     native_lib.cwipc_pointcloud_free(ndown)
     native_lib.cwipc_pointcloud_free(npc)
+
+
+def test_codec_native_paths_bit_exact(native_lib, monkeypatch):
+    """The native codec fast paths (cwipc_enc_geometry, cwipc_enc_octree /
+    cwipc_dec_octree, cwipc_dec_geometry) must be BIT-IDENTICAL to their
+    numpy twins: same bitstream from the encoder, same decoded point
+    records — the native path is a speed choice, never a semantic one
+    (round 4; CWIPC_CODEC_NATIVE=0 forces the numpy twins)."""
+    import numpy as np
+
+    import cwipc_util_tpu as cwipc
+    import cwipc_util_tpu.codec as C
+
+    def reset():
+        for attr in ("_NATIVE_GEO", "_NATIVE_OCT", "_NATIVE_DECG"):
+            setattr(C, attr, None)
+
+    gen = cwipc.cwipc_synthetic(0, 40000)
+    gen.start()
+    pc = gen.get()
+    gen.stop()
+    blobs, decs = {}, {}
+    for mode, env in (("native", None), ("numpy", "0")):
+        reset()
+        if env is None:
+            monkeypatch.delenv("CWIPC_CODEC_NATIVE", raising=False)
+        else:
+            monkeypatch.setenv("CWIPC_CODEC_NATIVE", env)
+        for ob in (9, 11):  # narrow + wide-key paths
+            enc = C.cwipc_new_encoder(
+                params=C.cwipc_encoder_params(octree_bits=ob, jpeg_quality=85)
+            )
+            enc.feed(pc)
+            blobs[(mode, ob)] = enc.get_bytes()
+            dec = C.cwipc_new_decoder()
+            dec.feed(blobs[(mode, ob)])
+            decs[(mode, ob)] = dec.get().get_numpy_array().copy()
+        # tilemask path through the geometry stage
+        enc = C.cwipc_new_encoder(
+            params=C.cwipc_encoder_params(octree_bits=9, tilenumber=1)
+        )
+        enc.feed(pc)
+        blobs[(mode, "tile1")] = enc.get_bytes()
+    reset()
+    monkeypatch.delenv("CWIPC_CODEC_NATIVE", raising=False)
+    for k in (9, 11, "tile1"):
+        assert blobs[("native", k)] == blobs[("numpy", k)], f"bitstream {k}"
+    for ob in (9, 11):
+        assert np.array_equal(decs[("native", ob)], decs[("numpy", ob)])
