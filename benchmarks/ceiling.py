@@ -89,10 +89,9 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     keys = jnp.asarray(rng.integers(0, 1 << 30, N, dtype=np.int32))
-    pay_c = jnp.asarray(
-        rng.random(N, dtype=np.float32) + 1j * rng.random(N, dtype=np.float32),
-        jnp.complex64,
-    )
+    # complex64 cannot cross the relay as program I/O; build it in-program
+    pay_a = jnp.asarray(rng.random(N, dtype=np.float32))
+    pay_b = jnp.asarray(rng.random(N, dtype=np.float32))
     pay_i = jnp.asarray(rng.integers(0, 1 << 30, N, dtype=np.int32))
     idx = jnp.asarray(rng.integers(0, N, N, dtype=np.int32))
     vals = jnp.asarray(rng.random((N,), dtype=np.float32))
@@ -108,18 +107,23 @@ def main() -> None:
         (keys,),
     ), 3)
     out["sort2_ms"] = round(diff_time(
-        lambda s, k, p: jnp.real(
-            jax.lax.sort((nudge(s, k), p), num_keys=1)[1][0]
+        lambda s, k, a, b: jnp.real(
+            jax.lax.sort(
+                (nudge(s, k), jax.lax.complex(a, b)), num_keys=1
+            )[1][0]
         ),
-        (keys, pay_c),
+        (keys, pay_a, pay_b),
     ), 3)
-    out["sort3_ms"] = round(diff_time(
-        lambda s, k, p, q: jnp.real(
-            jax.lax.sort((nudge(s, k), p, q), num_keys=1)[1][0]
-        ) + jax.lax.sort((nudge(s, k), p, q), num_keys=1)[2][0]
-        .astype(jnp.float32),
-        (keys, pay_c, pay_i),
-    ), 3)
+
+    def sort3_body(s, k, a, b, q):
+        r = jax.lax.sort(
+            (nudge(s, k), jax.lax.complex(a, b), q), num_keys=1
+        )
+        return jnp.real(r[1][0]) + r[2][0].astype(jnp.float32)
+
+    out["sort3_ms"] = round(
+        diff_time(sort3_body, (keys, pay_a, pay_b, pay_i)), 3
+    )
 
     def gather_body(s, v, ix):
         ixs = (ix + s).astype(jnp.int32) % N
@@ -162,14 +166,15 @@ def main() -> None:
 
     if args.falsify:
         # F1: keys-only sort + payload permute via gather
-        def f1_body(s, k, p, ix):
+        def f1_body(s, k, a, b):
             sk, si = jax.lax.sort(
                 (nudge(s, k), jnp.arange(N, dtype=jnp.int32)), num_keys=1
             )
+            p = jax.lax.complex(a, b)
             return jnp.real(p[si][0]) + sk[0].astype(jnp.float32)
 
         out["falsify_f1_keysort_permute_ms"] = round(
-            diff_time(f1_body, (keys, pay_c, idx), k_loop=4), 3
+            diff_time(f1_body, (keys, pay_a, pay_b), k_loop=4), 3
         )
         # F2: i16 vs i32 keys-only
         k16 = (keys >> 15).astype(jnp.int16)

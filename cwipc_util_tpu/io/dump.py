@@ -47,18 +47,20 @@ def packet_from_pointcloud(pc: cwipc_pointcloud_wrapper) -> bytearray:
 def pointcloud_from_packet(packet: bytes) -> cwipc_pointcloud_wrapper:
     if len(packet) < _HDR_SIZE:
         raise CwipcError("cwipc_from_packet: packet too short")
-    hdr, magic, timestamp, cellsize, _unused, size = struct.unpack(
-        _HDR_FMT, bytes(packet[:_HDR_SIZE])
+    hdr, magic, timestamp, cellsize, _unused, size = struct.unpack_from(
+        _HDR_FMT, packet, 0
     )
     if hdr != CWIPC_CWIPCDUMP_HEADER:
         raise CwipcError("cwipc_from_packet: bad header")
     if magic != CWIPC_CWIPCDUMP_VERSION:
         raise CwipcError("cwipc_from_packet: bad version")
-    data = bytes(packet[_HDR_SIZE:])
-    if len(data) != size or size % POINT_SIZE != 0:
+    if len(packet) - _HDR_SIZE != size or size % POINT_SIZE != 0:
         raise CwipcError("cwipc_from_packet: inconsistent size")
-    # host-backed: the raw packet bytes ARE the POINT_DTYPE layout
-    pts = np.frombuffer(data, dtype=POINT_DTYPE).copy()
+    # host-backed: the raw packet bytes ARE the POINT_DTYPE layout.  ONE
+    # copy (the wrapper must own mutable storage — callers reuse packet
+    # buffers); the previous form also materialized a bytes slice first,
+    # doubling the memcpy traffic on the 2.5 MB streaming hot path.
+    pts = np.frombuffer(packet, dtype=POINT_DTYPE, offset=_HDR_SIZE).copy()
     return cwipc_pointcloud_wrapper(
         None, timestamp, cellsize, _host_points=pts
     )

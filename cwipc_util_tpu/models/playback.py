@@ -59,6 +59,18 @@ class _Filesource(cwipc_activesource_abstract):
         self.filenames = []
         self.single_file_mode_pc = None
 
+    def _advance_deadline(self) -> None:
+        # absolute deadline ladder (like the synthetic source / the
+        # reference's C++ sleep_until): scheduling relative to the wake
+        # time accumulates sleep overshoot into every frame period and
+        # under-delivers the nominal fps; resynchronize when more than a
+        # period behind instead of bursting
+        now = time.time()
+        nxt = self.earliest_return + self.delta_t
+        if nxt < now:
+            nxt = now + self.delta_t
+        self.earliest_return = nxt
+
     def seek(self, timestamp: int) -> bool:
         return False
 
@@ -79,7 +91,7 @@ class _Filesource(cwipc_activesource_abstract):
                 now = time.time()
                 if now < self.earliest_return:
                     time.sleep(self.earliest_return - now)
-                self.earliest_return = time.time() + self.delta_t
+                self._advance_deadline()
                 if self.retimestamp:
                     rv._set_timestamp(int(time.time() * 1000))
                 return rv
@@ -96,7 +108,7 @@ class _Filesource(cwipc_activesource_abstract):
         now = time.time()
         if now < self.earliest_return:
             time.sleep(self.earliest_return - now)
-        self.earliest_return = time.time() + self.delta_t
+        self._advance_deadline()
         if self.retimestamp and rv is not None:
             rv._set_timestamp(int(time.time() * 1000))
         return rv

@@ -81,6 +81,63 @@ def _generate(hsteps: int, asteps: int, capacity: int, angle: jax.Array) -> Poin
     return PointBuffer(xyz=xyz, rgba=rgba, count=jnp.asarray(n, jnp.int32))
 
 
+def _use_host_generate() -> bool:
+    """Generate on the host when the jax backend is CPU: the XLA-CPU
+    program measured 11.6 ms/160k frame (scalarized trig) vs ~2 ms for
+    the numpy twin (SIMD sin), and a host-backed cloud also skips the
+    materialize-for-serialization copy in streaming pipelines.  On
+    accelerators the on-device program stands (generation stays on the
+    chip).  CWIPC_SYNTHETIC_HOST=0/1 forces either path."""
+    import os
+
+    forced = os.environ.get("CWIPC_SYNTHETIC_HOST")
+    if forced is not None:
+        return forced not in ("0", "false", "")
+    return jax.default_backend() == "cpu"
+
+
+def _generate_host(hsteps: int, asteps: int, angle: float):
+    """numpy twin of _generate returning POINT_DTYPE records directly
+    (same formulas; trig values differ from XLA's in final ulps, which
+    the synthetic contract — a deterministic parametric body — permits;
+    separable terms are computed per-axis and broadcast)."""
+    import numpy as np
+
+    from ..core.buffers import POINT_DTYPE
+
+    angle = np.float32(angle)
+    h = (np.arange(hsteps, dtype=np.float32) * np.float32(2.0 / hsteps))[:, None]
+    a = (np.arange(asteps, dtype=np.float32) * np.float32(2.0 * _PI / asteps))[None, :]
+    radius = np.float32(0.3) * np.power(
+        np.cos(h * np.float32(_PI / 3) - np.float32(_PI / 6)), np.float32(0.71)
+    )
+    sin_a, cos_a = np.sin(a), np.cos(a)
+    x = radius * sin_a  # [hsteps, asteps] via broadcast
+    y = radius * cos_a
+
+    def chan(k):
+        v = (1.0 + np.sin(np.float32(k * _PI) * h + angle + a)) * np.float32(0.5)
+        return (v * np.float32(255.0)).astype(np.int32)
+
+    rr, gg, bb = chan(2), chan(3), chan(4)
+    eye_band = ((h > 1.7) & (h < 1.8)).astype(bool)
+    eye_arc = ((a > _PI * 0.083) & (a < _PI * 0.1667)) | (
+        (a > _PI * 1.833) & (a < _PI * 1.917)
+    )
+    blink_open = math.fmod(angle, _PI / 2) > 0.08
+    eyes = eye_band & eye_arc & blink_open
+    n = hsteps * asteps
+    pts = np.empty(n, POINT_DTYPE)
+    pts["x"] = (-x).ravel()
+    pts["y"] = np.broadcast_to(h, (hsteps, asteps)).ravel()
+    pts["z"] = y.ravel()
+    pts["r"] = np.where(eyes, 255, rr).ravel()
+    pts["g"] = np.where(eyes, 255, gg).ravel()
+    pts["b"] = np.where(eyes, 255, bb).ravel()
+    pts["tile"] = np.where(y < 0, 1, 2).ravel()
+    return pts
+
+
 _SYNTHETIC_TILEINFO = [
     {"normal": {"x": 0, "y": 0, "z": 0}, "cameraName": b"synthetic", "ncamera": 2, "cameraMask": 0},
     {"normal": {"x": 0, "y": 0, "z": 1}, "cameraName": b"synthetic-right", "ncamera": 1, "cameraMask": 1},
@@ -151,12 +208,29 @@ class cwipc_source_synthetic(cwipc_activesource_abstract):
         timestamp = int(now * 1000)
         assert self._start_time is not None
         if self._fps != 0:
-            self._earliest_next = now + 1.0 / self._fps
+            # ABSOLUTE deadline ladder, like the reference's sleep_until
+            # (reference: src/cwipc_synthetic.cpp:110-128): scheduling the
+            # next frame relative to the wake time accumulates the sleep
+            # overshoot into every period and caps delivery at ~28 of a
+            # nominal 30 fps (measured round 4).  A consumer that stalls
+            # more than one period resynchronizes instead of bursting.
+            base = self._earliest_next if self._earliest_next is not None else now
+            nxt = base + 1.0 / self._fps
+            if nxt < now:
+                nxt = now + 1.0 / self._fps
+            self._earliest_next = nxt
         self._angle = now - self._start_time
-        buf = _generate(self._hsteps, self._asteps, self._capacity, self._angle)
-        pc = cwipc_pointcloud_wrapper(
-            buf, timestamp, 2.0 / self._hsteps, _count_hint=self._hsteps * self._asteps
-        )
+        if _use_host_generate():
+            pts = _generate_host(self._hsteps, self._asteps, self._angle)
+            pc = cwipc_pointcloud_wrapper(
+                None, timestamp, 2.0 / self._hsteps, _host_points=pts
+            )
+        else:
+            buf = _generate(self._hsteps, self._asteps, self._capacity, self._angle)
+            pc = cwipc_pointcloud_wrapper(
+                buf, timestamp, 2.0 / self._hsteps,
+                _count_hint=self._hsteps * self._asteps,
+            )
         if "test-angle" in self._requested_metadata:
             pc.access_metadata()._add("test-angle", "", struct.pack("<f", self._angle))
         return pc
