@@ -175,3 +175,218 @@ def nn_search(
     dist = jnp.where(svalid, dist, jnp.inf)
     idx = jnp.where(svalid, idx, -1)
     return dist, idx
+
+
+# ---------------------------------------------------------------------------
+# Column-grid NN (accelerator path): ops/pallas_nn.py wiring
+# ---------------------------------------------------------------------------
+
+
+def _ring_offsets(gz: int) -> jnp.ndarray:
+    from .pallas_cols_select import _M
+
+    return jnp.asarray(
+        [
+            dy * gz + dz
+            for dy in range(-_M, _M + 1)
+            for dz in range(-_M, _M + 1)
+            if max(abs(dy) - 1, 0) ** 2 + max(abs(dz) - 1, 0) ** 2 < _M * _M
+        ],
+        jnp.int32,
+    )
+
+
+def nn_grid_prepare(ref_xyz, ref_count, cell, *, gy, gz, cap, vmin):
+    """Reference-side grid build for the column-grid NN (loop-invariant
+    for ICP).  Returns (channel planes, slot_orig, drop_ring)."""
+    from .cols_knn import _cols_build
+
+    xs, ys, zs, slot_orig, _valid, drop_ring = _cols_build(
+        ref_xyz, ref_count, cell, gy=gy, gz=gz, cap=cap, chunk=256,
+        vmin_override=vmin,
+    )
+    return xs, ys, zs, slot_orig, drop_ring
+
+
+def nn_grid_query(
+    src_xyz, src_count, prep, cell, maxd, *, gy, gz, cap_r, cap_q, vmin,
+    interpret: bool = False,
+):
+    """Nearest reference point within ``maxd`` for every source point via
+    the column-grid kernel (exact — see ops/pallas_nn.py), plus an exact
+    brute-force fixup for the residual queries the grid cannot certify
+    (out-of-grid / rank-dropped queries, and queries whose ring touches a
+    dropped reference column).  Returns (dist [scap], idx [scap]):
+    (+inf, -1) where there is no reference within maxd."""
+    from .cols_knn import _cols_build
+    from .pallas_nn import nn_select_pallas
+
+    r_xs, r_ys, r_zs, r_orig, r_drop = prep
+    q_xs, q_ys, q_zs, q_orig, _qv, _qd = _cols_build(
+        src_xyz, src_count, cell, gy=gy, gz=gz, cap=cap_q, chunk=256,
+        vmin_override=vmin,
+    )
+    d2m, cid = nn_select_pallas(
+        r_xs, r_ys, r_zs, q_xs, q_ys, q_zs,
+        gy=gy, gz=gz, cap_r=cap_r, cap_q=cap_q, interpret=interpret,
+    )
+
+    gyz = gy * gz
+    capp_r = -(-cap_r // 8) * 8
+    scap = src_xyz.shape[0]
+    slots_q = gyz * cap_q
+    d2f = d2m.reshape(slots_q)
+    cidf = cid.reshape(slots_q)
+    plane_row = jnp.arange(slots_q, dtype=jnp.int32) // cap_q
+
+    offs = _ring_offsets(gz)
+    jblk = jnp.clip(cidf // capp_r, 0, offs.shape[0] - 1)
+    row = cidf - (cidf // capp_r) * capp_r
+    found = cidf != jnp.iinfo(jnp.int32).max
+    ref_slot = (plane_row + offs[jblk]) * cap_r + jnp.clip(row, 0, cap_r - 1)
+    ref_slot = jnp.clip(ref_slot, 0, gyz * cap_r - 1)
+    ref_idx = jnp.where(found, r_orig[ref_slot], -1)
+    dist_slot = jnp.sqrt(jnp.maximum(d2f, 0.0))
+    ok = found & (dist_slot <= maxd) & (ref_idx >= 0)
+    dist_slot = jnp.where(ok, dist_slot, jnp.inf)
+    ref_idx = jnp.where(ok, ref_idx, -1)
+
+    # queries whose ring saw a dropped reference column are untrustworthy
+    tainted = jnp.repeat(r_drop, cap_q, total_repeat_length=slots_q)
+
+    # scatter back to source order; queries without a slot stay unresolved
+    q_of = q_orig  # [gyz*cap_q] -> source index or -1
+    okq = q_of >= 0
+    tgt = jnp.where(okq, q_of, scap)
+    dist = jnp.full((scap + 1,), jnp.inf, jnp.float32).at[tgt].set(
+        jnp.where(okq, dist_slot, jnp.inf)
+    )[:scap]
+    idx = jnp.full((scap + 1,), -1, jnp.int32).at[tgt].set(
+        jnp.where(okq, ref_idx, -1)
+    )[:scap]
+    resolved = jnp.zeros((scap + 1,), bool).at[tgt].set(
+        jnp.where(okq, jnp.logical_not(tainted), False)
+    )[:scap]
+
+    svalid = jnp.arange(scap, dtype=jnp.int32) < src_count
+    need_fix = svalid & jnp.logical_not(resolved)
+    return dist, idx, need_fix
+
+
+@partial(jax.jit, static_argnames=("block",))
+def bruteforce_nn_subset(
+    src_xyz, src_count, sel, ref_xyz, ref_count, maxd, block: int = 256
+):
+    """Exact NN for the selected source rows only (compacted blocks, like
+    cols_knn.bruteforce_md_subset).  Returns (dist, idx) with (+inf, -1)
+    for non-selected rows and beyond-radius results."""
+    scap = src_xyz.shape[0]
+    rcap = ref_xyz.shape[0]
+    block = min(block, scap)
+    sidx = jnp.arange(scap, dtype=jnp.int32)
+    svalid = sidx < src_count
+    sel = sel & svalid
+    rvalid = jnp.arange(rcap, dtype=jnp.int32) < ref_count
+    col_mask = jnp.where(rvalid, 0.0, _F32_MAX)
+
+    pos = jnp.cumsum(sel.astype(jnp.int32)) - 1
+    n_sel = jnp.maximum(pos[-1] + 1, 0)
+    ilist = (
+        jnp.full((scap + 1,), -1, jnp.int32)
+        .at[jnp.where(sel, pos, scap)]
+        .set(jnp.where(sel, sidx, -1))[:scap]
+    )
+
+    def row_block(b, acc):
+        dacc, iacc = acc
+        bidx = jax.lax.dynamic_slice(ilist, (b * block,), (block,))
+        bval = bidx >= 0
+        bidx_c = jnp.maximum(bidx, 0)
+        rows = src_xyz[bidx_c]
+        # direct subtraction, NOT the |a|^2+|b|^2-2ab matmul expansion:
+        # the expansion's cancellation noise (~1e-6 relative) would make
+        # fallback distances disagree with the kernel's direct form
+        d = rows[:, None, :] - ref_xyz[None, :, :]
+        diff2 = jnp.sum(d * d, axis=-1) + col_mask[None, :]
+        best = jnp.argmin(diff2, axis=-1).astype(jnp.int32)
+        bd = jnp.sqrt(jnp.take_along_axis(diff2, best[:, None], axis=-1)[:, 0])
+        ok = (bd <= maxd) & bval
+        tgt = jnp.where(bval, bidx, scap)
+        dacc = dacc.at[tgt].set(jnp.where(ok, bd, jnp.inf))
+        iacc = iacc.at[tgt].set(jnp.where(ok, best, -1))
+        return dacc, iacc
+
+    nblk = -(-n_sel // block)
+    d0 = jnp.full((scap + 1,), jnp.inf, jnp.float32)
+    i0 = jnp.full((scap + 1,), -1, jnp.int32)
+    d, i = jax.lax.fori_loop(0, nblk, row_block, (d0, i0))
+    return d[:scap], i[:scap]
+
+
+def nn_grid_params(src_np, ref_np, maxd: float, budget: int = 8_000_000,
+                   cap_max: int = 128):
+    """Host-side grid parameter choice for the column-grid NN: cell =
+    maxd/3.5 (ring coverage of the full radius — ops/pallas_nn.py),
+    percentile-clipped extents over BOTH clouds plus a motion margin (ICP
+    moves the source; strays fall back exactly), bucketed dims/caps so
+    repeat registrations reuse compiled programs.  The COLUMN axis is
+    chosen per scene (min slot volume): a flat sheet seen along the wrong
+    axis puts whole level-set curves into single columns.  Returns
+    (perm, gy, gz, cap_r, cap_q, origin_cells int32[3]) — coordinates and
+    origin in PERMUTED axis order (grid x = cloud axis perm[0]) — or None
+    when no axis fits the budget (caller keeps the two-scale path)."""
+    import numpy as np
+
+    if maxd <= 0 or len(src_np) == 0 or len(ref_np) == 0:
+        return None
+    cell = float(maxd) / 3.5
+    pts = np.concatenate([src_np, ref_np], axis=0)
+    lo_a = np.percentile(pts, 0.5, axis=0)
+    hi_a = np.percentile(pts, 99.5, axis=0)
+    margin = 8  # cells: source motion + clip slack
+
+    def bucket(v, mults):
+        for m in mults:
+            if v <= m:
+                return m
+        return None
+
+    best = None
+    for perm in ((0, 1, 2), (1, 2, 0), (2, 0, 1)):
+        p = list(perm)
+        lo = lo_a[p]
+        hi = hi_a[p]
+        origin = np.floor(lo / cell).astype(np.int64) - margin
+        ext = np.floor(hi / cell).astype(np.int64) - origin + 1 + margin
+        gy = int(-(-int(ext[1]) // 16) * 16)
+        gz = int(-(-int(ext[2]) // 16) * 16)
+        if gy * gz > 1_000_000:  # the int32 sort-key limit in _cols_build
+            continue
+
+        def col_cap(cloud):
+            v = np.floor(cloud[:, p] / cell).astype(np.int64)
+            inb = np.all((v >= origin) & (v < origin + ext), axis=1)
+            vc = v[inb] - origin
+            if len(vc) == 0:
+                return 8
+            cols = vc[:, 1] * gz + vc[:, 2]
+            occ = np.bincount(cols.astype(np.int64))
+            return bucket(int(occ.max()), (8, 16, 24, 32, 48, 64, 96, cap_max))
+
+        cap_r = col_cap(ref_np)
+        cap_q = col_cap(src_np)
+        if cap_r is None or cap_q is None:
+            continue
+        vol = gy * gz * max(cap_r, cap_q)
+        if vol > budget:
+            continue
+        # kernel VMEM: candidate scratch 3*77*cap_r*128 f32 dominates;
+        # keep comfortably under the v5e's physical 128 MB with room for
+        # double-buffered outputs (the kernel raises the scoped limit)
+        if 3 * 77 * cap_r * 128 * 4 > 60 * (1 << 20):
+            continue
+        if best is None or vol < best[0]:
+            best = (vol, perm, gy, gz, cap_r, cap_q, origin.astype(np.int32))
+    if best is None:
+        return None
+    return best[1:]

@@ -84,11 +84,12 @@ def _delta_from_x(x):
 _HI = jax.lax.Precision.HIGHEST
 
 
-@partial(jax.jit, static_argnames=("variant", "max_iters"))
+@partial(jax.jit, static_argnames=("variant", "max_iters", "grid", "grid_interpret"))
 def _icp_fused(
     src0, src_count, ref_xyz, ref_count, corr, tol,
     ref_normals, src_normals, gicp_eps,
-    *, variant: str, max_iters: int,
+    grid_vmin=None,
+    *, variant: str, max_iters: int, grid=None, grid_interpret: bool = False,
 ):
     cap = src0.shape[0]
     rcap = ref_xyz.shape[0]
@@ -190,37 +191,87 @@ def _icp_fused(
 
     # Reference-side NN preparation (grid keys, sort, gather) is
     # loop-invariant — the reference cloud never moves, only the source
-    # pose does.  Hoisting it leaves only the query (source keys +
-    # searchsorted + ring scan) inside the loop: the round-3 formulation
-    # re-sorted the reference EVERY iteration inside lax.while_loop, and
-    # that program's remote TPU compile did not finish in 50 minutes;
-    # the hoisted fixed-trip form compiles and runs on-chip (round 4).
-    from ..ops.knn import FINE_FACTOR, _nn_prepare, _nn_query
-
+    # pose does.  Hoisting it leaves only the query inside the loop: the
+    # round-3 formulation re-sorted the reference EVERY iteration inside
+    # lax.while_loop, and that program's remote TPU compile did not
+    # finish in 50 minutes; the hoisted fixed-trip form compiles and runs
+    # on-chip (round 4).
+    #
+    # With ``grid`` (static (gy, gz, cap_r, cap_q) chosen on the host by
+    # ops/knn.nn_grid_params) the query runs the gather-free column-grid
+    # kernel (ops/pallas_nn.py) — the two-scale XLA query's per-candidate
+    # gathers measured ~2.5 s/iteration at 65k points on the v5e —
+    # with an exact brute-force fallback for out-of-grid/dropped strays.
     rcap_full = ref_xyz.shape[0]
     ridx_full = jnp.arange(rcap_full, dtype=jnp.int32)
     rvalid = ridx_full < ref_count
     svalid = row < src_count
     maxd = jnp.maximum(jnp.asarray(corr, jnp.float32), 1e-9)
-    fine_cell = maxd / FINE_FACTOR
-    prep_f = _nn_prepare(ref_xyz, rvalid, ridx_full, fine_cell)
-    prep_c = _nn_prepare(ref_xyz, rvalid, ridx_full, maxd)
-    qblock = min(4096, cap)
 
-    def nn_query(src):
-        d_f, i_f = _nn_query(src, svalid, prep_f, fine_cell, fine_cell, 48, qblock)
-        d_c, i_c = _nn_query(src, svalid, prep_c, maxd, maxd, 48, qblock)
-        take_fine = d_f <= d_c
-        dist = jnp.where(take_fine, d_f, d_c)
-        idx = jnp.where(take_fine, i_f, i_c)
-        dist = jnp.where(svalid, dist, jnp.inf)
-        return dist, jnp.where(svalid, idx, -1)
+    if grid is not None:
+        from ..ops.knn import (
+            bruteforce_nn_subset,
+            nn_grid_prepare,
+            nn_grid_query,
+        )
+
+        g_perm, g_gy, g_gz, g_cap_r, g_cap_q = grid
+        pidx = list(g_perm)
+        cell_g = maxd * jnp.float32(1.0 / 3.5)
+        # the grid's column axis is scene-chosen (nn_grid_params): permute
+        # coordinates for the grid ops only — distances and indices are
+        # permutation-invariant
+        prep_g = nn_grid_prepare(
+            ref_xyz[:, pidx], ref_count, cell_g, gy=g_gy, gz=g_gz,
+            cap=g_cap_r, vmin=grid_vmin,
+        )
+
+        def nn_query(src):
+            d, i, fix = nn_grid_query(
+                src[:, pidx], src_count, prep_g, cell_g, maxd,
+                gy=g_gy, gz=g_gz, cap_r=g_cap_r, cap_q=g_cap_q,
+                vmin=grid_vmin, interpret=grid_interpret,
+            )
+            fd, fi = bruteforce_nn_subset(
+                src, src_count, fix, ref_xyz, ref_count, maxd
+            )
+            d = jnp.where(fix, fd, d)
+            i = jnp.where(fix, fi, i)
+            return jnp.where(svalid, d, jnp.inf), jnp.where(svalid, i, -1)
+    else:
+        from ..ops.knn import FINE_FACTOR, _nn_prepare, _nn_query
+
+        fine_cell = maxd / FINE_FACTOR
+        prep_f = _nn_prepare(ref_xyz, rvalid, ridx_full, fine_cell)
+        prep_c = _nn_prepare(ref_xyz, rvalid, ridx_full, maxd)
+        qblock = min(4096, cap)
+
+        def nn_query(src):
+            d_f, i_f = _nn_query(src, svalid, prep_f, fine_cell, fine_cell, 48, qblock)
+            d_c, i_c = _nn_query(src, svalid, prep_c, maxd, maxd, 48, qblock)
+            take_fine = d_f <= d_c
+            dist = jnp.where(take_fine, d_f, d_c)
+            idx = jnp.where(take_fine, i_f, i_c)
+            dist = jnp.where(svalid, dist, jnp.inf)
+            return dist, jnp.where(svalid, idx, -1)
 
     def body(it, carry):
         # Converged/stopped iterations skip the whole body via lax.cond —
-        # the fixed-trip loop would otherwise run the (gather-bound) NN
-        # query for all max_iters even after convergence at iteration 3.
-        return jax.lax.cond(carry[2], lambda c: c, _iteration, carry)
+        # the fixed-trip loop would otherwise run the NN query for all
+        # max_iters even after convergence at iteration 3.  With the grid
+        # kernel the skip must be a where-passthrough instead: a
+        # pallas_call inside a cond branch trips an MLIR lowering-cache
+        # KeyError (jax 0.9 closed_call dedup), and the grid query is
+        # cheap enough that running it on converged iterations is noise.
+        if grid is None:
+            return jax.lax.cond(carry[2], lambda c: c, _iteration, carry)
+        out = _iteration(carry)
+        done0 = carry[2]
+        return (
+            jnp.where(done0, carry[0], out[0]),
+            jnp.where(done0, carry[1], out[1]),
+            done0 | out[2],
+        )
 
     def _iteration(carry):
         T, prev_err, done = carry
@@ -361,13 +412,39 @@ class RegistrationComputer(BaseAlgorithm, AlignmentAlgorithm):
                 refn[: self._ref_normals.shape[0]] = self._ref_normals
             if self._fused_variant == "gicp":
                 srcn[: self._src_normals.shape[0]] = self._src_normals
+            # accelerator backends run the gather-free column-grid NN
+            # inside the loop when the scene fits a grid (host-side
+            # parameter choice; see ops/knn.nn_grid_params)
+            grid = None
+            grid_vmin = jnp.zeros(3, jnp.int32)
+            # gate on the device the program will RUN on (the test
+            # config pins jax_default_device to CPU while the axon
+            # backend still answers default_backend())
+            _dev = jax.config.jax_default_device
+            _platform = _dev.platform if _dev is not None else jax.default_backend()
+            if _platform != "cpu" and os.environ.get(
+                "CWIPC_GRID_NN", ""
+            ) != "0":
+                from ..ops.knn import nn_grid_params
+
+                src_np = src_pc.get_numpy_matrix(onlyGeometry=True)
+                params = nn_grid_params(
+                    src_np.astype(np.float32),
+                    self._ref_xyz.astype(np.float32), float(corr),
+                )
+                if params is not None:
+                    perm_, gy_, gz_, cr_, cq_, origin = params
+                    grid = (perm_, gy_, gz_, cr_, cq_)
+                    grid_vmin = jnp.asarray(origin, jnp.int32)
             T_dev = _icp_fused(
                 sbuf.xyz, sbuf.count, rbuf.xyz, rbuf.count,
                 jnp.float32(corr), jnp.float32(DEFAULT_RELATIVE_TOLERANCE),
                 jnp.asarray(refn), jnp.asarray(srcn),
                 jnp.float32(getattr(self, "gicp_epsilon", 1e-3)),
+                grid_vmin,
                 variant=self._fused_variant,
                 max_iters=self.max_iterations,
+                grid=grid,
             )
             self._transformation = np.asarray(T_dev, np.float64)
             self._result_pc = None

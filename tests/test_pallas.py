@@ -536,3 +536,149 @@ class TestLongRunTileOr:
         assert int(nseg) == 2
         assert int(out16[7, 0]) == 0x11
         assert int(out16[7, 1]) == 0x88
+
+
+class TestNNKernel:
+    """Cross-cloud nearest-neighbor kernel (ops/pallas_nn.py) vs a numpy
+    brute-force oracle."""
+
+    def _build(self, xyz, n, cell, gy, gz, cap):
+        from cwipc_util_tpu.ops.cols_knn import _cols_build
+
+        capn = 1 << int(np.ceil(np.log2(max(n, 2))))
+        buf = np.zeros((capn, 3), np.float32)
+        buf[:n] = xyz[:n]
+        return _cols_build(
+            jnp.asarray(buf), jnp.int32(n), jnp.float32(cell), gy=gy, gz=gz,
+            cap=cap, chunk=64, vmin_override=jnp.zeros(3, jnp.int32),
+        )
+
+    def test_matches_bruteforce(self):
+        from cwipc_util_tpu.ops.pallas_cols_select import _M
+        from cwipc_util_tpu.ops.pallas_nn import nn_select_pallas
+
+        rng = np.random.default_rng(7)
+        gy = gz = 24
+        cap_r, cap_q = 12, 8
+        cell = 0.02
+        nr, nq = 800, 500
+        ref = (rng.random((nr, 3), dtype=np.float32) * 0.3 + 0.05).astype(np.float32)
+        qry = (rng.random((nq, 3), dtype=np.float32) * 0.3 + 0.05).astype(np.float32)
+        rb = self._build(ref, nr, cell, gy, gz, cap_r)
+        qb = self._build(qry, nq, cell, gy, gz, cap_q)
+        r_xs, r_ys, r_zs, r_orig, _rv, r_drop = rb
+        q_xs, q_ys, q_zs, q_orig, _qv, _qd = qb
+        assert not np.asarray(r_drop).any(), "test scene must not overflow"
+
+        d2m, cid = nn_select_pallas(
+            r_xs, r_ys, r_zs, q_xs, q_ys, q_zs,
+            gy=gy, gz=gz, cap_r=cap_r, cap_q=cap_q, interpret=True,
+        )
+        d2m, cid = np.asarray(d2m), np.asarray(cid)
+
+        # decode per occupied query slot and compare against brute force
+        gyz = gy * gz
+        capp_r = -(-cap_r // 8) * 8
+        ring = [
+            (dy, dz)
+            for dy in range(-_M, _M + 1)
+            for dz in range(-_M, _M + 1)
+            if max(abs(dy) - 1, 0) ** 2 + max(abs(dz) - 1, 0) ** 2 < _M * _M
+        ]
+        offs = np.array([dy * gz + dz for (dy, dz) in ring])
+        q_orig = np.asarray(q_orig).reshape(gyz, cap_q)
+        r_orig_f = np.asarray(r_orig)
+        maxd = 3.5 * cell  # the coverage radius the ring guarantees
+        checked = 0
+        for p in range(gyz):
+            for s in range(cap_q):
+                qi = q_orig[p, s]
+                if qi < 0:
+                    continue
+                d_all = np.sqrt(((ref - qry[qi]) ** 2).sum(1))
+                best = d_all.min()
+                got_d = np.sqrt(d2m[p, s])
+                if best <= maxd:
+                    assert abs(got_d - best) < 1e-6, (p, s, got_d, best)
+                    j, row = cid[p, s] // capp_r, cid[p, s] % capp_r
+                    ref_slot = (p + offs[j]) * cap_r + row
+                    ri = r_orig_f[ref_slot]
+                    assert ri >= 0
+                    # the reported candidate really is at the min distance
+                    assert abs(d_all[ri] - best) < 1e-6
+                else:
+                    # no in-radius neighbor: anything the kernel found is
+                    # genuinely farther than the coverage radius
+                    assert got_d > maxd - 1e-6
+                checked += 1
+        assert checked == nq
+
+    def test_grid_query_matches_two_scale(self):
+        """nn_grid_query (kernel + fallback) == the two-scale XLA
+        nn_search in DISTANCE for every valid query, including queries
+        that are out of the grid or in overflowing columns (exact
+        brute-force fallback)."""
+        from cwipc_util_tpu.ops.knn import (
+            bruteforce_nn_subset,
+            nn_grid_prepare,
+            nn_grid_query,
+            nn_search,
+        )
+
+        rng = np.random.default_rng(13)
+        nr, nq = 3000, 2000
+        rcap, scap = 4096, 2048
+        ref = np.zeros((rcap, 3), np.float32)
+        qry = np.zeros((scap, 3), np.float32)
+        ref[:nr] = rng.random((nr, 3), dtype=np.float32) * 0.4
+        # a dense clump to overflow columns + some out-of-grid queries
+        ref[100:200] = ref[100] + rng.random((100, 3), np.float32) * 0.001
+        qry[:nq] = rng.random((nq, 3), dtype=np.float32) * 0.5 - 0.02
+        maxd = np.float32(0.03)
+        cell = np.float32(maxd / 3.5)
+        core = ref[:nr]
+        vmin = np.floor(core.min(axis=0) / cell).astype(np.int32)
+        ext = np.floor(core.max(axis=0) / cell).astype(np.int32) - vmin + 1
+        gy, gz, cap_r, cap_q = int(ext[1]) + 2, int(ext[2]) + 2, 40, 40
+
+        prep = nn_grid_prepare(
+            jnp.asarray(ref), jnp.int32(nr), jnp.float32(cell),
+            gy=gy, gz=gz, cap=cap_r, vmin=jnp.asarray(vmin),
+        )
+        dist, idx, need_fix = nn_grid_query(
+            jnp.asarray(qry), jnp.int32(nq), prep, jnp.float32(cell),
+            jnp.float32(maxd), gy=gy, gz=gz, cap_r=cap_r, cap_q=cap_q,
+            vmin=jnp.asarray(vmin), interpret=True,
+        )
+        fd, fi = bruteforce_nn_subset(
+            jnp.asarray(qry), jnp.int32(nq), need_fix,
+            jnp.asarray(ref), jnp.int32(nr), jnp.float32(maxd),
+        )
+        dist = np.where(np.asarray(need_fix), np.asarray(fd), np.asarray(dist))
+        idx = np.where(np.asarray(need_fix), np.asarray(fi), np.asarray(idx))
+
+        d_ref, i_ref = nn_search(
+            jnp.asarray(qry), jnp.int32(nq), jnp.asarray(ref), jnp.int32(nr),
+            jnp.float32(maxd),
+        )
+        d_ref, i_ref = np.asarray(d_ref), np.asarray(i_ref)
+        # two-scale can MISS matches (overflowing fine cells, coverage
+        # gaps); the grid+fallback path is exact, so require: wherever the
+        # two-scale found a match, the grid found one at least as close,
+        # and every grid match is genuine
+        both = np.isfinite(d_ref[:nq])
+        assert (dist[:nq][both] <= d_ref[:nq][both] + 1e-6).all()
+        found = np.isfinite(dist[:nq])
+        assert found.sum() >= both.sum()
+        ii = idx[:nq][found]
+        true_d = np.sqrt(((ref[ii] - qry[:nq][found]) ** 2).sum(1))
+        np.testing.assert_allclose(dist[:nq][found], true_d, atol=1e-5)
+        assert (dist[:nq][found] <= maxd + 1e-6).all()
+        # exactness spot check vs full brute force on a sample
+        sel = rng.choice(nq, 200, replace=False)
+        for qi in sel:
+            d_all = np.sqrt(((ref[:nr] - qry[qi]) ** 2).sum(1)).min()
+            if d_all <= maxd - 1e-6:
+                assert abs(dist[qi] - d_all) < 1e-5, (qi, dist[qi], d_all)
+            else:
+                assert not np.isfinite(dist[qi]) or dist[qi] >= d_all - 1e-5
