@@ -358,10 +358,14 @@ def nn_grid_params(src_np, ref_np, maxd: float, budget: int = 8_000_000,
         hi = hi_a[p]
         origin = np.floor(lo / cell).astype(np.int64) - margin
         ext = np.floor(hi / cell).astype(np.int64) - origin + 1 + margin
-        gy = int(-(-int(ext[1]) // 16) * 16)
-        gz = int(-(-int(ext[2]) // 16) * 16)
-        if gy * gz > 1_000_000:  # the int32 sort-key limit in _cols_build
-            continue
+        # coarse dim ladder: registration flows run MANY (src, ref) pairs
+        # with slightly different extents, and every distinct (gy, gz)
+        # compiles its own kernel — generous buckets trade a few empty
+        # tiles for program-cache hits
+        gy = bucket(int(ext[1]), (32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024))
+        gz = bucket(int(ext[2]), (32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024))
+        if gy is None or gz is None or gy * gz > 1_000_000:
+            continue  # (the int32 sort-key limit in _cols_build)
 
         def col_cap(cloud):
             v = np.floor(cloud[:, p] / cell).astype(np.int64)
@@ -390,3 +394,59 @@ def nn_grid_params(src_np, ref_np, maxd: float, budget: int = 8_000_000,
     if best is None:
         return None
     return best[1:]
+
+
+@partial(jax.jit, static_argnames=("perm", "gy", "gz", "cap_r", "cap_q"))
+def _nn_grid_full(src_xyz, src_count, ref_xyz, ref_count, maxd, vmin,
+                  *, perm, gy, gz, cap_r, cap_q):
+    """One-shot grid NN (kernel + exact fallback), the jitted body behind
+    nn_search_host_auto."""
+    pidx = list(perm)
+    cell = maxd * jnp.float32(1.0 / 3.5)
+    prep = nn_grid_prepare(
+        ref_xyz[:, pidx], ref_count, cell, gy=gy, gz=gz, cap=cap_r, vmin=vmin
+    )
+    d, i, fix = nn_grid_query(
+        src_xyz[:, pidx], src_count, prep, cell, maxd,
+        gy=gy, gz=gz, cap_r=cap_r, cap_q=cap_q, vmin=vmin,
+    )
+    fd, fi = bruteforce_nn_subset(src_xyz, src_count, fix, ref_xyz, ref_count, maxd)
+    d = jnp.where(fix, fd, d)
+    i = jnp.where(fix, fi, i)
+    svalid = jnp.arange(src_xyz.shape[0], dtype=jnp.int32) < src_count
+    return jnp.where(svalid, d, jnp.inf), jnp.where(svalid, i, -1)
+
+
+def nn_search_host_auto(src_xyz, src_count, ref_xyz, ref_count, maxd):
+    """Host-level NN dispatcher: the gather-free column-grid kernel when
+    an accelerator is the default device and the scene fits a grid
+    (ops/pallas_nn.py — measured ~100x the two-scale gather path for
+    in-loop ICP queries), else the two-scale XLA path.  Host-level
+    because the grid parameters are static shapes chosen from the
+    concrete clouds.  CWIPC_GRID_NN=0 forces the two-scale path."""
+    import os
+
+    import numpy as np
+
+    dev = jax.config.jax_default_device
+    platform = dev.platform if dev is not None else jax.default_backend()
+    if platform != "cpu" and os.environ.get("CWIPC_GRID_NN", "") != "0":
+        sn, rn = int(src_count), int(ref_count)
+        # size gate: below ~32k points the two-scale path is fast enough
+        # that a per-shape remote kernel compile cannot amortize
+        if sn and rn and max(sn, rn) >= (1 << 15):
+            params = nn_grid_params(
+                np.asarray(src_xyz[:sn], np.float32),
+                np.asarray(ref_xyz[:rn], np.float32), float(maxd),
+            )
+            if params is not None:
+                perm, gy, gz, cap_r, cap_q, origin = params
+                return _nn_grid_full(
+                    src_xyz, jnp.int32(src_count), ref_xyz,
+                    jnp.int32(ref_count), jnp.float32(maxd),
+                    jnp.asarray(origin, jnp.int32),
+                    perm=perm, gy=gy, gz=gz, cap_r=cap_r, cap_q=cap_q,
+                )
+    return nn_search(
+        src_xyz, src_count, ref_xyz, ref_count, jnp.float32(maxd)
+    )

@@ -70,6 +70,14 @@ _M = 4  # ring radius in cells (must match cols_knn._M)
 
 TILE = 128  # plane rows (query columns) per grid step
 
+
+def _out_index_map(i, t0):
+    """Output block index map (named, module-level: a fresh lambda per
+    pallas_call gave every trace a new function identity, defeating the
+    jit and persistent-compile caches — flagged by
+    jax_explain_cache_misses, round 4)."""
+    return (0, i)
+
 # Static occupancy tiers for the per-tile selection-pass specialization:
 # a tile whose max ring-column occupancy is <= t dispatches to a pass
 # statically sized at t candidate slots per column (the full CAP bucket
@@ -466,8 +474,8 @@ def cols_select_pallas(
             grid=(ntiles_run,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=(
-                pl.BlockSpec((capp, TILE), lambda i, t0: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((capp, TILE), lambda i, t0: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((capp, TILE), _out_index_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((capp, TILE), _out_index_map, memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
                 pltpu.VMEM((3 * capp, sw), jnp.float32),

@@ -40,6 +40,12 @@ NCH = 8
 _SPLITS = 2
 
 
+def _pc_out_map(i, c):
+    # named, module-level index map: fresh lambdas per call defeat the
+    # jit/persistent-compile caches (jax_explain_cache_misses, round 4)
+    return (i,)
+
+
 def _split_dot(ch_q, member_q):
     return split_dot(ch_q, member_q, _SPLITS)
 
@@ -190,7 +196,7 @@ def _compact_call(xi, yi, zi, rgbai, keepi, count, *, out_capacity: int,
             num_scalar_prefetch=1,
             grid=(grid,),
             in_specs=[
-                pl.BlockSpec((B,), lambda i, c: (i,), memory_space=pltpu.VMEM)
+                pl.BlockSpec((B,), _pc_out_map, memory_space=pltpu.VMEM)
                 for _ in range(5)
             ],
             out_specs=(

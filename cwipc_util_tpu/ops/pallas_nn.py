@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_cols_select import _M, RING_COLS, SLOT_TIERS, TILE
+from .pallas_cols_select import _M, RING_COLS, SLOT_TIERS, TILE, _out_index_map
 
 _F32_MAX = float(jnp.finfo(jnp.float32).max)
 _INF = float("inf")
@@ -255,9 +255,9 @@ def nn_select_pallas(
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=(
-                pl.BlockSpec((capp_q, TILE), lambda i, t0: (0, i),
+                pl.BlockSpec((capp_q, TILE), _out_index_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((capp_q, TILE), lambda i, t0: (0, i),
+                pl.BlockSpec((capp_q, TILE), _out_index_map,
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[

@@ -83,6 +83,12 @@ _BIT_BASE = 2048.0
 _EMIT_BF16_SPLITS = 2
 
 
+def _sr_out_map(i, c):
+    # named, module-level index map: fresh lambdas per call defeat the
+    # jit/persistent-compile caches (jax_explain_cache_misses, round 4)
+    return (i,)
+
+
 def _split_dot(ch_q, member_q):
     """Exact [NCH, Q] @ membership [Q, W] (shared MXU machinery)."""
     return split_dot(ch_q, member_q, _EMIT_BF16_SPLITS)
@@ -276,9 +282,9 @@ def _segment_reduce_call(smk, sfr, srgba, count, *, out_capacity: int, interpret
             num_scalar_prefetch=1,
             grid=(grid,),
             in_specs=[
-                pl.BlockSpec((B,), lambda i, c: (i,), memory_space=pltpu.VMEM),
-                pl.BlockSpec((B,), lambda i, c: (i,), memory_space=pltpu.VMEM),
-                pl.BlockSpec((B,), lambda i, c: (i,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((B,), _sr_out_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((B,), _sr_out_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((B,), _sr_out_map, memory_space=pltpu.VMEM),
             ],
             out_specs=(
                 pl.BlockSpec(memory_space=pl.ANY),

@@ -37,6 +37,12 @@ BLOCK = 2048
 HALO = 64  # half of the 128-lane alignment unit, >= max supported window
 
 
+def _wk_out_map(i, c):
+    # named, module-level index map: fresh lambdas per call defeat the
+    # jit/persistent-compile caches (jax_explain_cache_misses, round 4)
+    return (0, i)
+
+
 def _window_knn_kernel(count_ref, xyz_hbm, md_ref, xyz_vmem, sem,
                        *, window: int, k: int, half: int):
     # xyz_hbm is [8, HALO + half + HALO]: rows 0-2 hold the first half of
@@ -201,7 +207,7 @@ def _window_knn_call(x, y, z, count, *, k: int, window: int, interpret: bool):
             num_scalar_prefetch=1,
             grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((2, BLOCK), lambda i, c: (0, i), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((2, BLOCK), _wk_out_map, memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((8, BLOCK + 2 * HALO), jnp.float32),
                 pltpu.SemaphoreType.DMA,

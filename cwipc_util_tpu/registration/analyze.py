@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.pointcloud import cwipc_pointcloud_wrapper
-from ..ops.knn import nn_search
+from ..ops.knn import nn_search, nn_search_host_auto
 from .abstract import AnalysisAlgorithm, AnalysisResults, OverlapAnalysisAlgorithm, OverlapAnalysisResults
 from .util import BaseAlgorithm
 
@@ -51,7 +51,7 @@ def _nn_distances(src: cwipc_pointcloud_wrapper, ref: cwipc_pointcloud_wrapper, 
         dist, _ = tree.query(spts, k=ignore_nearest + 1, workers=-1)
         d = np.atleast_2d(dist)[:, -1]
         return d[np.isfinite(d) & (d <= max_distance)].astype(np.float32)
-    dist, _ = nn_search(sbuf.xyz, sbuf.count, rbuf.xyz, rbuf.count, jnp.float32(max_distance))
+    dist, _ = nn_search_host_auto(sbuf.xyz, sbuf.count, rbuf.xyz, rbuf.count, max_distance)
     return np.asarray(dist[: src.count()])
 
 

@@ -422,9 +422,12 @@ class RegistrationComputer(BaseAlgorithm, AlignmentAlgorithm):
             # backend still answers default_backend())
             _dev = jax.config.jax_default_device
             _platform = _dev.platform if _dev is not None else jax.default_backend()
+            # the grid kernel pays off for big clouds (in-loop queries
+            # ~100x); small registration tiles are two-scale-fast already
+            # and every distinct shape pair costs a remote kernel compile
             if _platform != "cpu" and os.environ.get(
                 "CWIPC_GRID_NN", ""
-            ) != "0":
+            ) != "0" and max(scap, rcap) >= (1 << 15):
                 from ..ops.knn import nn_grid_params
 
                 src_np = src_pc.get_numpy_matrix(onlyGeometry=True)
