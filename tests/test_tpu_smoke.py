@@ -382,3 +382,43 @@ def test_rangemerge_reduce_range_split_on_chip(tpu):
         ).round(6)
     }
     assert cat == ful
+
+
+def test_grid_nn_matches_kdtree_on_chip(tpu):
+    """The cross-cloud NN kernel (ops/pallas_nn.py) on the real chip vs a
+    scipy KD-tree oracle, at a size above the grid gate: every in-radius
+    query must return the true nearest distance, and reported indices
+    must be genuine."""
+    from scipy.spatial import cKDTree
+
+    from cwipc_util_tpu.ops.knn import nn_search_host_auto
+
+    rng = np.random.default_rng(21)
+    nr, nq = 60000, 50000
+    rcap, scap = 1 << 16, 1 << 16
+    ref = np.zeros((rcap, 3), np.float32)
+    qry = np.zeros((scap, 3), np.float32)
+    # a warped sheet (the adversarial-for-one-axis case)
+    xy = rng.random((nr, 2), dtype=np.float32) * 0.5
+    ref[:nr, 0] = xy[:, 0]
+    ref[:nr, 1] = 1.0 + 0.05 * np.sin(xy[:, 0] * 20) + 0.05 * np.cos(xy[:, 1] * 17)
+    ref[:nr, 2] = xy[:, 1]
+    qry[:nq] = ref[:nq] + rng.normal(0, 0.004, (nq, 3)).astype(np.float32)
+    maxd = np.float32(0.03)
+
+    with jax.default_device(tpu):
+        dist, idx = nn_search_host_auto(
+            jnp.asarray(qry), jnp.int32(nq), jnp.asarray(ref), jnp.int32(nr),
+            float(maxd),
+        )
+        dist, idx = np.asarray(dist), np.asarray(idx)
+
+    tree = cKDTree(ref[:nr])
+    d_true, _ = tree.query(qry[:nq], k=1, workers=-1)
+    in_r = d_true <= maxd - 1e-6
+    found = np.isfinite(dist[:nq])
+    assert (found | ~in_r).all(), "missed in-radius neighbors"
+    np.testing.assert_allclose(dist[:nq][in_r], d_true[in_r], atol=1e-5)
+    ii = idx[:nq][found]
+    real_d = np.sqrt(((ref[ii] - qry[:nq][found]) ** 2).sum(1))
+    np.testing.assert_allclose(dist[:nq][found], real_d, atol=1e-5)
