@@ -119,6 +119,16 @@ def _cols_build(xyz, count, cell, *, gy, gz, cap, chunk, vmin_override=None):
     ys = fill(jnp.imag(sp1), _F32_MAX)
     zs = fill(jnp.real(sp2), _F32_MAX)
 
+    # inverse map point -> slot (one n-sized scatter): the finish phase
+    # then GATHERS per-point results instead of scattering over ALL
+    # gyz*cap slots — the slot-side scatters measured ~25 ms of the exact
+    # chain at bench scale (2 x 2.1M scattered writes, round 4)
+    point_slot = (
+        jnp.full((n + 1,), slots, jnp.int32)
+        .at[jnp.where(fits, sidx, n)]
+        .set(jnp.where(fits, addr, slots))[:n]
+    )
+
     gyz = gy * gz
     nchunks = -(-gyz // chunk)
     pad_rows = nchunks * chunk - gyz
@@ -172,7 +182,7 @@ def _cols_build(xyz, count, cell, *, gy, gz, cap, chunk, vmin_override=None):
     for j in range(1, 2 * _M + 1):
         f = f | jnp.roll(base, j, 1) | jnp.roll(base, -j, 1)
     drop_ring = f.reshape(gyz)
-    return xs_g, ys_g, zs_g, slot_orig, valid, drop_ring
+    return xs_g, ys_g, zs_g, slot_orig, valid, drop_ring, point_slot
 
 
 def _cols_select(xs_g, ys_g, zs_g, c0s, *, k, gy, gz, cap, chunk, voxel_unique):
@@ -234,9 +244,13 @@ def _cols_select(xs_g, ys_g, zs_g, c0s, *, k, gy, gz, cap, chunk, voxel_unique):
     return jax.lax.map(chunk_body, c0s)
 
 
-def _cols_finish(sums, kths, slot_orig, valid, drop_ring, cell, *, k, gy, gz, cap):
-    """Phase 3: slot results back to the caller's point order.
-    ``sums``/``kths`` are flat [gyz, cap] plane arrays."""
+def _cols_finish(sums, kths, point_slot, valid, drop_ring, cell, *, k, gy, gz, cap):
+    """Phase 3: slot results back to the caller's point order, by a
+    per-POINT gather through the build's inverse map.  (The previous
+    slot-side form scattered over all gyz*cap slots — 10x the work of
+    gathering n results; round 4.)  ``sums``/``kths`` are flat [gyz, cap]
+    plane arrays; ``point_slot`` maps each point to its slot, or to the
+    sink value gyz*cap for dropped/overflow points."""
     n = valid.shape[0]
     gyz = gy * gz
     slots = gyz * cap
@@ -244,24 +258,15 @@ def _cols_finish(sums, kths, slot_orig, valid, drop_ring, cell, *, k, gy, gz, ca
     sums = sums.reshape(slots)
     kths = kths.reshape(slots)
 
-    md_slot = sums / float(k)
-    covered_slot = kths < r_cut * (1.0 - 1e-6)
+    has_slot = point_slot < slots
+    ps = jnp.minimum(point_slot, slots - 1)
+    md = jnp.where(has_slot, sums[ps] / float(k), 0.0)
+    covered = kths[ps] < r_cut * (1.0 - 1e-6)
     # queries whose ring lost a dropped candidate are not trustworthy
-    covered_slot = covered_slot & jnp.logical_not(
-        jnp.repeat(drop_ring, cap, total_repeat_length=slots)
-    )
-
-    # dropped/overflow points never get a slot and stay uncovered
-    ok = slot_orig >= 0
-    tgt = jnp.where(ok, slot_orig, n)
-    md = jnp.zeros((n + 1,), jnp.float32).at[tgt].set(jnp.where(ok, md_slot, 0.0))[:n]
-    unc = (
-        jnp.ones((n + 1,), bool)
-        .at[tgt]
-        .set(jnp.where(ok, ~covered_slot, True))[:n]
-    )
+    covered = covered & jnp.logical_not(drop_ring[ps // cap])
+    unc = jnp.logical_not(has_slot & covered)
     unc = jnp.where(valid, unc, False)
-    return md, unc
+    return jnp.where(valid & has_slot, md, 0.0), unc
 
 
 @partial(jax.jit, static_argnames=(
@@ -297,7 +302,7 @@ def cols_knn_mean_distance(
     """
     gyz = gy * gz
     nchunks = -(-gyz // chunk)
-    xs_g, ys_g, zs_g, slot_orig, valid, drop_ring = _cols_build(
+    xs_g, ys_g, zs_g, _slot_orig, valid, drop_ring, point_slot = _cols_build(
         xyz, count, cell, gy=gy, gz=gz, cap=cap, chunk=chunk,
         vmin_override=vmin_override,
     )
@@ -332,7 +337,7 @@ def cols_knn_mean_distance(
         xs_g, ys_g, zs_g, cpu=_sel_xla, default=_sel_pallas
     )
     return _cols_finish(
-        sums, kths, slot_orig, valid, drop_ring, cell, k=k, gy=gy, gz=gz,
+        sums, kths, point_slot, valid, drop_ring, cell, k=k, gy=gy, gz=gz,
         cap=cap,
     )
 

@@ -201,7 +201,7 @@ def nn_grid_prepare(ref_xyz, ref_count, cell, *, gy, gz, cap, vmin):
     for ICP).  Returns (channel planes, slot_orig, drop_ring)."""
     from .cols_knn import _cols_build
 
-    xs, ys, zs, slot_orig, _valid, drop_ring = _cols_build(
+    xs, ys, zs, slot_orig, _valid, drop_ring, _ps = _cols_build(
         ref_xyz, ref_count, cell, gy=gy, gz=gz, cap=cap, chunk=256,
         vmin_override=vmin,
     )
@@ -222,7 +222,7 @@ def nn_grid_query(
     from .pallas_nn import nn_select_pallas
 
     r_xs, r_ys, r_zs, r_orig, r_drop = prep
-    q_xs, q_ys, q_zs, q_orig, _qv, _qd = _cols_build(
+    q_xs, q_ys, q_zs, q_orig, _qv, _qd, q_point_slot = _cols_build(
         src_xyz, src_count, cell, gy=gy, gz=gz, cap=cap_q, chunk=256,
         vmin_override=vmin,
     )

@@ -224,7 +224,7 @@ def make_sharded_chain_exact(
         pxyz = jnp.stack([x, y, z], axis=-1)
 
         # exact outlier stage, plane chunks sharded across the mesh
-        xs_g, ys_g, zs_g, slot_orig, valid0, drop_ring = _cols_build(
+        xs_g, ys_g, zs_g, _slot_orig, valid0, drop_ring, point_slot = _cols_build(
             pxyz, cnt, cellsize, gy=gy, gz=gz, cap=cap, chunk=chunk
         )
         me = jax.lax.axis_index(CAMERA_AXIS)
@@ -278,7 +278,7 @@ def make_sharded_chain_exact(
             xs_g, ys_g, zs_g, me, cpu=_sel_xla, default=_sel_pallas
         )
         md, unc = _cols_finish(
-            sums, kths, slot_orig, valid0, drop_ring, cellsize, k=k, gy=gy,
+            sums, kths, point_slot, valid0, drop_ring, cellsize, k=k, gy=gy,
             gz=gz, cap=cap,
         )
         md = jnp.where(unc, bruteforce_md_subset(pxyz, cnt, unc, k), md)

@@ -288,7 +288,7 @@ class TestColsSelectKernel:
         md_x, unc_x = cols_knn_mean_distance(
             jnp.asarray(xyz), jnp.int32(n), cell, k, gy=gy, gz=gz, cap=cap
         )
-        xs_g, ys_g, zs_g, slot_orig, valid, drop_ring = _cols_build(
+        xs_g, ys_g, zs_g, _so, valid, drop_ring, point_slot = _cols_build(
             jnp.asarray(xyz), jnp.int32(n), cell, gy=gy, gz=gz, cap=cap,
             chunk=64,
         )
@@ -296,7 +296,7 @@ class TestColsSelectKernel:
             xs_g, ys_g, zs_g, k=k, gy=gy, gz=gz, cap=cap, interpret=True
         )
         md_p, unc_p = _cols_finish(
-            sums, kth, slot_orig, valid, drop_ring, cell, k=k, gy=gy, gz=gz,
+            sums, kth, point_slot, valid, drop_ring, cell, k=k, gy=gy, gz=gz,
             cap=cap,
         )
         md_x, unc_x, md_p, unc_p = map(np.asarray, (md_x, unc_x, md_p, unc_p))
@@ -566,8 +566,8 @@ class TestNNKernel:
         qry = (rng.random((nq, 3), dtype=np.float32) * 0.3 + 0.05).astype(np.float32)
         rb = self._build(ref, nr, cell, gy, gz, cap_r)
         qb = self._build(qry, nq, cell, gy, gz, cap_q)
-        r_xs, r_ys, r_zs, r_orig, _rv, r_drop = rb
-        q_xs, q_ys, q_zs, q_orig, _qv, _qd = qb
+        r_xs, r_ys, r_zs, r_orig, _rv, r_drop, _rps = rb
+        q_xs, q_ys, q_zs, q_orig, _qv, _qd, _qps = qb
         assert not np.asarray(r_drop).any(), "test scene must not overflow"
 
         d2m, cid = nn_select_pallas(
