@@ -47,7 +47,7 @@ def build_planes():
             xyz, cnt, cellsize, gy=GY, gz=GZ, cap=CAP, chunk=CHUNK
         )
 
-    xs_g, ys_g, zs_g, slot_orig, valid, drop_ring = prep(buf)
+    xs_g, ys_g, zs_g, slot_orig, valid, drop_ring, _point_slot = prep(buf)
     occ = np.asarray(jnp.sum((xs_g[:, :CAP] < 1e30).astype(jnp.int32)))
     print(f"planes built: occupied slots {occ} of {GY*GZ*CAP}")
     return xs_g, ys_g, zs_g

@@ -65,7 +65,8 @@ def _k_smallest_sum(d2: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     return dist.sum(axis=-1), kth
 
 
-def _cols_build(xyz, count, cell, *, gy, gz, cap, chunk, vmin_override=None):
+def _cols_build(xyz, count, cell, *, gy, gz, cap, chunk, vmin_override=None,
+                want_orig=True):
     """Phase 1: slot-grid construction.  Returns the padded plane
     channel arrays plus (sidx-fill, valid) for the finish phase.
 
@@ -115,9 +116,27 @@ def _cols_build(xyz, count, cell, *, gy, gz, cap, chunk, vmin_override=None):
         base = jnp.full((slots + 1,), fillv, vals.dtype)
         return base.at[addr].set(jnp.where(fits, vals, fillv))[:slots]
 
-    xs = fill(jnp.real(sp1), _F32_MAX)
-    ys = fill(jnp.imag(sp1), _F32_MAX)
-    zs = fill(jnp.real(sp2), _F32_MAX)
+    gyz = gy * gz
+    nchunks = -(-gyz // chunk)
+    pad_rows = nchunks * chunk - gyz
+    off_max = _M * gz + _M
+
+    # Channel planes are scattered DIRECTLY into their padded layout
+    # ([off_max halo, gyz, pad_rows + off_max tail] rows of `cap`, so the
+    # ring slices of any chunk never wrap): padding via concatenation
+    # after an unpadded fill cost three extra 2.1M-element copies.
+    prows = off_max + gyz + pad_rows + off_max
+    addr_p = jnp.where(fits, addr + off_max * cap, prows * cap)
+
+    def fill_padded(vals):
+        base = jnp.full((prows * cap + 1,), _F32_MAX, vals.dtype)
+        return base.at[addr_p].set(
+            jnp.where(fits, vals, _F32_MAX)
+        )[: prows * cap].reshape(prows, cap)
+
+    xs_g = fill_padded(jnp.real(sp1))
+    ys_g = fill_padded(jnp.imag(sp1))
+    zs_g = fill_padded(jnp.real(sp2))
 
     # inverse map point -> slot (one n-sized scatter): the finish phase
     # then GATHERS per-point results instead of scattering over ALL
@@ -129,23 +148,10 @@ def _cols_build(xyz, count, cell, *, gy, gz, cap, chunk, vmin_override=None):
         .set(jnp.where(fits, addr, slots))[:n]
     )
 
-    gyz = gy * gz
-    nchunks = -(-gyz // chunk)
-    pad_rows = nchunks * chunk - gyz
-    off_max = _M * gz + _M
-
-    # plane layout [gyz, cap], padded on the plane axis so the ring
-    # slices of any chunk never wrap
-    def pad_plane(a):
-        a = a.reshape(gyz, cap)
-        halo = jnp.full((off_max, cap), _F32_MAX, a.dtype)
-        tail = jnp.full((pad_rows + off_max, cap), _F32_MAX, a.dtype)
-        return jnp.concatenate([halo, a, tail], axis=0)
-
-    xs_g = pad_plane(xs)
-    ys_g = pad_plane(ys)
-    zs_g = pad_plane(zs)
-    slot_orig = fill(sidx, -1)
+    # slot -> original point index, needed only by the NN-kernel callers
+    # (ops/knn.py); the exact-outlier chain reads results back through
+    # point_slot, so it skips this 262k-update scatter (want_orig=False).
+    slot_orig = fill(sidx, -1) if want_orig else None
 
     # A DROPPED point (column capacity or grid-extent overflow) is absent
     # from its neighbors' candidate sets, so every query within reach of
@@ -159,29 +165,43 @@ def _cols_build(xyz, count, cell, *, gy, gz, cap, chunk, vmin_override=None):
     # radius and the clamp displacement; jnp.roll's wrap only ever
     # over-marks.
     rank_drop = (skey < _SENTINEL) & (rank >= cap)
-    rank_addr = jnp.where(rank_drop, sck, gyz)
     ext_drop = valid & jnp.logical_not(in_grid)
-    vy_c = jnp.clip(vr[:, 1], 0, gy - 1)
-    vz_c = jnp.clip(vr[:, 2], 0, gz - 1)
-    ext_addr = jnp.where(ext_drop, vy_c * gz + vz_c, gyz)
-    drop_flag = (
-        jnp.zeros((gyz + 1,), jnp.float32)
-        .at[rank_addr].add(1.0)
-        .at[ext_addr].add(1.0)[:gyz]
-        > 0
+
+    def _drop_ring(_):
+        rank_addr = jnp.where(rank_drop, sck, gyz)
+        vy_c = jnp.clip(vr[:, 1], 0, gy - 1)
+        vz_c = jnp.clip(vr[:, 2], 0, gz - 1)
+        ext_addr = jnp.where(ext_drop, vy_c * gz + vz_c, gyz)
+        drop_flag = (
+            jnp.zeros((gyz + 1,), jnp.float32)
+            .at[rank_addr].add(1.0)
+            .at[ext_addr].add(1.0)[:gyz]
+            > 0
+        )
+        # separable box dilation by EXACTLY radius 2*_M per axis: each
+        # pass rolls the PRE-DILATION base (accumulating rolls of the
+        # running result would compound the radius to sum(1..2*_M) and
+        # over-mark ~18x the area, multiplying the brute-fixup cost)
+        base = drop_flag.reshape(gy, gz)
+        f = base
+        for j in range(1, 2 * _M + 1):
+            f = f | jnp.roll(base, j, 0) | jnp.roll(base, -j, 0)
+        base = f
+        for j in range(1, 2 * _M + 1):
+            f = f | jnp.roll(base, j, 1) | jnp.roll(base, -j, 1)
+        return f.reshape(gyz)
+
+    # A well-sized grid drops NOTHING, so the two 262k-update scatter-adds
+    # (measured 2.35 ms at bench scale) plus the dilation run only when a
+    # drop actually exists — the reduction deciding that is two cheap
+    # jnp.any passes.  With any drop present the full flag+dilation body
+    # runs unchanged.
+    drop_ring = jax.lax.cond(
+        jnp.any(rank_drop) | jnp.any(ext_drop),
+        _drop_ring,
+        lambda _: jnp.zeros((gyz,), jnp.bool_),
+        None,
     )
-    # separable box dilation by EXACTLY radius 2*_M per axis: each pass
-    # rolls the PRE-DILATION base (accumulating rolls of the running
-    # result would compound the radius to sum(1..2*_M) and over-mark
-    # ~18x the area, multiplying the brute-fixup cost)
-    base = drop_flag.reshape(gy, gz)
-    f = base
-    for j in range(1, 2 * _M + 1):
-        f = f | jnp.roll(base, j, 0) | jnp.roll(base, -j, 0)
-    base = f
-    for j in range(1, 2 * _M + 1):
-        f = f | jnp.roll(base, j, 1) | jnp.roll(base, -j, 1)
-    drop_ring = f.reshape(gyz)
     return xs_g, ys_g, zs_g, slot_orig, valid, drop_ring, point_slot
 
 
@@ -256,14 +276,20 @@ def _cols_finish(sums, kths, point_slot, valid, drop_ring, cell, *, k, gy, gz, c
     slots = gyz * cap
     r_cut = float(_M) * jnp.asarray(cell, jnp.float32)
     sums = sums.reshape(slots)
-    kths = kths.reshape(slots)
+    # Queries whose ring lost a dropped candidate are not trustworthy:
+    # fold that taint into kths BEFORE the per-point gather — an
+    # elementwise mask over the [gyz, cap] plane is far cheaper than a
+    # second 262k-row gather (drop_ring[ps // cap] measured ~1.9 ms at
+    # bench scale; the whole-plane select is bandwidth-trivial).
+    # Tainted slots get kth = F32_MAX, which fails the covered test.
+    kths = jnp.where(
+        drop_ring[:, None], _F32_MAX, kths.reshape(gyz, cap)
+    ).reshape(slots)
 
     has_slot = point_slot < slots
     ps = jnp.minimum(point_slot, slots - 1)
     md = jnp.where(has_slot, sums[ps] / float(k), 0.0)
     covered = kths[ps] < r_cut * (1.0 - 1e-6)
-    # queries whose ring lost a dropped candidate are not trustworthy
-    covered = covered & jnp.logical_not(drop_ring[ps // cap])
     unc = jnp.logical_not(has_slot & covered)
     unc = jnp.where(valid, unc, False)
     return jnp.where(valid & has_slot, md, 0.0), unc
@@ -304,7 +330,7 @@ def cols_knn_mean_distance(
     nchunks = -(-gyz // chunk)
     xs_g, ys_g, zs_g, _slot_orig, valid, drop_ring, point_slot = _cols_build(
         xyz, count, cell, gy=gy, gz=gz, cap=cap, chunk=chunk,
-        vmin_override=vmin_override,
+        vmin_override=vmin_override, want_orig=False,
     )
 
     def _sel_xla(xs_g, ys_g, zs_g):
@@ -348,7 +374,7 @@ def bruteforce_md_subset(
     count: jax.Array,
     sel: jax.Array,
     k: int,
-    block: int = 256,
+    block: int = 128,
 ) -> jax.Array:
     """Exact md for the selected points only, by compacted brute force.
 

@@ -225,7 +225,8 @@ def make_sharded_chain_exact(
 
         # exact outlier stage, plane chunks sharded across the mesh
         xs_g, ys_g, zs_g, _slot_orig, valid0, drop_ring, point_slot = _cols_build(
-            pxyz, cnt, cellsize, gy=gy, gz=gz, cap=cap, chunk=chunk
+            pxyz, cnt, cellsize, gy=gy, gz=gz, cap=cap, chunk=chunk,
+            want_orig=False,
         )
         me = jax.lax.axis_index(CAMERA_AXIS)
 
