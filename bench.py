@@ -243,6 +243,11 @@ def main() -> None:
         result["fast_keep_agreement_pct"] = round(
             100.0 * (total - sym_diff) / total, 2
         )
+        # Name the metric: this is voxel-SET symmetric difference over
+        # all downsample decisions, NOT the per-point keep-mask agreement
+        # (80.9% at W=16, ops/chain.py docstring) — the two measure the
+        # same approximation differently and must not be compared.
+        result["fast_keep_agreement_metric"] = "voxel-set-symdiff"
 
     print(json.dumps(result))
 

@@ -143,6 +143,116 @@ def run_config(name: str, encode: bool, npoints: int, tpu: bool,
     }
 
 
+# ---------------------------------------------------------------------------
+# Per-stage serial costs: the DETERMINISTIC metric.
+#
+# On this 1-core shared VM the delivered fps fluctuates ±25-35% with
+# machine load (BASELINE.md round-4 gotcha), so the number that supports
+# cross-round claims is the measured SERIAL STAGE SUM: what one core pays
+# per frame when the stages cannot overlap.  On any host with >= 2 cores
+# the stages pipeline (each runs in its own thread/process already) and
+# the ceiling becomes the slowest single stage instead.
+# ---------------------------------------------------------------------------
+
+_STAGE_SCRIPT = r"""
+import json, socket, struct, sys, threading, time
+import cwipc_util_tpu as cwipc
+from cwipc_util_tpu.codec import cwipc_new_decoder, cwipc_new_encoder
+from cwipc_util_tpu.net.sink_netserver import pack_frame
+
+npoints, encode, iters = int(sys.argv[1]), sys.argv[2] == "1", int(sys.argv[3])
+
+def med_ms(fn, n=iters):
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        ts.append((time.perf_counter() - t0) * 1e3)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+src = cwipc.cwipc_synthetic(0, npoints)
+out = {}
+
+# grab + serialize (the producer stage: capture and wire-format the cloud)
+state = {}
+def grab_serialize():
+    pc = None
+    while pc is None:
+        src.available(True)
+        pc = src.get()
+    state["packet"] = pc.get_packet()
+    state["pc"] = pc
+grab_serialize()  # warm any lazy init
+out["grab_serialize"] = med_ms(grab_serialize)
+pc, packet = state["pc"], bytes(state["packet"])
+
+if encode:
+    enc = cwipc_new_encoder(octree_bits=9, jpeg_quality=85)
+    def do_encode():
+        enc.feed(pc)
+        state["bits"] = enc.get_bytes()
+    do_encode()
+    out["encode"] = med_ms(do_encode)
+    payload = state["bits"]
+else:
+    payload = packet
+
+# net transport: frame + localhost-TCP send/recv (what netserver ->
+# netclient pays per cloud, without the inter-stage queues)
+lsock = socket.socket(); lsock.bind(("127.0.0.1", 0)); lsock.listen(1)
+csock = socket.create_connection(lsock.getsockname())
+ssock, _ = lsock.accept()
+csock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+ssock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+done = threading.Event()
+need = len(pack_frame(0x30697763, payload))
+def reader():
+    while True:
+        got = 0
+        while got < need:
+            b = csock.recv(1 << 20)
+            if not b:
+                return
+            got += len(b)
+        done.set()
+threading.Thread(target=reader, daemon=True).start()
+def net():
+    done.clear()
+    ssock.sendall(pack_frame(0x30697763, payload, 0))
+    done.wait()
+out["net"] = med_ms(net)
+
+# consumer parse/decode back to a pointcloud
+if encode:
+    dec = cwipc_new_decoder()
+    def decode():
+        dec.feed(payload)
+        dec.get().free()
+    out["decode"] = med_ms(decode)
+else:
+    def parse():
+        cwipc.cwipc_from_packet(packet).free()
+    out["parse"] = med_ms(parse)
+
+out["sum"] = sum(out.values())
+print(json.dumps(out))
+"""
+
+
+def measure_stages(encode: bool, npoints: int, tpu: bool, iters: int = 30) -> dict:
+    """Median per-stage serial ms, measured in one subprocess with the
+    same backend env as the pipeline subprocesses."""
+    rv = subprocess.run(
+        [sys.executable, "-c", _STAGE_SCRIPT, str(npoints),
+         "1" if encode else "0", str(iters)],
+        env=_env(tpu), cwd=REPO, timeout=900, capture_output=True, text=True,
+    )
+    if rv.returncode != 0:
+        raise RuntimeError(f"stage measurement failed: {rv.stderr[-800:]}")
+    return json.loads(rv.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--npoints", type=int, default=160000,
@@ -154,11 +264,23 @@ def main() -> None:
                          "(default: CPU jax backend)")
     ap.add_argument("--count", type=int, default=COUNT)
     ap.add_argument("--configs", nargs="*", default=["raw", "compressed"])
+    ap.add_argument("--stages-only", action="store_true",
+                    help="skip the pipeline run; emit the per-stage serial "
+                         "costs only (the deterministic metric)")
     args = ap.parse_args()
     for name in args.configs:
-        res = run_config(name, encode=(name == "compressed"),
-                         npoints=args.npoints, tpu=args.tpu, fps=args.fps,
-                         count=args.count)
+        encode = name == "compressed"
+        stages = measure_stages(encode, args.npoints, args.tpu)
+        res = {"config": name}
+        if not args.stages_only:
+            res = run_config(name, encode=encode,
+                             npoints=args.npoints, tpu=args.tpu, fps=args.fps,
+                             count=args.count)
+        for k, v in stages.items():
+            if k != "sum":
+                res[f"stage_{k}_ms"] = round(v, 2)
+        res["stage_sum_ms"] = round(stages["sum"], 2)
+        res["stage_fps_capacity_1core"] = round(1000.0 / stages["sum"], 1)
         print(json.dumps(res), flush=True)
 
 

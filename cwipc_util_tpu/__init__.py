@@ -10,6 +10,14 @@ TPU-first: clouds are fixed-capacity SoA buffers in HBM and the operators
 are jitted XLA/Pallas kernels.
 """
 
+from .core.compile_cache import enable_persistent_cache as _enable_persistent_cache
+
+# Before anything can trigger a jit compile: every compiled program is
+# persisted across processes (see core/compile_cache.py for the measured
+# motivation — repeat registrations must not pay the 40-70 s/program
+# relay compile wall twice).
+_enable_persistent_cache()
+
 from .abstract import (
     cwipc_activesource_abstract,
     cwipc_activesource_wrapper,

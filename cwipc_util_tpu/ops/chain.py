@@ -45,12 +45,23 @@ def downsample_outliers_tilefilter(
     stage uses the Morton sliding-window kNN, exact for all but the few
     points whose k-th neighbor falls across a space-filling-curve seam.
 
-    ``window`` defaults to 16: measured on the 1M-pt bench cloud, the
-    final keep-mask agrees with exact grid-kNN at 80.9% for W=16 vs 81.3%
-    for W=32 (the window approximation itself, not its width, causes the
-    divergence), while the W=16 kernel runs 2.7x faster (0.63 vs 1.70 ms
-    at 262k points, k=30) because k=30-of-32 selection is two max-drops
-    instead of a 31-step bisection.
+    ``window`` defaults to 16.  TWO agreement metrics exist for the
+    window approximation, measured on the 1M-pt bench cloud against the
+    exact chain — do not mix them up across rounds:
+
+    * KEEP-MASK agreement (per-point: the same keep/drop decision for
+      every downsampled point): 80.9% at W=16 vs 81.3% at W=32 — the
+      window approximation itself, not its width, causes the divergence;
+    * VOXEL-SET agreement (symmetric difference of the two chains'
+      output voxel sets over all decisions, what bench.py reports as
+      ``fast_keep_agreement_pct``): 90.5% at W=16 (round 4).
+
+    Voxel-set reads higher because both chains agree on the easy bulk
+    and the symmetric difference double-counts only genuinely flipped
+    voxels near the threshold (see BASELINE.md "Approximation contract").
+    W=16 is the default because the kernel runs 2.7x faster than W=32
+    (0.63 vs 1.70 ms at 262k points, k=30): k=30-of-32 selection is two
+    max-drops instead of a 31-step bisection.
     """
     # The whole post-sort pipeline stays CHANNEL-MAJOR: the segment reduce
     # produces coordinate rows, the window-kNN and ring-compaction kernels

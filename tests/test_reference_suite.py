@@ -116,6 +116,51 @@ class TestReferenceSuite:
             assert (op.x, op.y, op.z, op.r, op.g, op.b) == (
                 np_.x, np_.y, np_.z, np_.r, np_.g, np_.b)
 
+    def test_cwipc_o3d_pointcloud_contract(self, monkeypatch):
+        """The o3d converter's data marshaling, exercised against a fake
+        module with open3d's API shape (VERDICT r4 #6: open3d has no
+        wheel for this image, so the real-module test above has never
+        run anywhere; this pins the exact same round trip —
+        get_o3d_pointcloud's /255 color scaling and
+        cwipc_from_o3d_pointcloud's x256 quirk, reference:
+        python/cwipc/util.py:696-706 and :1203-1211 — without the
+        dependency)."""
+        import sys
+        import types
+
+        class FakeVector3dVector:
+            def __init__(self, arr):
+                a = np.asarray(arr, np.float64)
+                assert a.ndim == 2 and a.shape[1] == 3, a.shape
+                self._a = a
+
+            def __array__(self, dtype=None, copy=None):
+                return self._a if dtype is None else self._a.astype(dtype)
+
+            def __len__(self):
+                return len(self._a)
+
+        class FakePointCloud:
+            def __init__(self):
+                self.points = FakeVector3dVector(np.zeros((0, 3)))
+                self.colors = FakeVector3dVector(np.zeros((0, 3)))
+
+        fake = types.ModuleType("open3d")
+        fake.geometry = types.SimpleNamespace(PointCloud=FakePointCloud)
+        fake.utility = types.SimpleNamespace(Vector3dVector=FakeVector3dVector)
+        monkeypatch.setitem(sys.modules, "open3d", fake)
+
+        pc = _build_pointcloud()
+        o3d_pc = pc.get_o3d_pointcloud()
+        assert isinstance(o3d_pc, FakePointCloud)
+        assert len(o3d_pc.points) == pc.count()
+        new_pc = cwipc.cwipc_from_o3d_pointcloud(o3d_pc, 0)
+        for op, np_ in zip(pc.get_points(), new_pc.get_points()):
+            assert (op.x, op.y, op.z, op.r, op.g, op.b) == (
+                np_.x, np_.y, np_.z, np_.r, np_.g, np_.b)
+        pc.free()
+        new_pc.free()
+
     def test_cwipc_timestamp_cellsize(self):
         timestamp = 0x11223344556677
         pc = cwipc.cwipc_from_points(
