@@ -172,6 +172,7 @@ def med_ms(fn, n=iters):
     return ts[len(ts) // 2]
 
 src = cwipc.cwipc_synthetic(0, npoints)
+src.start()
 out = {}
 
 # grab + serialize (the producer stage: capture and wire-format the cloud)

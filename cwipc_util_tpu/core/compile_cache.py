@@ -42,12 +42,21 @@ def enable_persistent_cache() -> Optional[str]:
     Returns the cache directory in effect, or None when disabled via
     ``CWIPC_JAX_CACHE=0``.
     """
-    if os.environ.get("CWIPC_JAX_CACHE", "") == "0":
+    flag = os.environ.get("CWIPC_JAX_CACHE", "")
+    if flag == "0":
         return None
     import jax
 
     cache_dir = jax.config.jax_compilation_cache_dir
     if not cache_dir:
+        # CPU-only processes skip the default-on cache (CWIPC_JAX_CACHE=1
+        # or an explicit JAX_COMPILATION_CACHE_DIR still enables it): CPU
+        # compiles are cheap, and XLA:CPU's AOT loader logs a loud
+        # machine-feature warning for every cached executable it loads —
+        # noise the 400-test suite and every CLI subprocess would emit.
+        # The cache exists for the relay-attached TPU's 40-70 s compiles.
+        if flag != "1" and os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+            return None
         cache_dir = os.environ.get("CWIPC_JAX_CACHE_DIR") or default_cache_dir()
         jax.config.update("jax_compilation_cache_dir", cache_dir)
     # Cache EVERYTHING: the register flow's program set is dozens of

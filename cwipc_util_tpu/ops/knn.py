@@ -432,9 +432,16 @@ def nn_search_host_auto(src_xyz, src_count, ref_xyz, ref_count, maxd):
     platform = dev.platform if dev is not None else jax.default_backend()
     if platform != "cpu" and os.environ.get("CWIPC_GRID_NN", "") != "0":
         sn, rn = int(src_count), int(ref_count)
-        # size gate: below ~32k points the two-scale path is fast enough
-        # that a per-shape remote kernel compile cannot amortize
-        if sn and rn and max(sn, rn) >= (1 << 15):
+        # Size gate, default 0 (grid whenever the scene fits a grid):
+        # the round-4 value of 32k existed only to dodge per-shape remote
+        # kernel compiles, which the persistent compilation cache
+        # (core/compile_cache.py) turned into a once-per-machine cost —
+        # re-measured round 5 with warm caches, the grid kernel is 55x
+        # faster than the two-scale path even at 10-20k points (fused
+        # 30-iteration ICP: 0.32 s vs 17.9 s on the v5e, identical
+        # poses).  CWIPC_GRID_NN_MIN restores a threshold if wanted.
+        gate = int(os.environ.get("CWIPC_GRID_NN_MIN", "0"))
+        if sn and rn and max(sn, rn) >= gate:
             params = nn_grid_params(
                 np.asarray(src_xyz[:sn], np.float32),
                 np.asarray(ref_xyz[:rn], np.float32), float(maxd),

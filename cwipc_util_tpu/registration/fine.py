@@ -422,12 +422,17 @@ class RegistrationComputer(BaseAlgorithm, AlignmentAlgorithm):
             # backend still answers default_backend())
             _dev = jax.config.jax_default_device
             _platform = _dev.platform if _dev is not None else jax.default_backend()
-            # the grid kernel pays off for big clouds (in-loop queries
-            # ~100x); small registration tiles are two-scale-fast already
-            # and every distinct shape pair costs a remote kernel compile
+            # Grid kernel by default at every size (measured round 5,
+            # warm caches: fused ICP 0.32 s grid vs 17.9 s two-scale at
+            # 10-20k points, identical poses; the round-4 32k gate only
+            # dodged per-shape remote compiles, which the persistent
+            # cache made once-per-machine).  Gate on COUNTS like
+            # nn_search_host_auto; CWIPC_GRID_NN_MIN restores a floor.
             if _platform != "cpu" and os.environ.get(
                 "CWIPC_GRID_NN", ""
-            ) != "0" and max(scap, rcap) >= (1 << 15):
+            ) != "0" and max(src_pc.count(), ref_pc.count()) >= int(
+                os.environ.get("CWIPC_GRID_NN_MIN", "0")
+            ):
                 from ..ops.knn import nn_grid_params
 
                 src_np = src_pc.get_numpy_matrix(onlyGeometry=True)

@@ -217,6 +217,7 @@ class SourceServer:
         # internally, so the second gate here is a no-op for them
         self.fps = getattr(args, "fps", None)
         self.lastGrabTime: Optional[float] = None
+        self._next_due: Optional[float] = None
         self.stopped = False
         self.owns_grabber = owns_grabber
         self.stats = Stats("grab")
@@ -239,10 +240,23 @@ class SourceServer:
         self.stopped = True
 
     def grab_pc(self) -> Optional[cwipc_pointcloud_wrapper]:
-        if self.lastGrabTime and self.fps:
-            next_time = self.lastGrabTime + 1.0 / self.fps
-            if time.time() < next_time:
-                time.sleep(next_time - time.time())
+        if self.fps:
+            # ABSOLUTE deadline ladder, like the sources' internal gates
+            # (models/synthetic.py get()): the old relative form scheduled
+            # from lastGrabTime — a POST-capture stamp — so every period
+            # silently absorbed the capture cost (+ sleep overshoot) and a
+            # nominal 30 fps forward pipeline delivered ~25 (40 ms cadence,
+            # measured round 5).  A producer that falls a full period
+            # behind resynchronizes instead of bursting.
+            now = time.time()
+            if self._next_due is not None and now < self._next_due:
+                time.sleep(self._next_due - now)
+                now = time.time()
+            base = self._next_due if self._next_due is not None else now
+            nxt = base + 1.0 / self.fps
+            if nxt < now:
+                nxt = now + 1.0 / self.fps
+            self._next_due = nxt
         if not self.grabber or self.grabber.eof():
             return None
         if not self.grabber.available(True):

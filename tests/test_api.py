@@ -430,6 +430,10 @@ print(json.dumps({
         env["JAX_PLATFORMS"] = "cpu"
         env.pop("XLA_FLAGS", None)
         env["CWIPC_JAX_CACHE_DIR"] = str(cache_dir)
+        # CPU-only processes default the cache OFF (XLA:CPU AOT-loader
+        # log noise; see core/compile_cache.py) — force it on here so the
+        # cross-process hit mechanics stay pinned on the CPU backend.
+        env["CWIPC_JAX_CACHE"] = "1"
         env.update(extra_env or {})
         rv = subprocess.run(
             [sys.executable, "-c", self.SCRIPT],
@@ -452,3 +456,9 @@ print(json.dumps({
         out = self._run(tmp_path / "jc2", {"CWIPC_JAX_CACHE": "0"})
         assert not out["dir"]
         assert out["hits"] == 0 and out["misses"] == 0
+
+    def test_cpu_only_default_off(self, tmp_path):
+        """A plain JAX_PLATFORMS=cpu process leaves the cache unconfigured
+        by default (no AOT-loader log noise in the suite/CLI subprocesses)."""
+        out = self._run(tmp_path / "jc3", {"CWIPC_JAX_CACHE": ""})
+        assert not out["dir"]

@@ -785,3 +785,25 @@ class TestStreamBench:
         assert res["latency_ms_p50"] >= 0
         assert res["latency_ms_p95"] >= res["latency_ms_p50"]
         assert res["npoints"] == 961  # floor(sqrt(1000))^2, reference mapping
+
+    def test_compressed_stage_sum_within_30fps_budget(self):
+        """The deterministic streaming metric (VERDICT r4 #3): the
+        compressed path's SERIAL per-stage sum — grab+serialize + encode
+        + net + decode at the reference's 160k default — fits the 33 ms
+        30 fps budget on one core.  Measured round 5: ~20 ms (the r4
+        hand-sum was 33-35 before the codec/native work settled); the
+        bar leaves ~60% headroom for the shared VM's load fluctuation."""
+        sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+        try:
+            import stream_bench
+        finally:
+            sys.path.pop(0)
+        stages = stream_bench.measure_stages(
+            encode=True, npoints=160000, tpu=False, iters=9
+        )
+        for key in ("grab_serialize", "encode", "net", "decode"):
+            assert stages[key] > 0, stages
+        assert stages["sum"] < 33.0, (
+            f"compressed serial stage sum {stages['sum']:.1f} ms exceeds "
+            f"the 30 fps budget: {stages}"
+        )
