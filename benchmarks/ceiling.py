@@ -27,10 +27,35 @@ Falsification attempts recorded (run with --falsify to re-measure):
    slower than XLA's sort; per-cell DMA fetching dies on ~1 us DMA issue
    rate; dense 3D grids die on ~1% occupancy.)
 
+Round 5 adds the EXACT-SELECTION roofline (VERDICT r4 weak #2: the
+"~50% VPU peak, ALU-bound" floor was builder-asserted).  Everything is
+measured on the attached chip, including the roofline DENOMINATORS:
+
+  * vpu_peak_gops: a 64-deep dependent-FMA chain over an 8M-element
+    array (arith intensity 32 flop/byte — compute-bound by construction;
+    the chain coefficient is a traced scalar so XLA cannot fold it);
+  * hbm_read_gbs: a 256 MB reduction (VPU cost ~70 us of the ~300 us
+    transfer — bandwidth-bound by construction);
+  * sel_ms: the exact-selection kernel alone, at the exact chain's
+    bench shape (1M cloud -> 4 mm downsample -> gy=504, gz=152, cap=28,
+    k=30, seeded), via the same K-loop differencing;
+  * sel_build_ms: the probe="build" strip-down (distance build without
+    selection) — the empirical split between build and bisection;
+  * sel_vpu_frac: achieved element-ops/s over vpu_peak, with the
+    op-count model stated in sel_ops_model (falsify it by editing the
+    model or the kernel and re-running);
+  * sel_hbm_frac: the kernel's total DMA traffic over hbm_read_gbs —
+    shows the kernel is NOWHERE near memory-bound (the claim is an ALU
+    wall, not an HBM wall);
+  * mxu_count_ms / mxu_count_kth_equal: the round-5 falsification
+    attempt — the bisection's count reduction routed through the MXU as
+    an exact ones-row matmul (ops/pallas_cols_select.py mxu_count) —
+    with the equal-results check that makes its verdict trustworthy.
+
 Usage: python benchmarks/ceiling.py [--falsify]
 Output: one JSON line (keys: sort1/sort2/sort3_ms, gather_mrows_s,
 chain_ms, chain_minus_sort_ms, implied_ceiling_pts_s, north_star_frac,
-falsify.*).
+vpu_peak_gops, hbm_read_gbs, sel_*, mxu_count_*, falsify.*).
 """
 
 from __future__ import annotations
@@ -53,6 +78,7 @@ import jax.numpy as jnp
 import numpy as np
 
 N = 1 << 20
+_F32_MAX_NP = float(np.finfo(np.float32).max)
 
 
 def diff_time(make_body, args, k_loop=16, reps=3):
@@ -163,6 +189,126 @@ def main() -> None:
         "chain_minus_sort_ms on top"
     )
     out["north_star_frac"] = round(out["implied_ceiling_pts_s"] / 1e9, 4)
+
+    # ---- exact-selection roofline (round 5) --------------------------------
+    # Measured denominators first: this chip's compute and bandwidth
+    # peaks, by probes that are compute-/bandwidth-bound by construction.
+    M_FMA = 1 << 23  # 32 MB array, 64-deep FMA chain -> AI 32 flop/byte
+
+    def vpu_body(s, x):
+        a = 1.0 + s.astype(jnp.float32) * 1e-12  # traced: no folding
+        y = x
+        for _ in range(64):
+            y = y * a + 0.5
+        return y[0]
+
+    vx = jnp.asarray(rng.random(M_FMA, dtype=np.float32))
+    vpu_ms = diff_time(vpu_body, (vx,), k_loop=8)
+    out["vpu_peak_gops"] = round(M_FMA * 128 / (vpu_ms * 1e-3) / 1e9, 1)
+
+    H = 1 << 26  # 256 MB
+
+    def hbm_body(s, x):
+        return jnp.sum(x) + s.astype(jnp.float32) * 0.0
+
+    hx = jnp.asarray(rng.random(H, dtype=np.float32))
+    hbm_ms = diff_time(hbm_body, (hx,), k_loop=8)
+    out["hbm_read_gbs"] = round(H * 4 / (hbm_ms * 1e-3) / 1e9, 1)
+
+    # The selection kernel alone, at the exact chain's bench shape.
+    from cwipc_util_tpu.ops import voxelize
+    from cwipc_util_tpu.ops.cols_knn import _cols_build
+    from cwipc_util_tpu.ops.pallas_cols_select import (
+        RING_COLS,
+        SLOT_TIERS,
+        TILE,
+        cols_select_pallas,
+        slab_occupancy,
+    )
+
+    K_SEL, GY, GZ, CAP = 30, 504, 152, 28
+    cell = jnp.float32(2.0 / 1000 * 2.0)
+    dx_, dy_, dz_, _rgba, dcnt = voxelize.downsample_cm(buf, cell, 1 << 18)
+    dxyz = jnp.stack([dx_, dy_, dz_], axis=-1)
+    planes = _cols_build(
+        dxyz, dcnt, cell, gy=GY, gz=GZ, cap=CAP, chunk=256, want_orig=False,
+    )
+    xs_g, ys_g, zs_g = (jnp.asarray(p) for p in planes[:3])
+
+    def sel_body(s, xs, ys, zs, probe="full", mxu=False):
+        eps = s.astype(jnp.float32) * 1e-30
+        su, kt = cols_select_pallas(
+            xs + eps, ys, zs, k=K_SEL, gy=GY, gz=GZ, cap=CAP,
+            cell=cell, seeded=True, probe=probe, mxu_count=mxu,
+        )
+        return su[0, 0] + kt[0, 0]
+
+    out["sel_ms"] = round(diff_time(sel_body, (xs_g, ys_g, zs_g), k_loop=4), 2)
+    out["sel_build_ms"] = round(diff_time(
+        lambda s, xs, ys, zs: sel_body(s, xs, ys, zs, probe="build"),
+        (xs_g, ys_g, zs_g), k_loop=4,
+    ), 2)
+
+    # Analytic element-op count of the seeded full path, mirroring the
+    # kernel's per-tile tier dispatch and per-slot loop bound: per
+    # occupied slot the kernel makes ~OPS_PER_ELEM passes over
+    # [RING_COLS * tier, 128] candidates (build 8 + bitcast 1 + seed
+    # count 2 + 13 bisection steps x 2 + 2 advances x 4 + final 5).
+    OPS_PER_ELEM = 8 + 1 + 2 + 13 * 2 + 2 * 4 + 5
+    xs_np = np.asarray(xs_g)
+    gyz = GY * GZ
+    off = 4 * GZ + 4
+    occ_cols = (xs_np[off : off + gyz, :CAP] < _F32_MAX_NP / 2).sum(axis=1)
+    ntiles = -(-gyz // TILE)
+    total_elems = 0
+    for t in range(ntiles):
+        occ_b = slab_occupancy(xs_np, GZ, CAP, t)
+        tier = next(
+            (tt for tt in sorted({*SLOT_TIERS, CAP}) if occ_b <= tt), CAP
+        )
+        occ_q = int(occ_cols[t * TILE : (t + 1) * TILE].max(initial=0))
+        total_elems += RING_COLS * tier * TILE * min(occ_q, CAP)
+    out["sel_ops_model"] = (
+        f"{OPS_PER_ELEM} elementwise passes per candidate element; "
+        f"candidate elements = sum over tiles of ring({RING_COLS}) * tier "
+        f"* 128 lanes * occupied slots = {total_elems}"
+    )
+    sel_s = out["sel_ms"] * 1e-3
+    achieved = total_elems * OPS_PER_ELEM / sel_s / 1e9
+    out["sel_achieved_gops"] = round(achieved, 1)
+    out["sel_vpu_frac"] = round(achieved / out["vpu_peak_gops"], 3)
+    # DMA traffic: each tile reads its [3*capp, sw] slab once + writes
+    # two [capp, 128] results
+    capp = -(-CAP // 8) * 8
+    off_al = TILE * (-(-off // TILE))
+    sw = TILE * (-(-(TILE + off_al + off) // TILE)) + TILE
+    sel_bytes = ntiles * (3 * capp * sw + 2 * capp * TILE) * 4
+    out["sel_hbm_gbs"] = round(sel_bytes / sel_s / 1e9, 1)
+    out["sel_hbm_frac"] = round(
+        (sel_bytes / sel_s / 1e9) / out["hbm_read_gbs"], 3
+    )
+
+    # The MXU-count falsification attempt: identical selection with the
+    # bisection counts routed through the MXU (exact small-integer f32
+    # matmuls), plus the result-equality check.
+    out["mxu_count_ms"] = round(diff_time(
+        lambda s, xs, ys, zs: sel_body(s, xs, ys, zs, mxu=True),
+        (xs_g, ys_g, zs_g), k_loop=4,
+    ), 2)
+    su_v, kt_v = cols_select_pallas(
+        xs_g, ys_g, zs_g, k=K_SEL, gy=GY, gz=GZ, cap=CAP,
+        cell=cell, seeded=True,
+    )
+    su_m, kt_m = cols_select_pallas(
+        xs_g, ys_g, zs_g, k=K_SEL, gy=GY, gz=GZ, cap=CAP,
+        cell=cell, seeded=True, mxu_count=True,
+    )
+    out["mxu_count_kth_equal"] = bool(
+        np.array_equal(np.asarray(kt_v), np.asarray(kt_m))
+    )
+    out["mxu_count_sums_close"] = bool(
+        np.allclose(np.asarray(su_v), np.asarray(su_m), rtol=1e-5, atol=1e-5)
+    )
 
     if args.falsify:
         # F1: keys-only sort + payload permute via gather

@@ -324,18 +324,35 @@ def bruteforce_nn_subset(
 
 
 def nn_grid_params(src_np, ref_np, maxd: float, budget: int = 8_000_000,
-                   cap_max: int = 128):
+                   cap_max: int = 128,
+                   fallback_budget: float = 2e9):
     """Host-side grid parameter choice for the column-grid NN: cell =
     maxd/3.5 (ring coverage of the full radius — ops/pallas_nn.py),
     percentile-clipped extents over BOTH clouds plus a motion margin (ICP
     moves the source; strays fall back exactly), bucketed dims/caps so
     repeat registrations reuse compiled programs.  The COLUMN axis is
     chosen per scene (min slot volume): a flat sheet seen along the wrong
-    axis puts whole level-set curves into single columns.  Returns
-    (perm, gy, gz, cap_r, cap_q, origin_cells int32[3]) — coordinates and
-    origin in PERMUTED axis order (grid x = cloud axis perm[0]) — or None
-    when no axis fits the budget (caller keeps the two-scale path)."""
+    axis puts whole level-set curves into single columns.
+
+    Column caps need NOT cover the densest column: capacity overflow is
+    exact-by-construction (over-cap reference columns raise _cols_build's
+    drop_ring and every query whose ring touches one goes through the
+    caller's brute-force fixup), so dense scenes pick the smallest cap
+    whose estimated fixup work — tainted-ring dilation by 2*_M, the same
+    radius _cols_build uses — stays under ``fallback_budget`` query*ref
+    element ops.  Round-5 motivation: `cwipc register`'s aligner runs at
+    auto-correspondence ~0.14 m on human-scale scenes, whose 4 cm cells
+    hold 250-350 points; the old max-occupancy rule rejected every axis
+    and fell back to the two-scale path (18 s/run vs 0.3 s grid — the
+    whole multicamera wall).
+
+    Returns (perm, gy, gz, cap_r, cap_q, origin_cells int32[3]) —
+    coordinates and origin in PERMUTED axis order (grid x = cloud axis
+    perm[0]) — or None when no axis fits the budgets (caller keeps the
+    two-scale path)."""
     import numpy as np
+
+    from .cols_knn import _M
 
     if maxd <= 0 or len(src_np) == 0 or len(ref_np) == 0:
         return None
@@ -350,6 +367,21 @@ def nn_grid_params(src_np, ref_np, maxd: float, budget: int = 8_000_000,
             if v <= m:
                 return m
         return None
+
+    # kernel VMEM: candidate scratch 3*77*cap_r*128 f32 dominates; keep
+    # comfortably under the v5e's physical 128 MB with room for
+    # double-buffered outputs (the kernel raises the scoped limit).  The
+    # ladder tops out at 128 on COMPILE cost, not VMEM: the kernel's top
+    # tier unrolls the 77-column ring over cap_r rows, and a cap-256 tier
+    # (19712-row scratch) did not finish its remote compile in 9 minutes
+    # — while cap 128 + brute-force fixup of the overflow is both
+    # bounded-compile and FASTER per iteration (the fixup is a dense
+    # [n_fb, rcap] subtract, the extra tier doubles every dense tile's
+    # scan).
+    cap_ladder = tuple(
+        c for c in (8, 16, 24, 32, 48, 64, 96, 128, 192, 256)
+        if c <= cap_max and 3 * 77 * c * 128 * 4 <= 60 * (1 << 20)
+    )
 
     best = None
     for perm in ((0, 1, 2), (1, 2, 0), (2, 0, 1)):
@@ -367,30 +399,62 @@ def nn_grid_params(src_np, ref_np, maxd: float, budget: int = 8_000_000,
         if gy is None or gz is None or gy * gz > 1_000_000:
             continue  # (the int32 sort-key limit in _cols_build)
 
-        def col_cap(cloud):
-            v = np.floor(cloud[:, p] / cell).astype(np.int64)
-            inb = np.all((v >= origin) & (v < origin + ext), axis=1)
-            vc = v[inb] - origin
-            if len(vc) == 0:
-                return 8
-            cols = vc[:, 1] * gz + vc[:, 2]
-            occ = np.bincount(cols.astype(np.int64))
-            return bucket(int(occ.max()), (8, 16, 24, 32, 48, 64, 96, cap_max))
+        def col_occ(cloud):
+            """(occupancy image [gy, gz], out-of-grid count)."""
+            v = np.floor(cloud[:, p] / cell).astype(np.int64) - origin
+            inb = (
+                (v[:, 1] >= 0) & (v[:, 1] < gy)
+                & (v[:, 2] >= 0) & (v[:, 2] < gz)
+            )
+            occ = np.zeros((gy, gz), np.int64)
+            np.add.at(occ, (v[inb, 1], v[inb, 2]), 1)
+            return occ, v, inb
 
-        cap_r = col_cap(ref_np)
-        cap_q = col_cap(src_np)
-        if cap_r is None or cap_q is None:
+        occ_r, vr, rin = col_occ(ref_np)
+        occ_q, vq, qin = col_occ(src_np)
+        max_r = int(occ_r.max()) if occ_r.size else 0
+        max_q = int(occ_q.max()) if occ_q.size else 0
+        cap_r = bucket(max(max_r, 1), cap_ladder) or cap_ladder[-1]
+        cap_q = bucket(max(max_q, 1), cap_ladder) or cap_ladder[-1]
+
+        # estimate the brute-force fixup volume this cap choice implies:
+        # over-cap or out-of-extent reference columns taint their whole
+        # dilated ring (exactly _cols_build._drop_ring's 2*_M box), plus
+        # source points that are themselves out of grid or rank-dropped
+        drop = occ_r > cap_r
+        if (~rin).any():
+            by = np.clip(vr[~rin, 1], 0, gy - 1)
+            bz = np.clip(vr[~rin, 2], 0, gz - 1)
+            drop[by, bz] = True
+        if drop.any():
+            f = drop
+            for ax in (0, 1):
+                base = f
+                for j in range(1, 2 * _M + 1):
+                    f = f | np.roll(base, j, ax) | np.roll(base, -j, ax)
+            q_tainted = f[np.clip(vq[:, 1], 0, gy - 1),
+                          np.clip(vq[:, 2], 0, gz - 1)] | ~qin
+            n_fb = int(q_tainted.sum())
+        else:
+            n_fb = int((~qin).sum())
+        if occ_q.max(initial=0) > cap_q:
+            over_q = occ_q[np.clip(vq[:, 1], 0, gy - 1),
+                           np.clip(vq[:, 2], 0, gz - 1)] > cap_q
+            n_fb = min(len(src_np), n_fb + int(over_q.sum()))
+        fb_work = float(n_fb) * len(ref_np)
+        if fb_work > fallback_budget:
             continue
+
         vol = gy * gz * max(cap_r, cap_q)
         if vol > budget:
             continue
-        # kernel VMEM: candidate scratch 3*77*cap_r*128 f32 dominates;
-        # keep comfortably under the v5e's physical 128 MB with room for
-        # double-buffered outputs (the kernel raises the scoped limit)
-        if 3 * 77 * cap_r * 128 * 4 > 60 * (1 << 20):
-            continue
-        if best is None or vol < best[0]:
-            best = (vol, perm, gy, gz, cap_r, cap_q, origin.astype(np.int32))
+        # prefer axes that avoid fixups — n_fb outranks slot volume: the
+        # fixup is O(n_fb * rcap) EVERY iteration while vol only sizes
+        # the (cheap, tiered) kernel scan; bucket n_fb a little so near
+        # -ties fall through to the volume comparison
+        key = (n_fb // max(1, len(src_np) // 50), vol)
+        if best is None or key < best[0]:
+            best = (key, perm, gy, gz, cap_r, cap_q, origin.astype(np.int32))
     if best is None:
         return None
     return best[1:]

@@ -125,7 +125,7 @@ R_CONT = 13  # continuation steps to fully converge a 2^13-bit window
 def _select_kernel(scalars_ref, plane_hbm, sums_ref, kth_ref, slab, cnd, d2,
                    sem, *, cap: int, capp: int, gz: int, k: int, off: int,
                    off_al: int, sw: int, nt_max: int, seeded: bool = False,
-                   probe: str = "full"):
+                   probe: str = "full", mxu_count: bool = False):
     # off_al is the lane offset of the queries inside the slab — a
     # multiple of 128 (Mosaic requires aligned lanes for dynamic-sublane
     # loads; the wrapper pads the plane front accordingly).  Ring reads
@@ -232,6 +232,25 @@ def _select_kernel(scalars_ref, plane_hbm, sums_ref, kth_ref, slab, cnd, d2,
                 j += 1
         j_self = ring.index((0, 0))
 
+        # Candidate counting: the bisection's per-step work is ONE
+        # indicator compare + ONE sublane reduction over [nrows, 128].
+        # ``mxu_count`` routes the reduction through the MXU as a
+        # ones-row matmul — counts are small integers in f32, so the
+        # matmul is EXACT — leaving only the compare on the VPU (the
+        # round-4 NOTES pegged the VPU-reduce form at ~50% VPU peak;
+        # this is the round-5 falsification attempt for that floor).
+        if mxu_count:
+            ones_row = jnp.ones((1, len(ring) * capp_sel), jnp.float32)
+
+            def count_rows(ind):
+                return jnp.dot(
+                    ones_row, ind.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)
+        else:
+            def count_rows(ind):
+                return jnp.sum(ind.astype(jnp.int32), axis=0, keepdims=True)
+
         def per_slot(s_q, acc):
             hit = row_iota == s_q
             qx = jnp.sum(jnp.where(hit, q_all_x, 0.0), axis=0, keepdims=True)
@@ -264,7 +283,7 @@ def _select_kernel(scalars_ref, plane_hbm, sums_ref, kth_ref, slab, cnd, d2,
             def bis(_i, state):
                 lo, hi, clo = state
                 mid = lo + ((hi - lo) >> 1)
-                cnt = jnp.sum((bits <= mid).astype(jnp.int32), axis=0, keepdims=True)
+                cnt = count_rows(bits <= mid)
                 ge = cnt >= k
                 return (
                     jnp.where(ge, lo, mid + 1),
@@ -284,9 +303,7 @@ def _select_kernel(scalars_ref, plane_hbm, sums_ref, kth_ref, slab, cnd, d2,
                 # candidates BELOW the seed exist (the nearest neighbors);
                 # the advance tail needs clo == count(bits <= lo-1), so
                 # seed it with one count scan
-                c00 = jnp.sum(
-                    (bits < lo0).astype(jnp.int32), axis=0, keepdims=True
-                )
+                c00 = count_rows(bits < lo0)
             else:
                 lo0 = jnp.zeros((1, TILE), jnp.int32)
                 hi0 = jnp.full((1, TILE), imax, jnp.int32)
@@ -316,7 +333,7 @@ def _select_kernel(scalars_ref, plane_hbm, sums_ref, kth_ref, slab, cnd, d2,
                     m = jnp.min(
                         jnp.where(bits >= lo, bits, imax), axis=0, keepdims=True
                     )
-                    ceq = jnp.sum((bits == m).astype(jnp.int32), axis=0, keepdims=True)
+                    ceq = count_rows(bits == m)
                     c = clo + ceq  # == count(d2 <= m): no values in [lo, m)
                     newly = (c >= k) & jnp.logical_not(resolved)
                     kth_bits = jnp.where(newly, m, kth_bits)
@@ -343,7 +360,7 @@ def _select_kernel(scalars_ref, plane_hbm, sums_ref, kth_ref, slab, cnd, d2,
                         jnp.where(hit, kth_d, acc_k))
 
             lt = bits < hi
-            cnt_lt = jnp.sum(lt.astype(jnp.int32), axis=0, keepdims=True)
+            cnt_lt = count_rows(lt)
             dist = jnp.sqrt(jnp.maximum(d2[0:nrows, :], 0.0))
             ssum = jnp.sum(jnp.where(lt, dist, 0.0), axis=0, keepdims=True)
             kth_d = jnp.sqrt(jax.lax.bitcast_convert_type(hi, jnp.float32))
@@ -383,7 +400,8 @@ def _select_kernel(scalars_ref, plane_hbm, sums_ref, kth_ref, slab, cnd, d2,
 
 
 @partial(jax.jit, static_argnames=(
-    "k", "gy", "gz", "cap", "ntiles_run", "interpret", "seeded", "probe"))
+    "k", "gy", "gz", "cap", "ntiles_run", "interpret", "seeded", "probe",
+    "mxu_count"))
 def cols_select_pallas(
     xs_g: jax.Array,
     ys_g: jax.Array,
@@ -398,6 +416,7 @@ def cols_select_pallas(
     cell: jax.Array | None = None,
     seeded: bool = False,
     probe: str = "full",
+    mxu_count: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact (sum of k smallest distances, k-th distance) for every slot
     of the column grid, as [gyz, cap] arrays.  Inputs are the padded
@@ -465,6 +484,7 @@ def cols_select_pallas(
     kernel = partial(
         _select_kernel, cap=cap, capp=capp, gz=gz, k=k, off=off,
         off_al=off_al, sw=sw, nt_max=ntiles, seeded=seeded, probe=probe,
+        mxu_count=mxu_count,
     )
     sums_t, kth_t = pl.pallas_call(
         kernel,

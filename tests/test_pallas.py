@@ -682,3 +682,81 @@ class TestNNKernel:
                 assert abs(dist[qi] - d_all) < 1e-5, (qi, dist[qi], d_all)
             else:
                 assert not np.isfinite(dist[qi]) or dist[qi] >= d_all - 1e-5
+
+
+class TestGridParams:
+    """Host-side grid parameter policy (ops/knn.nn_grid_params).
+
+    Round-5 change: column caps no longer have to cover the densest
+    column — over-cap columns are exact via the drop_ring -> brute-force
+    fixup — so dense human-scale scenes at large correspondences (the
+    `cwipc register` aligner runs at auto-correspondence ~0.14 m, whose
+    4 cm cells hold 250+ points) now get grid params instead of the
+    ~20x-slower two-scale fallback."""
+
+    def _dense_scene(self, rng, n=20000):
+        """Human-scale scan-like cloud: a 0.6 x 1.9 x 0.6 m extent whose
+        points concentrate on a torso-sized blob (real scans are surfaces
+        — per-column occupancy is far above uniform)."""
+        pts = rng.random((n, 3), dtype=np.float32)
+        pts[:, 0] = pts[:, 0] * 0.6
+        pts[:, 1] = pts[:, 1] * 1.9
+        pts[:, 2] = pts[:, 2] * 0.6
+        nb = n // 3
+        pts[:nb] = (
+            np.float32([0.3, 1.0, 0.3])
+            + rng.random((nb, 3), dtype=np.float32) * 0.1
+        )
+        return pts
+
+    def test_dense_scene_accepted_with_capped_columns(self):
+        from cwipc_util_tpu.ops.knn import nn_grid_params
+
+        rng = np.random.default_rng(5)
+        ref = self._dense_scene(rng, 20000)
+        src = self._dense_scene(rng, 10000)
+        maxd = 0.14  # register-flow auto-correspondence scale
+        params = nn_grid_params(src, ref, maxd)
+        assert params is not None, (
+            "dense over-cap scenes must use the grid + fixup, "
+            "not the two-scale fallback"
+        )
+        perm, gy, gz, cap_r, cap_q, origin = params
+        assert cap_r <= 128 and cap_q <= 128
+        # the densest 4cm column of this scene genuinely exceeds the cap
+        cell = maxd / 3.5
+        p = list(perm)
+        v = np.floor(ref[:, p] / cell).astype(np.int64)
+        cols = (v[:, 1] - v[:, 1].min()) * 1000 + (v[:, 2] - v[:, 2].min())
+        assert np.bincount(cols).max() > cap_r
+
+    def test_prefers_axis_with_fewer_fixups(self):
+        from cwipc_util_tpu.ops.knn import nn_grid_params
+
+        rng = np.random.default_rng(6)
+        # A flat slab in the x-y plane: with x or y as the column
+        # (stacking) axis, whole level-set curves of the slab pile into
+        # single (thin-axis, other) columns (measured colmax ~370 here);
+        # with z as the column axis each (x, y) column holds only the
+        # slab's thin depth (colmax ~15, zero fixups).
+        pts = rng.random((30000, 3), dtype=np.float32)
+        pts[:, 0] *= 1.2
+        pts[:, 1] *= 1.2
+        pts[:, 2] *= 0.02
+        params = nn_grid_params(pts[:10000], pts[10000:], 0.07)
+        assert params is not None
+        perm = params[0]
+        assert perm[0] == 2, perm
+
+    def test_fallback_budget_rejects_degenerate(self):
+        from cwipc_util_tpu.ops.knn import nn_grid_params
+
+        rng = np.random.default_rng(8)
+        # one tiny dense ball: every column overflows on every axis and
+        # every query is inside the tainted ring -> fixup work == full
+        # brute force; a tight budget must reject it
+        pts = (rng.random((50000, 3), dtype=np.float32) * 0.01).astype(np.float32)
+        params = nn_grid_params(
+            pts[:25000], pts[25000:], 0.1, fallback_budget=1e6
+        )
+        assert params is None
