@@ -239,6 +239,54 @@ class TestColsSelectKernel:
             np.asarray(b[0])[cov], np.asarray(a[0])[cov]
         )
 
+    def test_mxu_count_matches_vpu_count(self):
+        """The MXU-count variant (bisection counts as exact ones-row
+        matmuls — the round-5 falsification attempt at the ALU wall,
+        see benchmarks/ceiling.py) must be BIT-IDENTICAL to the VPU
+        reduction: counts are small integers in f32 either way, and the
+        selection consumes only counts."""
+        from cwipc_util_tpu.ops.cols_knn import _cols_build
+        from cwipc_util_tpu.ops.pallas_cols_select import cols_select_pallas
+
+        gy, gz = 32, 24
+        cap, k = 28, 30
+        cell = 0.02
+        rng = np.random.default_rng(4)
+        pts = []
+        for iy in range(3, 28):
+            for iz in range(3, 20):
+                for ix in range(int(rng.integers(1, 9))):
+                    jitter = rng.random(3) * cell * 0.9
+                    pts.append([ix * cell + jitter[0],
+                                iy * cell + jitter[1],
+                                iz * cell + jitter[2]])
+        n = len(pts)
+        capn = 1 << int(np.ceil(np.log2(n)))
+        xyz = np.zeros((capn, 3), np.float32)
+        xyz[:n] = np.asarray(pts, np.float32)
+        built = _cols_build(
+            jnp.asarray(xyz), jnp.int32(n), jnp.float32(cell), gy=gy, gz=gz,
+            cap=cap, chunk=64,
+        )
+        xs_g, ys_g, zs_g = built[:3]
+        a = cols_select_pallas(
+            xs_g, ys_g, zs_g, k=k, gy=gy, gz=gz, cap=cap, interpret=True,
+            cell=jnp.float32(cell), seeded=True,
+        )
+        b = cols_select_pallas(
+            xs_g, ys_g, zs_g, k=k, gy=gy, gz=gz, cap=cap, interpret=True,
+            cell=jnp.float32(cell), seeded=True, mxu_count=True,
+        )
+        gyz = gy * gz
+        off = 4 * gz + 4
+        occ = np.asarray(xs_g)[off:off + gyz, :cap] < 1e30
+        np.testing.assert_array_equal(
+            np.asarray(b[1])[occ], np.asarray(a[1])[occ]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(b[0])[occ], np.asarray(a[0])[occ]
+        )
+
     def test_tile_range_matches_full(self):
         """Sharded-caller contract: running the kernel over tile ranges
         and concatenating equals the full-plane run (incl. an
