@@ -190,7 +190,7 @@ def _remove_outliers_single(
     #   fall back to the KD-tree on host.
     import jax
 
-    xyz_host = np.asarray(buf.xyz[:n]).astype(np.float64)
+    xyz_host = np.asarray(buf.xyz)[:n].astype(np.float64)
     params = None
     if jax.default_backend() != "cpu":
         from .cols_knn import bruteforce_md_subset, cols_knn_mean_distance

@@ -507,8 +507,8 @@ def nn_search_host_auto(src_xyz, src_count, ref_xyz, ref_count, maxd):
         gate = int(os.environ.get("CWIPC_GRID_NN_MIN", "0"))
         if sn and rn and max(sn, rn) >= gate:
             params = nn_grid_params(
-                np.asarray(src_xyz[:sn], np.float32),
-                np.asarray(ref_xyz[:rn], np.float32), float(maxd),
+                np.asarray(src_xyz, np.float32)[:sn],
+                np.asarray(ref_xyz, np.float32)[:rn], float(maxd),
             )
             if params is not None:
                 perm, gy, gz, cap_r, cap_q, origin = params

@@ -34,7 +34,7 @@ def check_morton_extent(buf: PointBuffer, cellsize: float) -> None:
     n = int(buf.count)
     if n == 0:
         return
-    xyz = np.asarray(buf.xyz[:n])
+    xyz = np.asarray(buf.xyz)[:n]
     cells = np.floor(xyz / float(cellsize))
     extent = cells.max(axis=0) - cells.min(axis=0)
     if (extent > _MORTON_MAX).any():

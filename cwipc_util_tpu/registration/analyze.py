@@ -43,8 +43,11 @@ def _nn_distances(src: cwipc_pointcloud_wrapper, ref: cwipc_pointcloud_wrapper, 
         # query (the reference's scipy-KDTree k-offset, analyze.py:120-123).
         from scipy.spatial import cKDTree
 
-        spts = np.asarray(sbuf.xyz[: src.count()])
-        rpts = np.asarray(rbuf.xyz[: ref.count()])
+        # slice AFTER the host transfer: a device-side [:count] slice is
+        # its own tiny program per distinct count — on the relay that is
+        # a fresh remote compile per value (see NOTES_ROUND5.md)
+        spts = np.asarray(sbuf.xyz)[: src.count()]
+        rpts = np.asarray(rbuf.xyz)[: ref.count()]
         if len(rpts) <= ignore_nearest:
             return np.empty(0, np.float32)
         tree = cKDTree(rpts)
@@ -52,7 +55,7 @@ def _nn_distances(src: cwipc_pointcloud_wrapper, ref: cwipc_pointcloud_wrapper, 
         d = np.atleast_2d(dist)[:, -1]
         return d[np.isfinite(d) & (d <= max_distance)].astype(np.float32)
     dist, _ = nn_search_host_auto(sbuf.xyz, sbuf.count, rbuf.xyz, rbuf.count, max_distance)
-    return np.asarray(dist[: src.count()])
+    return np.asarray(dist)[: src.count()]
 
 
 # One device program for a whole batch of same-capacity NN queries: the

@@ -360,8 +360,10 @@ class RegistrationComputer(BaseAlgorithm, AlignmentAlgorithm):
         sbuf = buffer_from_arrays(src_xyz.astype(np.float32), z, z, z, z)
         rbuf = self._ref_buf
         dist, idx = nn_search(sbuf.xyz, sbuf.count, rbuf.xyz, rbuf.count, jnp.float32(corr))
-        dist = np.asarray(dist[:n])
-        idx = np.asarray(idx[:n])
+        # host-side slicing: a device [:n] slice is one tiny program per
+        # distinct n (a remote compile each on the relay)
+        dist = np.asarray(dist)[:n]
+        idx = np.asarray(idx)[:n]
         ok = np.isfinite(dist)
         return ok, idx, dist
 

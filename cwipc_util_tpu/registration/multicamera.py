@@ -144,7 +144,9 @@ class BaseMulticamAlignmentAlgorithm(BaseMulticamAlgorithm, MulticamAlignmentAlg
         pts = []
         for pc in moved:
             buf = pc._access_buffer()
-            pts.append(np.asarray(buf.xyz[: pc.count()]))
+            # slice on the HOST: device [:count] slices compile one tiny
+            # program per distinct count (a remote compile each)
+            pts.append(np.asarray(buf.xyz)[: pc.count()])
         unions = [
             np.concatenate([pts[j] for j in range(n) if j != i]) for i in range(n)
         ]
@@ -338,9 +340,9 @@ class MultiCameraIterative(BaseMulticamAlignmentAlgorithm):
         for i in cams:
             pc = self._moved_pc(i)
             buf = pc._access_buffer()
-            pts.append(np.asarray(buf.xyz[: pc.count()]))
+            pts.append(np.asarray(buf.xyz)[: pc.count()])
         rbuf = registered._access_buffer()
-        rpts = np.asarray(rbuf.xyz[: registered.count()])
+        rpts = np.asarray(rbuf.xyz)[: registered.count()]
         dists = nn_distances_batch_shared_ref(pts, rpts, self.max_correspondence or 0.1)
         return [
             float(np.isfinite(d).sum() / len(p)) if len(p) else 0.0
