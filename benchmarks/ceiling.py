@@ -67,11 +67,12 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
-)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# Persistent cache into the machine-wide default dir, enabled by the
+# package import — BEFORE the first compile, so the sort probes cache
+# too.  (An env setdefault here is dead code: jax is preloaded at
+# interpreter startup in this image, so in-process JAX_* env edits never
+# reach jax.config — NOTES_ROUND5.md.)
+import cwipc_util_tpu  # noqa: F401
 
 import jax
 import jax.numpy as jnp
@@ -200,20 +201,34 @@ def main() -> None:
         y = x
         for _ in range(64):
             y = y * a + 0.5
-        return y[0]
+        # reduce, do NOT slice: returning y[0] lets XLA shrink the whole
+        # elementwise chain to element 0 (measured: the probe costs zero
+        # and the clamp floor reports vpu_peak = 2^30 — garbage)
+        return jnp.sum(y)
 
+    # k_loop=64: the per-iteration cost here is only ~0.3-0.6 ms, and an
+    # 8-iteration delta (~2-5 ms) can drown in relay dispatch jitter —
+    # measured: a K=8 run returned the exact clamp values 2^30/2^28,
+    # i.e. tK - t0 <= 0.  64 iterations put the delta at 20-40 ms.
     vx = jnp.asarray(rng.random(M_FMA, dtype=np.float32))
-    vpu_ms = diff_time(vpu_body, (vx,), k_loop=8)
+    vpu_ms = diff_time(vpu_body, (vx,), k_loop=64)
     out["vpu_peak_gops"] = round(M_FMA * 128 / (vpu_ms * 1e-3) / 1e9, 1)
 
     H = 1 << 26  # 256 MB
 
     def hbm_body(s, x):
-        return jnp.sum(x) + s.astype(jnp.float32) * 0.0
+        # the seed must perturb the DATA PASS itself: `sum(x) + s*0.0`
+        # folds the nudge to zero and XLA hoists the loop-invariant
+        # reduction out of the K-loop (measured: 44 TB/s "bandwidth",
+        # 50x over HBM spec).  (1 + s*1e-30) fuses into the read pass.
+        return jnp.sum(x * (1.0 + s.astype(jnp.float32) * 1e-30))
 
     hx = jnp.asarray(rng.random(H, dtype=np.float32))
-    hbm_ms = diff_time(hbm_body, (hx,), k_loop=8)
+    hbm_ms = diff_time(hbm_body, (hx,), k_loop=64)
     out["hbm_read_gbs"] = round(H * 4 / (hbm_ms * 1e-3) / 1e9, 1)
+    # A delta at the 1e-9 clamp means the probe drowned in relay jitter:
+    # flag it so downstream readers never trust a clamp-floor number.
+    out["denominators_valid"] = bool(vpu_ms > 1e-5 and hbm_ms > 1e-5)
 
     # The selection kernel alone, at the exact chain's bench shape.
     from cwipc_util_tpu.ops import voxelize

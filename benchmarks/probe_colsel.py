@@ -14,11 +14,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
-)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# Persistent cache via the package import (machine-wide default dir);
+# an env setdefault here is dead — jax is preloaded at interpreter
+# startup in this image (NOTES_ROUND5.md).
+import cwipc_util_tpu  # noqa: F401
 
 import jax
 import jax.numpy as jnp

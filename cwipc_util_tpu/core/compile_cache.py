@@ -49,21 +49,36 @@ def enable_persistent_cache() -> Optional[str]:
 
     cache_dir = jax.config.jax_compilation_cache_dir
     if not cache_dir:
+        # jax is PRELOADED at interpreter startup in this image, so its
+        # config snapshot of JAX_* env vars predates any user code: an
+        # os.environ["JAX_COMPILATION_CACHE_DIR"] set in-process (as the
+        # benchmark entry points do) never reaches jax.config by itself.
+        # Honor it here so the documented precedence (explicit jax dir >
+        # CWIPC_JAX_CACHE_DIR > default) holds either way.
+        env_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        if env_dir:
+            cache_dir = env_dir
         # CPU-only processes skip the default-on cache (CWIPC_JAX_CACHE=1
         # or an explicit JAX_COMPILATION_CACHE_DIR still enables it): CPU
         # compiles are cheap, and XLA:CPU's AOT loader logs a loud
         # machine-feature warning for every cached executable it loads —
         # noise the 400-test suite and every CLI subprocess would emit.
         # The cache exists for the relay-attached TPU's 40-70 s compiles.
-        if flag != "1" and os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        elif flag != "1" and os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
             return None
-        cache_dir = os.environ.get("CWIPC_JAX_CACHE_DIR") or default_cache_dir()
+        else:
+            cache_dir = os.environ.get("CWIPC_JAX_CACHE_DIR") or default_cache_dir()
         jax.config.update("jax_compilation_cache_dir", cache_dir)
     # Cache EVERYTHING: the register flow's program set is dozens of
     # small-to-mid programs, and through the relay even a trivial jit
-    # costs seconds to compile.  Explicit env settings win.
-    if "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS" not in os.environ:
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    if "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES" not in os.environ:
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # costs seconds to compile.  Explicit env settings win — applied via
+    # config.update because of the same preload gotcha as above.
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        float(os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", 0.0)),
+    )
+    jax.config.update(
+        "jax_persistent_cache_min_entry_size_bytes",
+        int(os.environ.get("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", -1)),
+    )
     return cache_dir

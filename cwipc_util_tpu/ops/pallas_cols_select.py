@@ -57,6 +57,7 @@ fixup, exactly like the XLA path.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -399,10 +400,22 @@ def _select_kernel(scalars_ref, plane_hbm, sums_ref, kth_ref, slab, cnd, d2,
             run(t_cap)
 
 
+def cols_select_pallas(*args, mxu_count: bool | None = None, **kw):
+    """Public entry: ``mxu_count=None`` resolves the default OUTSIDE jit
+    (an env read inside the traced body would be frozen into the cached
+    executable).  Default ON: measured 80.2 -> 50.1 ms at bench scale on
+    the v5e with bit-identical results (benchmarks/ceiling.py claim 3,
+    tests/test_pallas.py::test_mxu_count_matches_vpu_count);
+    ``CWIPC_SEL_MXU_COUNT=0`` restores the VPU reduction."""
+    if mxu_count is None:
+        mxu_count = os.environ.get("CWIPC_SEL_MXU_COUNT", "1") != "0"
+    return _cols_select_jit(*args, mxu_count=mxu_count, **kw)
+
+
 @partial(jax.jit, static_argnames=(
     "k", "gy", "gz", "cap", "ntiles_run", "interpret", "seeded", "probe",
     "mxu_count"))
-def cols_select_pallas(
+def _cols_select_jit(
     xs_g: jax.Array,
     ys_g: jax.Array,
     zs_g: jax.Array,

@@ -429,10 +429,9 @@ print(json.dumps({
         )
         env["JAX_PLATFORMS"] = "cpu"
         env.pop("XLA_FLAGS", None)
-        # tests/test_tpu_smoke.py exports JAX_COMPILATION_CACHE_DIR into
-        # os.environ at COLLECTION time (full-suite runs only), and an
-        # explicit jax cache dir outranks CWIPC_JAX_CACHE_DIR by design —
-        # strip it so this test controls the subprocess's cache
+        # an explicit jax cache dir outranks CWIPC_JAX_CACHE_DIR by
+        # design — strip any inherited one so this test controls the
+        # subprocess's cache
         env.pop("JAX_COMPILATION_CACHE_DIR", None)
         env["CWIPC_JAX_CACHE_DIR"] = str(cache_dir)
         # CPU-only processes default the cache OFF (XLA:CPU AOT-loader

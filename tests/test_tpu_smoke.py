@@ -11,12 +11,15 @@ bench.py uses) so reruns are seconds, not minutes.
 """
 
 import os
+import sys
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
-)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+# Persistent cache: the package import enables it into the machine-wide
+# default dir (core/compile_cache.py) shared with bench.py and the CLI
+# flows.  An os.environ setdefault here would be dead code: jax is
+# preloaded at interpreter startup in this image, so in-process JAX_*
+# env edits never reach jax.config (NOTES_ROUND5.md).
+import cwipc_util_tpu  # noqa: F401
 
 import jax
 import jax.numpy as jnp
