@@ -239,6 +239,29 @@ class TestColsSelectKernel:
             np.asarray(b[0])[cov], np.asarray(a[0])[cov]
         )
 
+    def test_mxu_count_env_gate(self, monkeypatch):
+        """The public wrapper resolves the MXU-count default OUTSIDE jit:
+        default ON (measured 80 -> 50 ms on-chip, CEILING.md claim 3),
+        CWIPC_SEL_MXU_COUNT=0 restores the VPU reduction.  Pin the
+        resolution so the escape hatch cannot silently rot."""
+        import cwipc_util_tpu.ops.pallas_cols_select as mod
+
+        seen = {}
+
+        def fake_jit(*a, mxu_count=None, **kw):
+            seen["mxu"] = mxu_count
+            return None
+
+        monkeypatch.setattr(mod, "_cols_select_jit", fake_jit)
+        monkeypatch.delenv("CWIPC_SEL_MXU_COUNT", raising=False)
+        mod.cols_select_pallas()
+        assert seen["mxu"] is True
+        monkeypatch.setenv("CWIPC_SEL_MXU_COUNT", "0")
+        mod.cols_select_pallas()
+        assert seen["mxu"] is False
+        mod.cols_select_pallas(mxu_count=False)
+        assert seen["mxu"] is False
+
     def test_mxu_count_matches_vpu_count(self):
         """The MXU-count variant (bisection counts as exact ones-row
         matmuls — the round-5 falsification attempt at the ALU wall,

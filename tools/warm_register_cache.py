@@ -31,6 +31,9 @@ import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# `python tools/warm_register_cache.py` puts tools/ (not the repo root)
+# on sys.path — the package import below needs the root
+sys.path.insert(0, REPO)
 
 
 def run_flow(ncamera: int, npoints: int, verbose: bool) -> float:
