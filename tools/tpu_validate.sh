@@ -6,8 +6,9 @@
 #
 # Runs, in order:
 #   1. a 60 s relay health probe (fails fast if the relay is wedged),
-#   2. the TPU smoke suite (8 tests incl. the 1M-cloud keep-mask == f64
-#      KD-tree oracle and the on-chip ICP regression),
+#   2. the TPU smoke suite (12 tests incl. the 1M-cloud keep-mask == f64
+#      KD-tree oracle, the on-chip ICP regression, the range-split
+#      equivalences and the cross-cloud NN oracle),
 #   3. bench.py (headline chain; prints the JSON line).
 set -u
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
